@@ -1,0 +1,22 @@
+from .dedup import dedup_keep_richest
+from .gapfill import gap_fill, time_spine
+from .unions import union_by_name
+from .topk import latest_per_group
+from .incremental import (
+    CrossWaterYearError,
+    resolve_window,
+    high_watermark_date,
+    overlap_start,
+)
+
+__all__ = [
+    "dedup_keep_richest",
+    "gap_fill",
+    "time_spine",
+    "union_by_name",
+    "latest_per_group",
+    "CrossWaterYearError",
+    "resolve_window",
+    "high_watermark_date",
+    "overlap_start",
+]
