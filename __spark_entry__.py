@@ -1,38 +1,941 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract: entry() smoke, queries() per-operator DataFrames,
+oracle_sql() DuckDB-equivalent SQL (SURVEY.md §2 inventory).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each query name maps to SURVEY.md §2 operator IDs (noted per entry).
+Cross-engine determinism rules used throughout:
+- double reductions go through DECIMAL(38,6) casts (exact, order-free)
+- single-value double arithmetic is IEEE-identical; exp() rounded to 6
+- every hash derives from md5 (identical bytes in any engine)
+- all computed columns aliased identically in Spark and SQL
 """
 
 from __future__ import annotations
 
+import os
+import tempfile
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.operators import (
+    dedup_keep_richest,
+    gap_fill,
+    latest_per_group,
+    union_by_name,
+)
+from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.functions import water_year
+from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.params import (
+    LANG_MARKERS,
+    LANG_PRECEDENCE,
+    LSH_BANDS,
+    LSH_ROWS,
+    MINHASH_A,
+    MINHASH_B,
+    MINHASH_P,
+    SIMHASH_BITS,
+)
+from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm import (
+    cosine_topk,
+    exact_dedup_groups,
+    embed_neardup_pairs,
+    fingerprint_md5,
+    jaccard_pairs,
+    lang_id,
+    lsh_ann_topk,
+    minhash_lsh_pairs,
+    prefix_fingerprint,
+    quality_score,
+    simhash,
+    token_count,
+)
+from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.multimodal import (
+    extract_features,
+    to_binary_payload,
+)
+
+SF001 = "/root/testdata/sf0.001"
+
+# ---------------------------------------------------------------- helpers
+
+
+def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    # events.ts is TIMESTAMP(NANOS) parquet — read as nano longs
+    # (session conf) and truncated to micros, matching DuckDB's read
+    for f in df.schema.fields:
+        if f.name == "ts" and f.dataType.simpleString() == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def _bucket15(c):
+    # 15-minute tumbling bucket, epoch-aligned (identical to the oracle's
+    # make_timestamp(floor(epoch/900)*900) form)
+    return F.timestamp_seconds(
+        (F.floor(F.unix_timestamp(c) / 900) * 900).cast("bigint")
+    )
+
+
+def _dsum(c):
+    """Order-independent double sum: exact decimal accumulate."""
+    return F.sum(c.cast("decimal(38,6)")).cast("double")
+
+
+def _events_with_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events + injected nulls (the driver tables have none) to exercise
+    richest-row/nan-count semantics (A1/D1)."""
+    e = T(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts",
+        F.when(F.col("value") <= 450, F.col("value")).alias("value_n"),
+        F.when(F.col("user_id") % 7 != 0, F.col("props")).alias("props_n"),
+    )
+
+
+_NULLS_SQL = """
+    SELECT event_id, user_id, event_type, ts,
+           CASE WHEN value <= 450 THEN value END AS value_n,
+           CASE WHEN user_id % 7 <> 0 THEN props END AS props_n
+    FROM events
+"""
+
+# ------------------------------------------------------------- queries
+
+
+def q_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1+A2+J4+W1+F3 composition: bucket events to a regular 15-min
+    series, gap-fill to day boundaries, lag-based spike test."""
+    e = T(spark, sf_dir, "events")
+    bucketed = (
+        e.select(_bucket15(F.col("ts")).alias("TIMESTAMP"), "value")
+        .groupBy("TIMESTAMP")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(_dsum(F.col("value")) / F.count("*"), 6).alias("avg_value"),
+        )
+    )
+    filled = gap_fill(bucketed, ts_col="TIMESTAMP", freq_minutes=15)
+    w = Window.orderBy("TIMESTAMP")
+    delta = F.round(F.col("avg_value") - F.lag("avg_value").over(w), 6)
+    return (
+        filled.withColumn("n_events", F.coalesce("n_events", F.lit(0)))
+        .withColumn("delta", delta)
+        .withColumn("spike", F.coalesce(F.abs(delta) >= 100.0, F.lit(False)))
+        .withColumn("wateryear", water_year("TIMESTAMP"))
+        .select("TIMESTAMP", "n_events", "avg_value", "delta", "spike", "wateryear")
+    )
+
+
+_FLAGSHIP_SQL = """
+WITH bucketed AS (
+  SELECT make_timestamp(CAST(floor(epoch(ts)/900)*900*1000000 AS BIGINT)) AS TIMESTAMP,
+         count(*) AS n_events,
+         round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE)/count(*), 6) AS avg_value
+  FROM events GROUP BY 1
+), bounds AS (
+  SELECT date_trunc('day', min(TIMESTAMP)) AS lo,
+         CASE WHEN max(TIMESTAMP) = date_trunc('day', max(TIMESTAMP))
+              THEN max(TIMESTAMP)
+              ELSE date_trunc('day', max(TIMESTAMP)) + INTERVAL 1 DAY END AS hi
+  FROM bucketed
+), spine AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 15 MINUTE)) AS TIMESTAMP FROM bounds
+), filled AS (
+  SELECT s.TIMESTAMP, coalesce(b.n_events, 0) AS n_events, b.avg_value
+  FROM spine s LEFT JOIN bucketed b USING (TIMESTAMP)
+)
+SELECT TIMESTAMP, n_events, avg_value,
+       round(avg_value - lag(avg_value) OVER (ORDER BY TIMESTAMP), 6) AS delta,
+       coalesce(abs(round(avg_value - lag(avg_value) OVER (ORDER BY TIMESTAMP), 6)) >= 100.0,
+                false) AS spike,
+       CASE WHEN month(TIMESTAMP) >= 10 THEN year(TIMESTAMP) + 1 ELSE year(TIMESTAMP) END AS wateryear
+FROM filled
+"""
+
+
+def q_dedup_keep_richest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1: keep-richest dedup per (user_id, hour): fewest nulls wins,
+    event_id tiebreak."""
+    e = _events_with_nulls(spark, sf_dir).withColumn(
+        "hour", F.date_trunc("HOUR", F.col("ts"))
+    )
+    out = dedup_keep_richest(
+        e,
+        keys=("user_id", "hour"),
+        record_col=None,
+        value_cols=("value_n", "props_n"),
+        tiebreakers=("event_id",),
+    )
+    return out.select("user_id", "hour", "event_id")
+
+
+_DEDUP_RICHEST_SQL = f"""
+WITH base AS ({_NULLS_SQL}),
+scored AS (
+  SELECT user_id, date_trunc('hour', ts) AS hour, event_id,
+         (CASE WHEN value_n IS NULL THEN 1 ELSE 0 END +
+          CASE WHEN props_n IS NULL THEN 1 ELSE 0 END) AS nan_count
+  FROM base
+)
+SELECT user_id, hour, event_id
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id, hour
+                                   ORDER BY nan_count, event_id) AS rn
+      FROM scored)
+WHERE rn = 1
+"""
+
+
+def q_gapfill_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: the spine join alone — regular grid with nulls at gaps."""
+    e = T(spark, sf_dir, "events")
+    bucketed = (
+        e.select(_bucket15(F.col("ts")).alias("TIMESTAMP"))
+        .groupBy("TIMESTAMP")
+        .agg(F.count("*").alias("n_events"))
+    )
+    return gap_fill(bucketed, ts_col="TIMESTAMP", freq_minutes=15).select(
+        "TIMESTAMP", "n_events"
+    )
+
+
+_GAPFILL_SQL = """
+WITH bucketed AS (
+  SELECT make_timestamp(CAST(floor(epoch(ts)/900)*900*1000000 AS BIGINT)) AS TIMESTAMP,
+         count(*) AS n_events
+  FROM events GROUP BY 1
+), bounds AS (
+  SELECT date_trunc('day', min(TIMESTAMP)) AS lo,
+         CASE WHEN max(TIMESTAMP) = date_trunc('day', max(TIMESTAMP))
+              THEN max(TIMESTAMP)
+              ELSE date_trunc('day', max(TIMESTAMP)) + INTERVAL 1 DAY END AS hi
+  FROM bucketed
+), spine AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 15 MINUTE)) AS TIMESTAMP FROM bounds
+)
+SELECT s.TIMESTAMP, b.n_events
+FROM spine s LEFT JOIN bucketed b USING (TIMESTAMP)
+"""
+
+
+def q_lag_spike(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 (bug-compat pandas null semantics): per-user lag diff;
+    change_ok = NOT(delta >= 100 [null→False]) AND (delta != 0 [null→True])."""
+    e = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    delta = F.round(F.col("value") - F.lag("value").over(w), 6)
+    return e.select(
+        "user_id",
+        "event_id",
+        delta.alias("delta"),
+        (
+            ~F.coalesce(delta >= 100.0, F.lit(False))
+            & F.coalesce(delta != 0.0, F.lit(True))
+        ).alias("change_ok"),
+    )
+
+
+_LAG_SPIKE_SQL = """
+WITH d AS (
+  SELECT user_id, event_id,
+         round(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 6) AS delta
+  FROM events
+)
+SELECT user_id, event_id, delta,
+       (NOT coalesce(delta >= 100.0, false)) AND coalesce(delta <> 0.0, true) AS change_ok
+FROM d
+"""
+
+
+def q_day_flatline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 (intended semantics): per-type daily mean, changed vs previous
+    day (missing previous day → pass)."""
+    e = T(spark, sf_dir, "events")
+    daily = (
+        e.groupBy("event_type", F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(F.round(_dsum(F.col("value")) / F.count("*"), 6).alias("day_avg"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    prev = F.lag("day_avg").over(w)
+    return daily.select(
+        "event_type",
+        "day",
+        "day_avg",
+        F.coalesce(F.col("day_avg") - prev != 0, F.lit(True)).alias("day_change"),
+    )
+
+
+_DAY_FLATLINE_SQL = """
+WITH daily AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+         round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE)/count(*), 6) AS day_avg
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, day, day_avg,
+       coalesce(day_avg - lag(day_avg) OVER (PARTITION BY event_type ORDER BY day) <> 0, true) AS day_change
+FROM daily
+"""
+
+
+def q_flag_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3/W4/P5 shape on lineitem: per-test '0'/'1' chars concatenated in
+    fixed order + graded column nulled on composite failure."""
+    li = T(spark, sf_dir, "lineitem")
+    qty_bad = F.coalesce(
+        (F.col("l_quantity") < 5) | (F.col("l_quantity") > 45), F.lit(True)
+    )
+    disc_bad = F.coalesce(F.col("l_discount") > 0.05, F.lit(True))
+    tax_bad = F.coalesce(F.col("l_tax") > 0.04, F.lit(True))
+    ret_bad = F.coalesce(F.col("l_returnflag") == "R", F.lit(True))
+    ch = lambda b: F.when(b, "1").otherwise("0")  # noqa: E731
+    good = ~qty_bad & ~disc_bad & ~tax_bad & ~ret_bad
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.concat(ch(qty_bad), ch(disc_bad), ch(tax_bad), ch(ret_bad)).alias("flags"),
+        F.when(good, F.round("l_extendedprice", 2)).alias("graded_price"),
+    )
+
+
+_FLAG_STRINGS_SQL = """
+WITH t AS (
+  SELECT l_orderkey, l_linenumber,
+         coalesce(l_quantity < 5 OR l_quantity > 45, true) AS qty_bad,
+         coalesce(l_discount > 0.05, true) AS disc_bad,
+         coalesce(l_tax > 0.04, true) AS tax_bad,
+         coalesce(l_returnflag = 'R', true) AS ret_bad,
+         l_extendedprice
+  FROM lineitem
+)
+SELECT l_orderkey, l_linenumber,
+       (CASE WHEN qty_bad THEN '1' ELSE '0' END ||
+        CASE WHEN disc_bad THEN '1' ELSE '0' END ||
+        CASE WHEN tax_bad THEN '1' ELSE '0' END ||
+        CASE WHEN ret_bad THEN '1' ELSE '0' END) AS flags,
+       CASE WHEN NOT qty_bad AND NOT disc_bad AND NOT tax_bad AND NOT ret_bad
+            THEN round(l_extendedprice, 2) END AS graded_price
+FROM t
+"""
+
+
+def q_bounds_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4/P6/W5: hard-limit flag + filtered column."""
+    e = T(spark, sf_dir, "events")
+    hard = F.coalesce(
+        (F.col("value") >= 0) & (F.col("value") < 100), F.lit(False)
+    )
+    return e.select(
+        "event_id",
+        hard.alias("value_hard_limit"),
+        F.when(hard, F.round("value", 2)).alias("value_filtered"),
+    )
+
+
+_BOUNDS_SQL = """
+SELECT event_id,
+       coalesce(value >= 0 AND value < 100, false) AS value_hard_limit,
+       CASE WHEN coalesce(value >= 0 AND value < 100, false)
+            THEN round(value, 2) END AS value_filtered
+FROM events
+"""
+
+
+def q_wateryear_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3/T3: water-year calendar aggregation."""
+    o = T(spark, sf_dir, "orders")
+    return (
+        o.groupBy(water_year(F.col("o_orderdate")).alias("wateryear"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(_dsum(F.col("o_totalprice")), 2).alias("total_price"),
+        )
+    )
+
+
+_WATERYEAR_SQL = """
+SELECT CASE WHEN month(o_orderdate) >= 10 THEN year(o_orderdate) + 1
+            ELSE year(o_orderdate) END AS wateryear,
+       count(*) AS n_orders,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE), 2) AS total_price
+FROM orders GROUP BY 1
+"""
+
+
+def q_union_overlap_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2+D1+T2: re-ingest with a 1-day overlap, dedup removes the
+    collisions — per-type counts equal the clean baseline."""
+    e = T(spark, sf_dir, "events")
+    old = e.filter(F.col("ts") < "2024-01-20")
+    new = e.filter(F.col("ts") >= "2024-01-19")  # deliberate 1-day overlap
+    merged = dedup_keep_richest(
+        union_by_name([old, new]),
+        keys=("event_id",),
+        record_col=None,
+        value_cols=("value",),
+        tiebreakers=("ts",),
+    )
+    return merged.groupBy("event_type").agg(F.count("*").alias("n_events"))
+
+
+_UNION_OVERLAP_SQL = """
+WITH unioned AS (
+  SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-20'
+  UNION ALL
+  SELECT * FROM events WHERE ts >= TIMESTAMP '2024-01-19'
+), deduped AS (
+  SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY ts) AS rn
+                 FROM unioned)
+  WHERE rn = 1
+)
+SELECT event_type, count(*) AS n_events FROM deduped GROUP BY 1
+"""
+
+
+def q_mslp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8: barometric MSLP derivation (the one physics formula)."""
+    e = T(spark, sf_dir, "events")
+    tair = F.col("value") / 10.0
+    p = 80.0 + F.col("value") / 25.0
+    h_km = (8.314 * (tair + 273.15)) / (0.029 * 9.81) / 1000.0
+    return e.select(
+        "event_id", F.round(p / F.exp(-F.lit(0.777) / h_km), 6).alias("mslp")
+    )
+
+
+_MSLP_SQL = """
+SELECT event_id,
+       round((80.0 + value/25.0) /
+             exp(-0.777 / ((8.314*(value/10.0 + 273.15))/(0.029*9.81)/1000.0)), 6) AS mslp
+FROM events
+"""
+
+
+def q_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9/A4: top-1 per group by derived ordering."""
+    e = T(spark, sf_dir, "events").withColumn(
+        "__ord", F.struct(F.col("ts"), F.col("event_id"))
+    )
+    out = latest_per_group(e, ["user_id"], "__ord", k=1, descending=True)
+    return out.select("user_id", "event_id", "ts")
+
+
+_LATEST_SQL = """
+SELECT user_id, event_id, ts
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+WHERE rn = 1
+"""
+
+
+def q_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: horizontal null count distribution."""
+    e = _events_with_nulls(spark, sf_dir)
+    nan_count = (
+        F.when(F.col("value_n").isNull(), 1).otherwise(0)
+        + F.when(F.col("props_n").isNull(), 1).otherwise(0)
+    )
+    return (
+        e.select(nan_count.alias("nan_count"))
+        .groupBy("nan_count")
+        .agg(F.count("*").alias("n_rows"))
+    )
+
+
+_NULL_PROFILE_SQL = f"""
+WITH base AS ({_NULLS_SQL})
+SELECT (CASE WHEN value_n IS NULL THEN 1 ELSE 0 END +
+        CASE WHEN props_n IS NULL THEN 1 ELSE 0 END) AS nan_count,
+       count(*) AS n_rows
+FROM base GROUP BY 1
+"""
+
+
+def q_last10d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3+P3: last-10-days-of-data window (the report query)."""
+    e = T(spark, sf_dir, "events")
+    mx = e.agg(F.max("ts").alias("max_ts"))
+    return (
+        e.crossJoin(F.broadcast(mx))
+        .filter(F.col("ts") >= F.col("max_ts") - F.expr("INTERVAL 10 DAYS"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(_dsum(F.col("value")) / F.count("*"), 6).alias("avg_value"),
+        )
+    )
+
+
+_LAST10D_SQL = """
+SELECT event_type, count(*) AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE)/count(*), 6) AS avg_value
+FROM events
+WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL 10 DAY
+GROUP BY 1
+"""
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped scan-heavy aggregation (bench headline)."""
+    li = T(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= "2001-09-01")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(_dsum(F.col("l_quantity")), 2).alias("sum_qty"),
+            F.round(_dsum(F.col("l_extendedprice")), 2).alias("sum_base_price"),
+            F.round(_dsum(disc_price), 2).alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+_PRICING_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE), 2) AS sum_qty,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE), 2) AS sum_base_price,
+       round(CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,6))) AS DOUBLE), 2) AS sum_disc_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+GROUP BY 1, 2
+"""
+
+
+def q_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3-shaped join: broadcast dim, shuffle fact agg, top-10."""
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders")
+    li = T(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "c_name")
+        .agg(F.round(_dsum(rev), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+_TOP_REVENUE_SQL = """
+SELECT o_orderkey, c_name,
+       round(CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,6))) AS DOUBLE), 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+GROUP BY 1, 2
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+# ------------------------------------------------ text / dedup / similarity
+
+_NORM_SQL = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        F.length("text").alias("n_chars_measured"),
+        quality_score(F.col("text")).alias("quality"),
+    )
+
+
+_TEXT_STATS_SQL = """
+SELECT doc_id,
+       len(regexp_extract_all(text, '\\S+')) AS n_tokens,
+       length(text) AS n_chars_measured,
+       round(0.4 * least(1.0, len(regexp_extract_all(text, '\\S+'))/100.0)
+           + 0.4 * (CASE WHEN length(text) > 0
+                         THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g'))*1.0/length(text)
+                         ELSE 0 END)
+           + 0.2 * (1.0 - least(1.0, (CASE WHEN length(text) > 0
+                          THEN length(regexp_replace(text, '[^0-9]', '', 'g'))*1.0/length(text)
+                          ELSE 0 END) * 5.0)), 6) AS quality
+FROM documents
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    return d.select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
+
+
+def _lang_id_sql() -> str:
+    score_exprs = {
+        lang: (
+            "len(regexp_extract_all(lower(text), "
+            f"'\\b({'|'.join(LANG_MARKERS[lang])})\\b'))"
+        )
+        for lang in LANG_PRECEDENCE
+    }
+    scores = ", ".join(f"{expr} AS s_{lang}" for lang, expr in score_exprs.items())
+    greatest = "greatest(" + ", ".join(f"s_{lg}" for lg in LANG_PRECEDENCE) + ")"
+    case = "CASE "
+    for lang in LANG_PRECEDENCE:
+        case += f"WHEN s_{lang} = best THEN '{lang}' "
+    case += "ELSE 'unknown' END"
+    return f"""
+WITH scored AS (SELECT doc_id, {scores} FROM documents),
+g AS (SELECT *, {greatest} AS best FROM scored)
+SELECT doc_id, CASE WHEN best = 0 THEN 'unknown' ELSE ({case}) END AS lang_pred
+FROM g
+"""
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        fingerprint_md5(F.col("text")).alias("fp"),
+        prefix_fingerprint(F.col("text"), 5).alias("prefix_fp"),
+    )
+
+
+_FINGERPRINT_SQL = f"""
+SELECT doc_id,
+       md5({_NORM_SQL}) AS fp,
+       md5(array_to_string((string_split({_NORM_SQL}, ' '))[1:5], ' ')) AS prefix_fp
+FROM documents
+"""
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    return exact_dedup_groups(d)
+
+
+_DEDUP_EXACT_SQL = f"""
+SELECT md5({_NORM_SQL}) AS fp, min(doc_id) AS keeper_id, count(*) AS n_dups
+FROM documents GROUP BY 1
+"""
+
+# shared shingle CTE (word n-grams over normalized text), n = 2 for the
+# oracle-checked fuzzy-dedup queries (word-soup docs need small n to
+# produce overlap)
+_SHINGLE_N_Q = 2
+
+
+def _shingle_cte(n: int) -> str:
+    return f"""
+toks AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id AS id, shingle
+  FROM (SELECT doc_id,
+               unnest(list_transform(range(1, greatest(len(w) - {n - 1}, 0) + 1),
+                                     i -> array_to_string(w[i:i+{n - 1}], ' '))) AS shingle
+        FROM toks)
+)
+"""
+
+
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    return jaccard_pairs(d, n=_SHINGLE_N_Q, threshold=0.1)
+
+
+_JACCARD_SQL = f"""
+WITH {_shingle_cte(_SHINGLE_N_Q)},
+sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.id < b.id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE round(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.1
+"""
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash LSH candidates verified with true Jaccard (the 100 TB
+    fuzzy-dedup path: banding join generates candidates, Jaccard verifies)."""
+    d = T(spark, sf_dir, "documents")
+    cand = minhash_lsh_pairs(d, n=_SHINGLE_N_Q)
+    return jaccard_pairs(d, n=_SHINGLE_N_Q, threshold=0.0, candidates=cand)
+
+
+def _minhash_sql() -> str:
+    mins = ", ".join(
+        f"min(({MINHASH_A[i]} * x + {MINHASH_B[i]}) % {MINHASH_P}) AS mh_{i}"
+        for i in range(LSH_BANDS * LSH_ROWS)
+    )
+    bands = ", ".join(
+        "md5("
+        + " || ',' || ".join(
+            f"CAST(mh_{b * LSH_ROWS + r} AS VARCHAR)" for r in range(LSH_ROWS)
+        )
+        + f") AS bucket_{b}"
+        for b in range(LSH_BANDS)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT id, {b} AS band, bucket_{b} AS bucket FROM banded"
+        for b in range(LSH_BANDS)
+    )
+    return f"""
+WITH {_shingle_cte(_SHINGLE_N_Q)},
+hashed AS (
+  SELECT id, CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) % {MINHASH_P} AS x
+  FROM sh
+),
+sig AS (SELECT id, {mins} FROM hashed GROUP BY id),
+banded AS (SELECT id, {bands} FROM sig),
+buckets AS ({band_rows}),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM buckets a JOIN buckets b USING (band, bucket)
+  WHERE a.id < b.id
+),
+sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.id < b.id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+FROM inter
+JOIN cand USING (id_a, id_b)
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE round(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.0
+"""
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    return simhash(d)
+
+
+def _simhash_sql() -> str:
+    votes = ", ".join(
+        f"SUM(CASE WHEN ((h >> {i}) & 1) = 1 THEN w ELSE -w END) AS v_{i}"
+        for i in range(SIMHASH_BITS)
+    )
+    recombine = " + ".join(
+        f"CASE WHEN v_{i} > 0 THEN CAST({2 ** i} AS BIGINT) ELSE 0 END"
+        for i in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id AS id, unnest(string_split({_NORM_SQL}, ' ')) AS tok FROM documents
+),
+counted AS (SELECT id, tok, count(*) AS w FROM toks GROUP BY 1, 2),
+hashed AS (
+  SELECT id, w,
+         CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % {2 ** SIMHASH_BITS} AS h
+  FROM counted
+),
+sig AS (SELECT id, {votes} FROM hashed GROUP BY id)
+SELECT id, ({recombine}) AS simhash FROM sig
+"""
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = T(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return cosine_topk(emb, queries, k=5)
+
+
+_COSINE_TOPK_SQL = """
+WITH q AS (
+  SELECT vec_id AS query_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+  FROM embeddings WHERE vec_id < 5
+), c AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+  FROM embeddings
+), sims AS (
+  SELECT query_id, vec_id,
+         round(list_sum(list_transform(range(1, len(qv)+1), i -> qv[i]*cv[i])) /
+               (sqrt(list_sum(list_transform(qv, x -> x*x))) *
+                sqrt(list_sum(list_transform(cv, x -> x*x)))), 6) AS cosine
+  FROM c CROSS JOIN q
+  WHERE vec_id <> query_id
+)
+SELECT query_id, vec_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM sims
+) WHERE rank <= 5
+"""
+
+
+def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = T(spark, sf_dir, "embeddings")
+    return embed_neardup_pairs(emb, threshold=0.8)
+
+
+_EMBED_NEARDUP_SQL = """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_sum(list_transform(range(1, len(a.vec)+1), i -> a.vec[i]*b.vec[i])) /
+             (sqrt(list_sum(list_transform(a.vec, x -> x*x))) *
+              sqrt(list_sum(list_transform(b.vec, x -> x*x)))), 6) AS cosine
+FROM v a CROSS JOIN v b
+WHERE a.vec_id < b.vec_id
+  AND round(list_sum(list_transform(range(1, len(a.vec)+1), i -> a.vec[i]*b.vec[i])) /
+            (sqrt(list_sum(list_transform(a.vec, x -> x*x))) *
+             sqrt(list_sum(list_transform(b.vec, x -> x*x)))), 6) >= 0.8
+"""
+
+
+def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload plumbing: text → opaque bytes → Arrow-batched
+    mapInPandas feature extraction (md5 + byte length)."""
+    d = T(spark, sf_dir, "documents")
+    feats = extract_features(to_binary_payload(d, "text"))
+    return feats.select("doc_id", "byte_len", "content_md5")
+
+
+_MULTIMODAL_SQL = """
+SELECT doc_id,
+       octet_length(CAST(text AS BLOB)) AS byte_len,
+       md5(text) AS content_md5
+FROM documents
+"""
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN via sign-random-projection buckets (no oracle —
+    rows-only check; recall vs exact top-k is asserted in tests)."""
+    emb = T(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_ann_topk(emb, queries, dim=64, k=5, planes=4)
+
+
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming incremental ingest (T1/T2 streaming form):
+    availableNow micro-batch, watermark + dropDuplicates, parquet sink —
+    then aggregate the sink. Oracle: plain per-type counts."""
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.streaming import (
+        stream_ingest_dedup,
+    )
+
+    schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    tmp = tempfile.mkdtemp(prefix="caf_stream_")
+    # the file stream source wants a directory — symlink the parquet in
+    src = os.path.join(tmp, "src")
+    os.makedirs(src)
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(src, "events.parquet"),
+    )
+    out_dir = os.path.join(tmp, "out")
+    ts_is_raw_nanos = dict(
+        (f.name, f.dataType.simpleString()) for f in schema.fields
+    ).get("ts") == "bigint"
+    stream_ingest_dedup(
+        spark,
+        src,
+        schema,
+        out_dir,
+        os.path.join(tmp, "ckpt"),
+        ts_col="ts",
+        key_cols=("event_id",),
+        transform=(
+            (lambda df: df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))))
+            if ts_is_raw_nanos
+            else None
+        ),
+    )
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+_STREAM_DEDUP_SQL = """
+SELECT event_type, count(*) AS n_events
+FROM (SELECT DISTINCT event_id, event_type FROM events)
+GROUP BY 1
+"""
+
+# ------------------------------------------------------------- contract
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the tower-pipeline composition at sf0.001."""
+    return q_flagship(spark, SF001)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "flagship_tower_pipeline": q_flagship,
+        "dedup_keep_richest": q_dedup_keep_richest,
+        "gapfill_spine": q_gapfill_spine,
+        "lag_spike_qc": q_lag_spike,
+        "day_flatline_qc": q_day_flatline,
+        "flag_strings": q_flag_strings,
+        "bounds_filtered": q_bounds_filtered,
+        "wateryear_rollup": q_wateryear_rollup,
+        "union_overlap_dedup": q_union_overlap_dedup,
+        "mslp_barometric": q_mslp,
+        "latest_per_user": q_latest_per_user,
+        "null_profile": q_null_profile,
+        "last10d_window": q_last10d,
+        "pricing_summary": q_pricing_summary,
+        "top_revenue": q_top_revenue,
+        "text_stats": q_text_stats,
+        "text_lang_id": q_lang_id,
+        "text_fingerprint": q_fingerprint,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_jaccard_pairs,
+        "dedup_minhash_lsh": q_minhash_lsh,
+        "dedup_simhash": q_simhash,
+        "embed_cosine_topk": q_cosine_topk,
+        "embed_neardup": q_embed_neardup,
+        "multimodal_features": q_multimodal,
+        "ann_lsh_topk": q_ann_lsh,
+        "stream_incremental_dedup": q_stream_dedup,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "flagship_tower_pipeline": _FLAGSHIP_SQL,
+        "dedup_keep_richest": _DEDUP_RICHEST_SQL,
+        "gapfill_spine": _GAPFILL_SQL,
+        "lag_spike_qc": _LAG_SPIKE_SQL,
+        "day_flatline_qc": _DAY_FLATLINE_SQL,
+        "flag_strings": _FLAG_STRINGS_SQL,
+        "bounds_filtered": _BOUNDS_SQL,
+        "wateryear_rollup": _WATERYEAR_SQL,
+        "union_overlap_dedup": _UNION_OVERLAP_SQL,
+        "mslp_barometric": _MSLP_SQL,
+        "latest_per_user": _LATEST_SQL,
+        "null_profile": _NULL_PROFILE_SQL,
+        "last10d_window": _LAST10D_SQL,
+        "pricing_summary": _PRICING_SQL,
+        "top_revenue": _TOP_REVENUE_SQL,
+        "text_stats": _TEXT_STATS_SQL,
+        "text_lang_id": _lang_id_sql(),
+        "text_fingerprint": _FINGERPRINT_SQL,
+        "dedup_exact": _DEDUP_EXACT_SQL,
+        "dedup_ngram_jaccard": _JACCARD_SQL,
+        "dedup_minhash_lsh": _minhash_sql(),
+        "dedup_simhash": _simhash_sql(),
+        "embed_cosine_topk": _COSINE_TOPK_SQL,
+        "embed_neardup": _EMBED_NEARDUP_SQL,
+        "multimodal_features": _MULTIMODAL_SQL,
+        "stream_incremental_dedup": _STREAM_DEDUP_SQL,
+        # ann_lsh_topk: intentionally no oracle (approximate operator;
+        # rows-only check + recall test in tests/test_llm.py)
+    }

@@ -1,0 +1,37 @@
+from .text import (
+    norm_text,
+    token_count,
+    fingerprint_md5,
+    prefix_fingerprint,
+    quality_score,
+    lang_id,
+)
+from .dedup import (
+    exact_dedup_groups,
+    shingles,
+    jaccard_pairs,
+    minhash_signatures,
+    minhash_lsh_pairs,
+    simhash,
+    simhash_pairs,
+)
+from .similarity import cosine_topk, embed_neardup_pairs, lsh_ann_topk
+
+__all__ = [
+    "norm_text",
+    "token_count",
+    "fingerprint_md5",
+    "prefix_fingerprint",
+    "quality_score",
+    "lang_id",
+    "exact_dedup_groups",
+    "shingles",
+    "jaccard_pairs",
+    "minhash_signatures",
+    "minhash_lsh_pairs",
+    "simhash",
+    "simhash_pairs",
+    "cosine_topk",
+    "embed_neardup_pairs",
+    "lsh_ann_topk",
+]

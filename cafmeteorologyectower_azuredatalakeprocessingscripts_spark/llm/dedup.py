@@ -1,0 +1,237 @@
+"""Deduplication operators for a training-data pipeline: exact,
+n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design (the point of each op):
+
+- exact:   one hash-groupBy on the fingerprint — a single shuffle keyed
+           by md5, uniform by construction (no skew).
+- jaccard: shingle inverted index (explode → self-join on shingle →
+           count intersections). Quadratic in docs *per shingle*, so it
+           is the verification stage, not the candidate generator.
+- minhash: fixed-size signature per doc (16 mins — one groupBy), then
+           LSH banding: docs sharing any band bucket become candidate
+           pairs. At 100 TB only the banding join shuffles, keyed by
+           (band, bucket-hash) — near-uniform; candidates then verified
+           with true Jaccard. This is the scale path for fuzzy dedup.
+- simhash: one 32-bit signature per doc via bit-vote aggregation;
+           blocking on a signature prefix bounds the pair join.
+
+Determinism: all hashes derive from md5 → first-15-hex-digits int
+(llm/params.py) so the DuckDB oracles reproduce results bit-for-bit.
+Everything is DataFrame ops — no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .params import (
+    LSH_BANDS,
+    LSH_ROWS,
+    MINHASH_A,
+    MINHASH_B,
+    MINHASH_P,
+    NUM_HASHES,
+    SHINGLE_N,
+    SIMHASH_BITS,
+)
+from .text import fingerprint_md5, norm_text
+
+
+def md5_int(c: Column) -> Column:
+    """60-bit integer from md5 (identical in any engine)."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
+
+
+def exact_dedup_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup by normalized-text fingerprint: one row per distinct
+    content, keeping the smallest id; ``n_dups`` counts the group."""
+    return (
+        df.select(fingerprint_md5(text_col).alias("fp"), F.col(id_col))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count("*").alias("n_dups"),
+        )
+    )
+
+
+def shingles(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = SHINGLE_N,
+) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle)."""
+    toks = F.split(norm_text(text_col), " ")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    sh = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = SHINGLE_N,
+    threshold: float = 0.1,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Document pairs with shingle-set Jaccard >= threshold.
+
+    Inverted-index join: explode shingles, self-join on the shingle,
+    count intersections, divide by union size. If ``candidates``
+    (id_a, id_b) is given — e.g. from MinHash LSH — only those pairs are
+    verified (the 100 TB path).
+    """
+    sh = shingles(df, text_col, id_col, n).cache()
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("id").alias("id_a"), "shingle")
+    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    if candidates is not None:
+        # verify ONLY the candidate pairs: attach each side's shingles to
+        # the pair and count matches — the join fan-out is bounded by
+        # |candidates| x shingles-per-doc, never all-pairs
+        inter = (
+            candidates.join(a, "id_a")
+            .join(b, ["id_b", "shingle"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("n_inter"))
+        )
+    else:
+        inter = (
+            a.join(b, "shingle")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("n_inter"))
+        )
+    out = (
+        inter.join(sizes.withColumnsRenamed({"id": "id_a", "n_sh": "n_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "n_sh": "n_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = NUM_HASHES,
+    n: int = SHINGLE_N,
+) -> DataFrame:
+    """(id, mh_0..mh_{k-1}): min of each universal hash over the
+    document's shingle set — one explode + one groupBy with k min aggs."""
+    sh = shingles(df, text_col, id_col, n)
+    x = (md5_int(F.col("shingle")) % MINHASH_P).alias("x")
+    hashed = sh.select("id", x)
+    aggs = [
+        F.min((MINHASH_A[i] * F.col("x") + MINHASH_B[i]) % MINHASH_P).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    return hashed.groupBy("id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bands: int = LSH_BANDS,
+    rows: int = LSH_ROWS,
+    n: int = SHINGLE_N,
+) -> DataFrame:
+    """Candidate pairs from LSH banding of MinHash signatures:
+    (id_a, id_b) sharing at least one band bucket."""
+    sig = minhash_signatures(df, text_col, id_col, bands * rows, n)
+    band_cols = []
+    for b in range(bands):
+        members = [F.col(f"mh_{b * rows + r}") for r in range(rows)]
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws(",", *members)).alias("bucket"),
+            )
+        )
+    buckets = sig.select(
+        "id", F.explode(F.array(*band_cols)).alias("bb")
+    ).select("id", "bb.band", "bb.bucket")
+    a = buckets.select(F.col("id").alias("id_a"), "band", "bucket")
+    b = buckets.select(F.col("id").alias("id_b"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """(id, simhash): per-bit majority vote over token hashes, weighted
+    by token frequency. explode → groupBy(id) with one sum per bit →
+    recombine. Pure aggregation, one shuffle."""
+    toks = F.split(norm_text(text_col), " ")
+    t = df.select(F.col(id_col).alias("id"), F.explode(toks).alias("tok"))
+    counted = t.groupBy("id", "tok").agg(F.count("*").alias("w"))
+    h = (md5_int(F.col("tok")) % F.lit(2 ** bits)).alias("h")
+    hashed = counted.select("id", "w", h)
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, F.col("w"))
+            .otherwise(-F.col("w"))
+        ).alias(f"v_{i}")
+        for i in range(bits)
+    ]
+    sig = hashed.groupBy("id").agg(*votes)
+    out = F.lit(0).cast("bigint")
+    for i in range(bits):
+        out = out + F.when(F.col(f"v_{i}") > 0, F.lit(2 ** i).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+    return sig.select("id", out.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = SIMHASH_BITS,
+    max_hamming: int = 6,
+    bucket_bits: int = 8,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: block on the top ``bucket_bits`` of the
+    signature (bounded self-join), then exact Hamming-distance filter via
+    bit_count(xor)."""
+    sig = simhash(df, text_col, id_col, bits)
+    bucket = F.shiftright(F.col("simhash"), bits - bucket_bits)
+    sig = sig.withColumn("bucket", bucket)
+    a = sig.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"), "bucket")
+    b = sig.select(F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"), "bucket")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

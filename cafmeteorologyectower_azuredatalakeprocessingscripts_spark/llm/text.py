@@ -1,0 +1,80 @@
+"""Text-analysis operators for a training-data pipeline (BASELINE.json
+north star): token counting, normalization/fingerprinting, quality
+scoring, language ID.
+
+All pure Column expressions (JVM-side, whole-stage codegen) — no Python
+UDFs. Each has an exact ANSI-SQL oracle (see __spark_entry__.py). At
+100 TB these are embarrassingly parallel projections; the only care
+needed is keeping regexes linear-time (they are: character classes only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from .params import LANG_MARKERS, LANG_PRECEDENCE
+
+
+def _c(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def norm_text(c: Column | str) -> Column:
+    """Whitespace-collapsed, trimmed, lower-cased canonical form."""
+    return F.lower(F.trim(F.regexp_replace(_c(c), r"\s+", " ")))
+
+
+def token_count(c: Column | str) -> Column:
+    """Number of whitespace-delimited tokens."""
+    return F.size(F.regexp_extract_all(_c(c), F.lit(r"\S+"), 0))
+
+
+def fingerprint_md5(c: Column | str) -> Column:
+    """Exact-dup document fingerprint: md5 of the normalized text."""
+    return F.md5(norm_text(c))
+
+
+def prefix_fingerprint(c: Column | str, n_words: int = 5) -> Column:
+    """Near-dup blocking key: md5 of the first ``n_words`` normalized
+    tokens (documents sharing a long prefix collide)."""
+    toks = F.split(norm_text(c), " ")
+    return F.md5(F.array_join(F.slice(toks, 1, n_words), " "))
+
+
+def quality_score(c: Column | str) -> Column:
+    """Heuristic [0,1] quality: token volume, alphabetic density, digit
+    penalty. Deterministic + oracle-exact (rounded to 6)."""
+    c = _c(c)
+    n_chars = F.length(c).cast("double")
+    n_tokens = token_count(c).cast("double")
+    alpha = F.length(F.regexp_replace(c, r"[^A-Za-z]", "")).cast("double")
+    digits = F.length(F.regexp_replace(c, r"[^0-9]", "")).cast("double")
+    alpha_ratio = F.when(n_chars > 0, alpha / n_chars).otherwise(F.lit(0.0))
+    digit_ratio = F.when(n_chars > 0, digits / n_chars).otherwise(F.lit(0.0))
+    score = (
+        0.4 * F.least(F.lit(1.0), n_tokens / 100.0)
+        + 0.4 * alpha_ratio
+        + 0.2 * (1.0 - F.least(F.lit(1.0), digit_ratio * 5.0))
+    )
+    return F.round(score, 6)
+
+
+def _marker_score(c: Column, words: list[str]) -> Column:
+    pat = r"\b(" + "|".join(words) + r")\b"
+    return F.size(F.regexp_extract_all(F.lower(c), F.lit(pat), 0))
+
+
+def lang_id(c: Column | str) -> Column:
+    """Marker-vocabulary language ID: count hits per language's marker
+    list, argmax with fixed precedence for ties. (A content heuristic —
+    n-gram profiles would go the same way; the operator shape is the
+    point: pure projection, no shuffle.)"""
+    c = _c(c)
+    scores = {lang: _marker_score(c, LANG_MARKERS[lang]) for lang in LANG_PRECEDENCE}
+    best = F.greatest(*scores.values())
+    expr = F.lit("unknown")
+    # build reversed so earlier precedence wins via later when() override
+    for lang in reversed(LANG_PRECEDENCE):
+        expr = F.when(scores[lang] == best, F.lit(lang)).otherwise(expr)
+    return F.when(best == 0, F.lit("unknown")).otherwise(expr)

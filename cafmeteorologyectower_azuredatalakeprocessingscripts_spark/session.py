@@ -25,6 +25,10 @@ _DEFAULTS = {
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.csv.filterPushdown.enabled": "true",
     "spark.ui.enabled": "false",
+    # driver testdata uses TIMESTAMP(NANOS) parquet fields, which Spark
+    # rejects by default; read them as raw nano longs and convert
+    # explicitly at the loader (sources keep micros semantics)
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
 }
 

@@ -1,0 +1,58 @@
+"""Driver-contract smoke: entry() returns rows with a stable schema, and
+a sample of queries() hash-matches its oracle_sql() via DuckDB at
+sf0.001 (the full sweep lives in tools/check_correctness.py)."""
+
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod
+from tools.check_correctness import TABLES, frame_to_rows
+
+SF = "/root/testdata/sf0.001"
+
+SAMPLE = [
+    "flagship_tower_pipeline",
+    "dedup_keep_richest",
+    "wateryear_rollup",
+    "dedup_exact",
+    "embed_cosine_topk",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(SF, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    return con
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0
+    assert "TIMESTAMP" in df.columns
+
+
+def test_queries_have_oracles_or_documented_absence():
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    assert set(oracles) <= set(qs)
+    # only the approximate ANN op is allowed to skip the oracle
+    assert set(qs) - set(oracles) == {"ann_lsh_topk"}
+
+
+@pytest.mark.parametrize("name", SAMPLE)
+def test_query_matches_oracle(spark, duck, name):
+    sdf = entrymod.queries()[name](spark, SF).toPandas()
+    odf = duck.execute(entrymod.oracle_sql()[name]).df()
+    scols, srows = frame_to_rows(sdf)
+    ocols, orows = frame_to_rows(odf)
+    assert scols == ocols
+    assert srows == orows
