@@ -65,12 +65,18 @@ def shingles(
     id_col: str = "doc_id",
     n: int = SHINGLE_N,
 ) -> DataFrame:
-    """Distinct word n-gram shingles per document: (id, shingle)."""
+    """Distinct word n-gram shingles per document: (id, shingle).
+
+    The input is repartitioned by id first: document tables often arrive
+    as few large files (locally: one), and without the spread the
+    explode fan-out runs on a handful of cores.
+    """
     toks = F.split(norm_text(text_col), " ")
     idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
     sh = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
     return (
-        df.select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
+        df.repartition(F.col(id_col))
+        .select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
         .distinct()
     )
 
@@ -190,7 +196,9 @@ def simhash(
     by token frequency. explode → groupBy(id) with one sum per bit →
     recombine. Pure aggregation, one shuffle."""
     toks = F.split(norm_text(text_col), " ")
-    t = df.select(F.col(id_col).alias("id"), F.explode(toks).alias("tok"))
+    t = df.repartition(F.col(id_col)).select(
+        F.col(id_col).alias("id"), F.explode(toks).alias("tok")
+    )
     counted = t.groupBy("id", "tok").agg(F.count("*").alias("w"))
     h = (md5_int(F.col("tok")) % F.lit(2 ** bits)).alias("h")
     hashed = counted.select("id", "w", h)

@@ -37,7 +37,7 @@ FEATURE_SCHEMA = T.StructType(
 def to_binary_payload(df: DataFrame, src_col: str, id_col: str = "doc_id") -> DataFrame:
     """Wrap a column as an opaque binary payload + metadata struct —
     the ingest shape for multimodal data."""
-    return df.select(
+    return df.repartition(F.col(id_col)).select(
         F.col(id_col),
         F.col(src_col).cast("binary").alias("payload"),
         F.struct(

@@ -57,7 +57,9 @@ def cosine_topk(
     q = queries.select(
         F.col(query_id_col), F.col(vec_col).alias("__qv")
     )
-    c = corpus.select(
+    # spread the corpus: the scan may be one file/partition locally, and
+    # the per-row dot products are the dominant cost
+    c = corpus.repartition(F.col(id_col)).select(
         F.col(id_col), F.col(vec_col).alias("__cv")
     )
     sim = (
@@ -157,7 +159,9 @@ def embed_neardup_pairs(
 ) -> DataFrame:
     """All pairs with cosine >= threshold (brute-force — correctness
     baseline; compose with ``_srp_bucket`` blocking at scale)."""
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    a = df.repartition(F.col(id_col)).select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")
+    )
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
     return (
         a.crossJoin(b)
