@@ -622,10 +622,13 @@ _SHINGLE_N_Q = 2
 
 
 def _shingle_cte(n: int) -> str:
+    # shingles are hashed to 60-bit ints (same md5-prefix hash as the
+    # engine) before the distinct — collisions, if any, match exactly
     return f"""
 toks AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents),
 sh AS (
-  SELECT DISTINCT doc_id AS id, shingle
+  SELECT DISTINCT doc_id AS id,
+         CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS sh_h
   FROM (SELECT doc_id,
                unnest(list_transform(range(1, greatest(len(w) - {n - 1}, 0) + 1),
                                      i -> array_to_string(w[i:i+{n - 1}], ' '))) AS shingle
@@ -644,7 +647,7 @@ WITH {_shingle_cte(_SHINGLE_N_Q)},
 sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY 1),
 inter AS (
   SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
-  FROM sh a JOIN sh b USING (shingle)
+  FROM sh a JOIN sh b USING (sh_h)
   WHERE a.id < b.id
   GROUP BY 1, 2
 )
@@ -685,7 +688,7 @@ def _minhash_sql() -> str:
     return f"""
 WITH {_shingle_cte(_SHINGLE_N_Q)},
 hashed AS (
-  SELECT id, CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) % {MINHASH_P} AS x
+  SELECT id, sh_h % {MINHASH_P} AS x
   FROM sh
 ),
 sig AS (SELECT id, {mins} FROM hashed GROUP BY id),
@@ -699,7 +702,7 @@ cand AS (
 sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY 1),
 inter AS (
   SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
-  FROM sh a JOIN sh b USING (shingle)
+  FROM sh a JOIN sh b USING (sh_h)
   WHERE a.id < b.id
   GROUP BY 1, 2
 )

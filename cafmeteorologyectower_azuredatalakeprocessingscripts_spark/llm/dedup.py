@@ -65,7 +65,13 @@ def shingles(
     id_col: str = "doc_id",
     n: int = SHINGLE_N,
 ) -> DataFrame:
-    """Distinct word n-gram shingles per document: (id, shingle).
+    """Distinct hashed word n-gram shingles per document: (id, sh_h).
+
+    Shingles are hashed to a 60-bit int *before* the distinct and every
+    downstream join: an 8-byte shuffle key instead of an n-word string
+    cuts shuffle bytes and comparison cost on the self-join, which is
+    the dominant term at scale. Collisions (~2^-60) affect any engine
+    using the same hash identically, so oracles stay exact.
 
     The input is repartitioned by id first: document tables often arrive
     as few large files (locally: one), and without the spread the
@@ -73,10 +79,10 @@ def shingles(
     """
     toks = F.split(norm_text(text_col), " ")
     idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
-    sh = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    sh = F.transform(idx, lambda i: md5_int(F.array_join(F.slice(toks, i, n), " ")))
     return (
         df.repartition(F.col(id_col))
-        .select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
+        .select(F.col(id_col).alias("id"), F.explode(sh).alias("sh_h"))
         .distinct()
     )
 
@@ -98,21 +104,21 @@ def jaccard_pairs(
     """
     sh = shingles(df, text_col, id_col, n).cache()
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
-    a = sh.select(F.col("id").alias("id_a"), "shingle")
-    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    a = sh.select(F.col("id").alias("id_a"), "sh_h")
+    b = sh.select(F.col("id").alias("id_b"), "sh_h")
     if candidates is not None:
         # verify ONLY the candidate pairs: attach each side's shingles to
         # the pair and count matches — the join fan-out is bounded by
         # |candidates| x shingles-per-doc, never all-pairs
         inter = (
             candidates.join(a, "id_a")
-            .join(b, ["id_b", "shingle"])
+            .join(b, ["id_b", "sh_h"])
             .groupBy("id_a", "id_b")
             .agg(F.count("*").alias("n_inter"))
         )
     else:
         inter = (
-            a.join(b, "shingle")
+            a.join(b, "sh_h")
             .filter(F.col("id_a") < F.col("id_b"))
             .groupBy("id_a", "id_b")
             .agg(F.count("*").alias("n_inter"))
@@ -144,7 +150,7 @@ def minhash_signatures(
     """(id, mh_0..mh_{k-1}): min of each universal hash over the
     document's shingle set — one explode + one groupBy with k min aggs."""
     sh = shingles(df, text_col, id_col, n)
-    x = (md5_int(F.col("shingle")) % MINHASH_P).alias("x")
+    x = (F.col("sh_h") % MINHASH_P).alias("x")
     hashed = sh.select("id", x)
     aggs = [
         F.min((MINHASH_A[i] * F.col("x") + MINHASH_B[i]) % MINHASH_P).alias(f"mh_{i}")
@@ -193,29 +199,36 @@ def simhash(
     bits: int = SIMHASH_BITS,
 ) -> DataFrame:
     """(id, simhash): per-bit majority vote over token hashes, weighted
-    by token frequency. explode → groupBy(id) with one sum per bit →
-    recombine. Pure aggregation, one shuffle."""
+    by token frequency (each occurrence votes ±1, which equals the
+    count-weighted vote over distinct tokens).
+
+    Entirely row-local: the token array never leaves its row — a
+    higher-order ``aggregate`` folds the per-token hashes into a
+    32-slot vote array, then one projection recombines the sign bits.
+    Zero shuffles and zero explode fan-out, so at 100 TB this is a pure
+    map stage that scales with input partitions alone."""
     toks = F.split(norm_text(text_col), " ")
-    t = df.repartition(F.col(id_col)).select(
-        F.col(id_col).alias("id"), F.explode(toks).alias("tok")
-    )
-    counted = t.groupBy("id", "tok").agg(F.count("*").alias("w"))
-    h = (md5_int(F.col("tok")) % F.lit(2 ** bits)).alias("h")
-    hashed = counted.select("id", "w", h)
-    votes = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, F.col("w"))
-            .otherwise(-F.col("w"))
-        ).alias(f"v_{i}")
-        for i in range(bits)
-    ]
-    sig = hashed.groupBy("id").agg(*votes)
+    hs = F.transform(toks, lambda tk: md5_int(tk) % F.lit(2 ** bits))
+
+    def vote(acc: Column, h: Column) -> Column:
+        return F.array(
+            *[
+                acc[i]
+                + F.when(
+                    F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+                ).otherwise(F.lit(-1))
+                for i in range(bits)
+            ]
+        )
+
+    votes = F.aggregate(hs, F.array_repeat(F.lit(0).cast("bigint"), bits), vote)
+    base = df.select(F.col(id_col).alias("id"), votes.alias("v"))
     out = F.lit(0).cast("bigint")
     for i in range(bits):
-        out = out + F.when(F.col(f"v_{i}") > 0, F.lit(2 ** i).cast("bigint")).otherwise(
+        out = out + F.when(F.col("v")[i] > 0, F.lit(2 ** i).cast("bigint")).otherwise(
             F.lit(0).cast("bigint")
         )
-    return sig.select("id", out.alias("simhash"))
+    return base.select("id", out.alias("simhash"))
 
 
 def simhash_pairs(

@@ -36,8 +36,10 @@ FEATURE_SCHEMA = T.StructType(
 
 def to_binary_payload(df: DataFrame, src_col: str, id_col: str = "doc_id") -> DataFrame:
     """Wrap a column as an opaque binary payload + metadata struct —
-    the ingest shape for multimodal data."""
-    return df.repartition(F.col(id_col)).select(
+    the ingest shape for multimodal data. Pure projection: downstream
+    feature extraction is a map-only stage that inherits the scan's
+    partitioning, so no shuffle is introduced here."""
+    return df.select(
         F.col(id_col),
         F.col(src_col).cast("binary").alias("payload"),
         F.struct(
