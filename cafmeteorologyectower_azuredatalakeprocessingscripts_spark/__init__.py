@@ -19,6 +19,11 @@ re-expresses its semantics as lazy, distributed Spark DataFrame plans:
 - ``plans``      — composed end-to-end pipelines (reference:
                    src/AzureDataLakeAccess.py:334-494)
 - ``streaming``  — Structured Streaming variant of the incremental contract
+- ``config``     — site/workbook configuration contract + abfss OAuth conf
+                   (reference: src/LTARCAFTowerReport.py:61,
+                   src/AzureDataLakeAccess.py:125-137, 521-530)
+- ``report``     — tower-report query surface + renderers (reference:
+                   src/TowerReportPlots.py:18-128)
 - ``llm``        — 100 TB-scale training-data-pipeline extensions: dedup
                    (exact/MinHash-LSH/SimHash/n-gram Jaccard/embedding),
                    similarity search, text analysis, multimodal plumbing

@@ -1,0 +1,149 @@
+"""Site configuration (SURVEY.md §2.1 S7; §1.3).
+
+The reference drives everything from an Excel workbook: one sheet per
+site, ``Variable`` rows x ``{Flux, Met, Val_3, Val_4}`` value columns,
+read into a nested dict (src/LTARCAFTowerReport.py:61) and consumed by
+``readinfo`` (src/AzureDataLakeAccess.py:521-530) and the ADLS client
+setup (:125-137). The column names are value *slots*, not tables: e.g.
+``LE_B`` takes its lower bound from the ``Flux`` column and its upper
+bound from the ``Met`` column.
+
+Here the same contract becomes a typed driver-side object:
+
+- ``SiteConfig.from_mapping`` accepts exactly the reference's nested
+  dict shape (so a workbook-derived dict drops in unchanged);
+- ``load_workbook`` reads the .xlsx directly when an Excel engine is
+  installed (gated import — this container has none);
+- secrets never enter the data plane: ``abfss_oauth_conf`` turns the
+  CLIENTID/TENANTID/CLIENTSECRET values into the public Hadoop-Azure
+  OAuth configuration keys, replacing the reference's SDK download
+  client (src/AzureDataLakeAccess.py:125-148) with direct
+  ``abfss://`` reads.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Mapping
+
+from .qc.grade import FluxQCConfig
+
+#: Variable rows of the workbook template (DataLakeDownload_TEMPLATE.xlsx,
+#: consumed at src/AzureDataLakeAccess.py:125-137, :346, :501-505, :521-530)
+TEMPLATE_VARIABLES = (
+    "storageaccountname", "path", "file_system", "CLIENTID", "TENANTID",
+    "CLIENTSECRET", "LOCAL_DIRECT", "back", "UPLOAD", "grade", "LE_B",
+    "H_B", "F_B", "ustar", "gg", "cls", "Ver",
+)
+
+
+@dataclass
+class SiteConfig:
+    """One site's job parameters (one workbook sheet)."""
+
+    site: str
+    ver: str = "V40826"
+    storage_account: str | None = None
+    file_system: str | None = None
+    raw_path: str | None = None
+    upload_path: str | None = None
+    local_dir: str | None = None
+    lookback_months: int = 1
+    client_id: str | None = None
+    tenant_id: str | None = None
+    client_secret: str | None = None
+    qc: FluxQCConfig = field(default_factory=FluxQCConfig)
+
+    @classmethod
+    def from_mapping(cls, site: str, access: Mapping[str, Mapping[str, Any]]) -> "SiteConfig":
+        """Build from the reference's nested dict: ``access[valcol][var]``
+        — note the workbook reads transpose to ``{column: {Variable:
+        value}}`` exactly as ``pd.read_excel(...).to_dict()`` does."""
+
+        def get(valcol: str, var: str, default: Any = None) -> Any:
+            try:
+                v = access[valcol][var]
+            except KeyError:
+                return default
+            return default if v is None else v
+
+        qc = FluxQCConfig(
+            grade=int(get("Flux", "grade", 7)),
+            le_bounds=(
+                float(get("Flux", "LE_B", -150.0)),
+                float(get("Met", "LE_B", 1000.0)),
+            ),
+            h_bounds=(
+                float(get("Flux", "H_B", -150.0)),
+                float(get("Met", "H_B", 1000.0)),
+            ),
+            fc_bounds=(
+                float(get("Flux", "F_B", -60.0)),
+                float(get("Met", "F_B", 20.0)),
+            ),
+            ustar=float(get("Flux", "ustar", 0.0)),
+        )
+        qc.validate()
+        return cls(
+            site=site,
+            ver=str(get("Flux", "Ver", "V40826")),
+            storage_account=get("Flux", "storageaccountname"),
+            file_system=get("Flux", "file_system"),
+            raw_path=get("Flux", "path"),
+            upload_path=get("Flux", "UPLOAD"),
+            local_dir=get("Flux", "LOCAL_DIRECT"),
+            lookback_months=int(get("Flux", "back", 1)),
+            client_id=get("Flux", "CLIENTID"),
+            tenant_id=get("Flux", "TENANTID"),
+            client_secret=get("Flux", "CLIENTSECRET"),
+            qc=qc,
+        )
+
+
+def load_workbook(path: str, sites: list[str]) -> dict[str, SiteConfig]:
+    """Read the reference workbook directly (one sheet per site,
+    ``index_col='Variable'`` — src/LTARCAFTowerReport.py:61). Requires an
+    Excel engine (openpyxl); gated because this container ships none."""
+    try:
+        import pandas as pd
+
+        out = {}
+        for site in sites:
+            sheet = pd.read_excel(path, sheet_name=site, index_col="Variable")
+            out[site] = SiteConfig.from_mapping(site, sheet.to_dict())
+        return out
+    except ImportError as exc:  # pragma: no cover - env-dependent
+        raise ImportError(
+            "reading .xlsx config requires an Excel engine (openpyxl); "
+            "build the nested dict yourself and use SiteConfig.from_mapping"
+        ) from exc
+
+
+def abfss_url(cfg: SiteConfig, *segments: str) -> str:
+    """``abfss://{container}@{account}.dfs.core.windows.net/...`` path
+    builder — the direct-read replacement for the reference's download
+    loop (SURVEY.md §2.1 S3: month-partitioned path pruning comes from
+    globbing these URLs)."""
+    if not (cfg.file_system and cfg.storage_account):
+        raise ValueError("file_system and storage_account are required")
+    base = f"abfss://{cfg.file_system}@{cfg.storage_account}.dfs.core.windows.net"
+    parts = [s.strip("/") for s in segments if s]
+    return "/".join([base, *parts])
+
+
+def abfss_oauth_conf(cfg: SiteConfig) -> dict[str, str]:
+    """Hadoop-Azure OAuth client-credentials configuration (public
+    hadoop-azure keys) for ``spark.conf`` — secrets live in Spark conf,
+    never in data columns."""
+    acct = f"{cfg.storage_account}.dfs.core.windows.net"
+    return {
+        f"fs.azure.account.auth.type.{acct}": "OAuth",
+        f"fs.azure.account.oauth.provider.type.{acct}": (
+            "org.apache.hadoop.fs.azurebfs.oauth2.ClientCredsTokenProvider"
+        ),
+        f"fs.azure.account.oauth2.client.id.{acct}": cfg.client_id or "",
+        f"fs.azure.account.oauth2.client.secret.{acct}": cfg.client_secret or "",
+        f"fs.azure.account.oauth2.client.endpoint.{acct}": (
+            f"https://login.microsoftonline.com/{cfg.tenant_id}/oauth2/token"
+        ),
+    }

@@ -72,16 +72,105 @@ def met_raw_schema(extend: list[T.StructField] | None = None) -> T.StructType:
     return build_schema(MET_RAW_COLUMNS, extend)
 
 
-_REGISTRY = {
-    ("Flux", "Raw"): flux_raw_schema,
-    ("Met", "Raw"): met_raw_schema,
+# ---------------------------------------------------------- V2 generation
+#
+# The second-generation logger programs rename columns (schemas without
+# the _V40826 suffix: FluxRaw at src/AzureDataLakeAccess.py:1055-1149,
+# MetRaw at :1603-1659). Versioning is by logger-program signature (the
+# config 'Ver' value); downstream QC/aggregation is written against the
+# V40826 (canonical) names, so V2 frames are renamed to canonical right
+# after the scan and the whole operator library applies unchanged.
+
+#: V2 name -> canonical (V40826) name, for the columns the operator
+#: library reads. Mapping pairs are taken from the two schema dicts'
+#: corresponding entries (e.g. u_star -> USTAR, amb_tmpr_Avg -> TA_1_1_1).
+V2_TO_CANONICAL: dict[str, str] = {
+    "USTAR": "u_star",
+    "TA_1_1_1": "amb_tmpr_Avg",
+    "RH_1_1_1": "RH_Avg",
+    "PA": "amb_press_Avg",
+    "WS_RSLT": "rslt_wnd_spd",
+    "WD": "wnd_dir_compass",
+    "P": "Precipitation_Tot",
+    "PPFD_IN": "PAR_density_Avg",
+    "NETRAD": "Rn_meas_Avg",
+    "VPD": "VPD_air",
+    "e": "e_Avg",
+    "e_sat": "e_sat_Avg",
+    "H_QC": "H_qc_grade",
+    "LE_QC": "LE_qc_grade",
+    "FC_QC": "Fc_qc_grade",
+    "FC_samples": "Fc_samples_Tot",
+}
+
+# V2 flux raw subset, in file column order (src/AzureDataLakeAccess.py:1055-1149)
+FLUX_RAW_V2_COLUMNS: list[tuple[str, str]] = [
+    ("TIMESTAMP", "ts"), ("RECORD", "i8"),
+    ("FC_mass", "f8"), ("FC_QC", "i8"), ("FC_samples", "i8"),
+    ("LE", "f8"), ("LE_QC", "i8"), ("LE_samples", "i8"),
+    ("H", "f8"), ("H_QC", "i8"), ("H_samples", "i8"),
+    ("NETRAD", "f8"), ("USTAR", "f8"),
+    ("TA_1_1_1", "f8"), ("RH_1_1_1", "f8"), ("PA", "f8"), ("VPD", "f8"),
+    ("WS_RSLT", "f8"), ("WD", "f8"),
+    ("CO2_sig_strgth_Min", "f8"), ("H2O_sig_strgth_Min", "f8"),
+    ("P", "f8"), ("PPFD_IN", "f8"),
+]
+
+# V2 met raw subset, in file column order (src/AzureDataLakeAccess.py:1603-1659)
+MET_RAW_V2_COLUMNS: list[tuple[str, str]] = [
+    ("TIMESTAMP", "ts"), ("RECORD", "i8"),
+    ("amb_tmpr_Avg", "f8"), ("rslt_wnd_spd", "f8"), ("wnd_dir_compass", "f8"),
+    ("RH_Avg", "f8"), ("Precipitation", "f8"), ("press_amb_Avg", "f8"),
+    ("PAR_density", "f8"), ("VPD_air", "f8"), ("Rn", "f8"),
+    ("e_sat", "f8"), ("e", "f8"),
+]
+
+#: V2 Met renames differ from V2 Flux (same physical quantity, third
+#: spelling — e.g. Precipitation vs P vs Precipitation_Tot).
+MET_V2_TO_CANONICAL: dict[str, str] = {
+    "Precipitation": "Precipitation_Tot",
+    "press_amb_Avg": "amb_press_Avg",
+    "PAR_density": "PAR_density_Avg",
+    "Rn": "Rn_meas_Avg",
+    "e": "e_Avg",
+    "e_sat": "e_sat_Avg",
 }
 
 
-def get_schema(table: str, kind: str = "Raw") -> T.StructType:
+def flux_raw_v2_schema(extend: list[T.StructField] | None = None) -> T.StructType:
+    return build_schema(FLUX_RAW_V2_COLUMNS, extend)
+
+
+def met_raw_v2_schema(extend: list[T.StructField] | None = None) -> T.StructType:
+    return build_schema(MET_RAW_V2_COLUMNS, extend)
+
+
+_REGISTRY = {
+    ("Flux", "Raw", "V40826"): flux_raw_schema,
+    ("Met", "Raw", "V40826"): met_raw_schema,
+    ("Flux", "Raw", "V2"): flux_raw_v2_schema,
+    ("Met", "Raw", "V2"): met_raw_v2_schema,
+}
+
+
+def get_schema(table: str, kind: str = "Raw", ver: str = "V40826") -> T.StructType:
     """Registry lookup mirroring ``get_dtypes(f'{col}Raw')`` call sites
-    (src/AzureDataLakeAccess.py:456)."""
+    (src/AzureDataLakeAccess.py:456); ``ver`` is the logger-program
+    signature from config ('Ver', src/LTARCAFTowerReport.py:70-77)."""
     try:
-        return _REGISTRY[(table, kind)]()
+        return _REGISTRY[(table, kind, ver)]()
     except KeyError:
-        raise KeyError(f"no schema registered for ({table}, {kind})") from None
+        raise KeyError(
+            f"no schema registered for ({table}, {kind}, {ver})"
+        ) from None
+
+
+def to_canonical(df, table: str, ver: str):
+    """Rename a V2-generation frame to canonical (V40826) column names
+    so every downstream operator applies unchanged. No-op for V40826.
+    Pure metadata rename — zero execution cost."""
+    if ver != "V2":
+        return df
+    renames = dict(V2_TO_CANONICAL) if table == "Flux" else dict(MET_V2_TO_CANONICAL)
+    present = {k: v for k, v in renames.items() if k in df.columns}
+    return df.withColumnsRenamed(present)

@@ -1,0 +1,151 @@
+"""Config contract (S7), report surface (S8), V2 schema generation."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.config import (
+    SiteConfig,
+    abfss_oauth_conf,
+    abfss_url,
+)
+from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.report import (
+    VARIABLE_GROUPS,
+    clip_last_days,
+    report_filename,
+    report_frames,
+    render_csv,
+)
+from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.schemas import (
+    get_schema,
+    to_canonical,
+)
+from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.qc.grade import grade_cs
+
+
+# the reference workbook shape: {value_column: {Variable: value}}
+_ACCESS = {
+    "Flux": {
+        "storageaccountname": "myacct", "file_system": "raw",
+        "path": "CookEast/Flux/", "UPLOAD": "CookEast/FluxAgg/",
+        "LOCAL_DIRECT": "/tmp/x", "back": 2,
+        "CLIENTID": "cid", "TENANTID": "tid", "CLIENTSECRET": "sec",
+        "grade": 6, "LE_B": -100.0, "H_B": -120.0, "F_B": -50.0,
+        "ustar": 0.2, "Ver": "V2",
+    },
+    "Met": {"LE_B": 800.0, "H_B": 900.0, "F_B": 30.0},
+    "Val_3": {},
+}
+
+
+def test_site_config_from_mapping():
+    cfg = SiteConfig.from_mapping("CookEast", _ACCESS)
+    assert cfg.ver == "V2"
+    assert cfg.lookback_months == 2
+    assert cfg.qc.grade == 6
+    assert cfg.qc.le_bounds == (-100.0, 800.0)
+    assert cfg.qc.h_bounds == (-120.0, 900.0)
+    assert cfg.qc.fc_bounds == (-50.0, 30.0)
+    assert cfg.qc.ustar == 0.2
+
+
+def test_site_config_rejects_bad_grade():
+    bad = {k: dict(v) for k, v in _ACCESS.items()}
+    bad["Flux"]["grade"] = 11
+    with pytest.raises(ValueError):
+        SiteConfig.from_mapping("CookEast", bad)
+
+
+def test_abfss_url_and_oauth_conf():
+    cfg = SiteConfig.from_mapping("CookEast", _ACCESS)
+    url = abfss_url(cfg, cfg.raw_path, "2022", "01")
+    assert url == (
+        "abfss://raw@myacct.dfs.core.windows.net/CookEast/Flux/2022/01"
+    )
+    conf = abfss_oauth_conf(cfg)
+    acct = "myacct.dfs.core.windows.net"
+    assert conf[f"fs.azure.account.auth.type.{acct}"] == "OAuth"
+    assert conf[f"fs.azure.account.oauth2.client.id.{acct}"] == "cid"
+    assert "tid" in conf[f"fs.azure.account.oauth2.client.endpoint.{acct}"]
+
+
+def _mk_station(spark, n_ticks=30 * 48, h0=10.0):
+    t0 = datetime.datetime(2022, 1, 1)
+    rows = [
+        (t0 + datetime.timedelta(minutes=30 * i), h0 + i % 7, 100.0 + i % 5)
+        for i in range(n_ticks)
+    ]
+    return spark.createDataFrame(rows, "TIMESTAMP timestamp, H double, LE double")
+
+
+def test_clip_last_days_and_report_frames(spark):
+    df = _mk_station(spark)
+    clipped = clip_last_days(df, days=10)
+    mn, mx = clipped.agg(F.min("TIMESTAMP"), F.max("TIMESTAMP")).first()
+    assert (mx - mn) <= datetime.timedelta(days=10)
+    # 10 days of 30-min ticks (+1 boundary tick)
+    assert clipped.count() == 10 * 48 + 1
+
+    frames, missing = report_frames(
+        {"CookEast": df, "CookWest": _mk_station(spark, h0=20.0)}
+    )
+    assert missing == []
+    assert set(frames) == {"CookEast", "CookWest"}
+    # pruned to variables that exist (H, LE) — never the full table
+    assert set(frames["CookEast"].columns) == {"H", "LE"}
+
+
+def test_report_frames_skips_empty_station(spark):
+    full = _mk_station(spark)
+    empty = full.filter(F.lit(False))
+    frames, missing = report_frames({"CookEast": full, "BoydNorth": empty})
+    assert missing == ["BoydNorth"]
+    assert list(frames) == ["CookEast"]
+
+
+def test_render_csv(tmp_path, spark):
+    frames, _ = report_frames({"CookEast": _mk_station(spark)})
+    written = render_csv(frames, str(tmp_path))
+    assert written  # at least the Heat and Energy Fluxes group
+    head = open(written[0]).readline()
+    assert "CookEast_H" in head
+
+
+def test_report_filename():
+    assert (
+        report_filename(datetime.datetime(2022, 3, 10, 12, 0))
+        == "CAFLTARTowerReport20220303_20220310.pdf"
+    )
+
+
+def test_v2_schema_and_canonical_rename(spark):
+    st = get_schema("Flux", "Raw", "V2")
+    assert st.fieldNames()[:3] == ["TIMESTAMP", "RECORD", "FC_mass"]
+    t0 = datetime.datetime(2022, 1, 1)
+    df = spark.createDataFrame(
+        [(t0, 1, 12.0, 40.0, -3.0, 55.0, 4, 4, 4, 0.0, 0.9, 0.9, 15000)],
+        "TIMESTAMP timestamp, RECORD bigint, H double, LE double, "
+        "FC_mass double, TA_1_1_1 double, H_QC bigint, LE_QC bigint, "
+        "FC_QC bigint, P double, CO2_sig_strgth_Min double, "
+        "H2O_sig_strgth_Min double, FC_samples bigint",
+    )
+    canon = to_canonical(df, "Flux", "V2")
+    assert "amb_tmpr_Avg" in canon.columns
+    assert "H_qc_grade" in canon.columns
+    assert "TA_1_1_1" not in canon.columns
+    # the canonicalized frame feeds the unchanged QC operator; the V2
+    # generation carries mass (not molar) CO2 flux, so config points the
+    # third flux slot at FC_mass
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.qc.grade import (
+        FluxQCConfig,
+    )
+
+    flagged = grade_cs(canon, FluxQCConfig(flux_cols=("H", "LE", "FC_mass")))
+    row = flagged.first()
+    assert row["H_Flags"] is not None
+    assert row["LE_Flags"] is not None
+    # V40826 passthrough is a no-op
+    assert to_canonical(df, "Flux", "V40826") is df
