@@ -823,6 +823,68 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_ann_topk(emb, queries, dim=64, k=5, planes=4)
 
 
+def q_stream_keep_richest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (T2 + D1 semantics):
+    applyInPandasWithState keeps the richest row per (user_id, hour) —
+    fewest nulls, event_id tiebreak — exactly the batch
+    dedup_keep_richest result, so the same SQL oracle applies."""
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.streaming import (
+        stream_dedup_keep_richest,
+    )
+
+    schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    tmp = tempfile.mkdtemp(prefix="caf_stream_rich_")
+    src = os.path.join(tmp, "src")
+    os.makedirs(src)
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(src, "events.parquet"),
+    )
+    ts_is_raw_nanos = dict(
+        (f.name, f.dataType.simpleString()) for f in schema.fields
+    ).get("ts") == "bigint"
+
+    stream = spark.readStream.schema(schema).parquet(src + "/*")
+    if ts_is_raw_nanos:
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = stream.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts",
+        F.when(F.col("value") <= 450, F.col("value")).alias("value_n"),
+        F.when(F.col("user_id") % 7 != 0, F.col("props")).alias("props_n"),
+    ).withColumn("hour", F.date_trunc("HOUR", F.col("ts")))
+
+    out = stream_dedup_keep_richest(
+        stream,
+        keys=("user_id", "hour"),
+        record_col=None,
+        value_cols=("value_n", "props_n"),
+        ts_col="ts",
+    )
+    sink = os.path.join(tmp, "updates")
+
+    def dump(df: DataFrame, bid: int) -> None:
+        df.withColumn("__bid", F.lit(bid)).write.mode("append").parquet(sink)
+
+    (
+        out.writeStream.outputMode("update")
+        .foreachBatch(dump)
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    updates = spark.read.parquet(sink)
+    last = Window.partitionBy("user_id", "hour").orderBy(F.col("__bid").desc())
+    return (
+        updates.withColumn("__rn", F.row_number().over(last))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "hour", "event_id")
+    )
+
+
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming incremental ingest (T1/T2 streaming form):
     availableNow micro-batch, watermark + dropDuplicates, parquet sink —
@@ -908,6 +970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal,
         "ann_lsh_topk": q_ann_lsh,
         "stream_incremental_dedup": q_stream_dedup,
+        "stream_keep_richest_state": q_stream_keep_richest,
     }
 
 
@@ -939,6 +1002,7 @@ def oracle_sql() -> dict[str, str]:
         "embed_neardup": _EMBED_NEARDUP_SQL,
         "multimodal_features": _MULTIMODAL_SQL,
         "stream_incremental_dedup": _STREAM_DEDUP_SQL,
+        "stream_keep_richest_state": _DEDUP_RICHEST_SQL,
         # ann_lsh_topk: intentionally no oracle (approximate operator;
         # rows-only check + recall test in tests/test_llm.py)
     }

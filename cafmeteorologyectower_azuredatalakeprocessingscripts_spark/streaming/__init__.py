@@ -1,3 +1,3 @@
-from .incremental import stream_ingest_dedup
+from .incremental import stream_dedup_keep_richest, stream_ingest_dedup
 
-__all__ = ["stream_ingest_dedup"]
+__all__ = ["stream_dedup_keep_richest", "stream_ingest_dedup"]

@@ -8,10 +8,13 @@ src/AzureDataLakeAccess.py:315-322, :50-54) — maps onto Spark primitives:
 - file-source checkpointing replaces the watermark bookkeeping (T1)
 - ``withWatermark(ts, '1 day')`` bounds late data exactly like the
   1-day overlap window (T2)
-- ``dropDuplicates`` on the key replaces the overlap dedup. (The
-  keep-*richest* preference needs per-key state; for parity-grade
-  richest-row semantics run the batch ``dedup_keep_richest`` in
-  ``foreachBatch`` MERGE — here we keep the streaming-native form.)
+- ``dropDuplicates`` on the key replaces the overlap dedup, and
+  ``stream_dedup_keep_richest`` upgrades it to the reference's
+  keep-*richest* preference (D1: lowest RECORD, then fewest nulls)
+  as a custom stateful operator on ``applyInPandasWithState`` —
+  per-key state holds the current best row, late duplicates within
+  the watermark displace it, and event-time timeout evicts state
+  once the watermark passes (bounded memory at 100 TB).
 
 ``availableNow`` trigger = incremental batch run: process everything new
 since the checkpoint, then stop — the closest streaming analogue of the
@@ -56,4 +59,96 @@ def stream_ingest_dedup(
         .trigger(availableNow=True)
         .start()
         .awaitTermination()
+    )
+
+
+def stream_dedup_keep_richest(
+    stream: DataFrame,
+    keys: tuple[str, ...],
+    record_col: str | None,
+    value_cols: tuple[str, ...],
+    ts_col: str = "TIMESTAMP",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Streaming form of D1 keep-richest dedup
+    (src/AzureDataLakeAccess.py:50-54): for each key, keep the row with
+    the lowest ``record_col`` (nulls last), then the fewest nulls across
+    ``value_cols``, then smallest values of the remaining columns as a
+    deterministic tiebreak.
+
+    Built on ``applyInPandasWithState`` (update mode): state = the
+    current best row per key; each micro-batch folds its rows into the
+    state and emits the (possibly new) best. Event-time timeout removes
+    state once the watermark passes the key's timestamp — the streaming
+    analogue of the reference's bounded 1-day reprocess overlap (T2), and
+    what keeps state memory proportional to the overlap window rather
+    than the stream's history.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    schema = stream.withWatermark(ts_col, watermark).schema
+    cols = schema.fieldNames()
+    ordered = list(keys) + [c for c in cols if c not in keys]
+    out_schema = T.StructType([schema[c] for c in ordered])
+    tiebreak = [
+        c for c in cols if c not in keys and c != record_col and c not in value_cols
+    ]
+
+    import numbers
+
+    def key_of(v):
+        # nulls last; numbers numerically (numpy scalars included);
+        # everything else lexically — matches SQL ORDER BY so the batch
+        # oracle reproduces the result
+        if v is None or (not isinstance(v, str) and pd.isna(v)):
+            return (2, 0.0, "")
+        if isinstance(v, numbers.Number) and not isinstance(v, bool):
+            return (0, float(v), "")
+        return (1, 0.0, str(v))
+
+    def rank(row: pd.Series):
+        rec = row[record_col] if record_col else None
+        nan_count = sum(int(pd.isna(row[c])) for c in value_cols)
+        return (
+            key_of(rec),
+            nan_count,
+            tuple(key_of(row[c]) for c in tiebreak),
+        )
+
+    def fold(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        rows = [pdf for pdf in pdfs if len(pdf)]
+        if not rows and not state.exists:
+            return
+        batch = (
+            pd.concat(rows, ignore_index=True)[ordered]
+            if rows
+            else pd.DataFrame(columns=ordered)
+        )
+        if state.exists:
+            prev = pd.DataFrame([list(state.get)], columns=ordered)
+            batch = pd.concat([prev, batch], ignore_index=True)
+        best = min(batch.to_dict("records"), key=lambda r: rank(pd.Series(r)))
+        state.update(tuple(best[c] for c in ordered))
+        # evict once the watermark passes this key's event time (the
+        # timeout must sit strictly beyond the current watermark)
+        ts = best[ts_col]
+        if ts is not None and not pd.isna(ts):
+            ts_ms = int(pd.Timestamp(ts).value // 1_000_000)
+            state.setTimeoutTimestamp(max(ts_ms, state.getCurrentWatermarkMs() + 1))
+        yield pd.DataFrame([best], columns=ordered)
+
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(*keys)
+        .applyInPandasWithState(
+            fold,
+            outputStructType=out_schema,
+            stateStructType=out_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
     )

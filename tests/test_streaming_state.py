@@ -1,0 +1,95 @@
+"""Custom stateful streaming operator: keep-richest dedup
+(applyInPandasWithState form of D1/T2 — SURVEY.md §2.10)."""
+
+from __future__ import annotations
+
+import datetime
+import os
+
+import pandas as pd
+import pytest
+
+from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.streaming import (
+    stream_dedup_keep_richest,
+)
+
+_SCHEMA = "TIMESTAMP timestamp, RECORD bigint, Tair double, RH double"
+
+
+def _write_file(spark, path, rows):
+    spark.createDataFrame(rows, _SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def test_stream_keep_richest_displaces_on_late_richer_row(spark, tmp_path):
+    t1 = datetime.datetime(2022, 1, 1, 0, 0)
+    t2 = datetime.datetime(2022, 1, 1, 0, 30)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    # file 0: t1 has a sparse high-RECORD row; t2 a normal row
+    _write_file(spark, os.path.join(src, "f0.parquet"),
+                [(t1, 9051, 10.0, None), (t2, 2, 11.0, 60.0)])
+    # file 1 (later micro-batch): duplicate t1 with lower RECORD and
+    # full values — must displace the earlier state
+    _write_file(spark, os.path.join(src, "f1.parquet"),
+                [(t1, 1051, 12.0, 55.0)])
+
+    stream = (
+        spark.readStream.schema(_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    out = stream_dedup_keep_richest(
+        stream,
+        keys=("TIMESTAMP",),
+        record_col="RECORD",
+        value_cols=("Tair", "RH"),
+    )
+
+    batches: list[pd.DataFrame] = []
+    q = (
+        out.writeStream.outputMode("update")
+        .foreachBatch(lambda df, bid: batches.append(df.toPandas()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    all_updates = pd.concat([b for b in batches if len(b)], ignore_index=True)
+    # the FINAL update for t1 carries the richer late row
+    final_t1 = all_updates[all_updates["TIMESTAMP"] == t1].iloc[-1]
+    assert final_t1["RECORD"] == 1051
+    assert final_t1["RH"] == 55.0
+    # both generations of t1 were emitted across batches (update mode)
+    assert set(all_updates[all_updates["TIMESTAMP"] == t1]["RECORD"]) == {9051, 1051}
+    # t2 passes through untouched
+    final_t2 = all_updates[all_updates["TIMESTAMP"] == t2].iloc[-1]
+    assert final_t2["RECORD"] == 2
+
+
+def test_stream_keep_richest_fewest_nulls_tiebreak(spark, tmp_path):
+    t1 = datetime.datetime(2022, 3, 1, 12, 0)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    # same RECORD, differing completeness: fewest nulls must win
+    _write_file(spark, os.path.join(src, "f0.parquet"),
+                [(t1, 7, None, None), (t1, 7, 9.5, None)])
+
+    stream = spark.readStream.schema(_SCHEMA).parquet(src + "/*")
+    out = stream_dedup_keep_richest(
+        stream, keys=("TIMESTAMP",), record_col="RECORD",
+        value_cols=("Tair", "RH"),
+    )
+    batches: list[pd.DataFrame] = []
+    q = (
+        out.writeStream.outputMode("update")
+        .foreachBatch(lambda df, bid: batches.append(df.toPandas()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    final = pd.concat(batches, ignore_index=True).iloc[-1]
+    assert final["Tair"] == 9.5
