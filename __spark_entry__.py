@@ -823,6 +823,20 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_ann_topk(emb, queries, dim=64, k=5, planes=4)
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN (no oracle — rows-only check; exhaustive-probe
+    equivalence to exact top-k is asserted in tests)."""
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm import (
+        ivf_ann_topk,
+    )
+
+    emb = T(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_ann_topk(emb, queries, n_centroids=16, n_probe=4, k=5)
+
+
 def q_stream_keep_richest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (T2 + D1 semantics):
     applyInPandasWithState keeps the richest row per (user_id, hour) —
@@ -969,6 +983,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_neardup": q_embed_neardup,
         "multimodal_features": q_multimodal,
         "ann_lsh_topk": q_ann_lsh,
+        "ann_ivf_topk": q_ann_ivf,
         "stream_incremental_dedup": q_stream_dedup,
         "stream_keep_richest_state": q_stream_keep_richest,
     }

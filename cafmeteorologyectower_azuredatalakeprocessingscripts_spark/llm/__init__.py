@@ -15,7 +15,7 @@ from .dedup import (
     simhash,
     simhash_pairs,
 )
-from .similarity import cosine_topk, embed_neardup_pairs, lsh_ann_topk
+from .similarity import cosine_topk, embed_neardup_pairs, ivf_ann_topk, lsh_ann_topk
 
 __all__ = [
     "norm_text",
@@ -33,5 +33,6 @@ __all__ = [
     "simhash_pairs",
     "cosine_topk",
     "embed_neardup_pairs",
+    "ivf_ann_topk",
     "lsh_ann_topk",
 ]

@@ -113,6 +113,7 @@ def jaccard_pairs(
     n: int = SHINGLE_N,
     threshold: float = 0.1,
     candidates: DataFrame | None = None,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Document pairs with shingle-set Jaccard >= threshold.
 
@@ -120,11 +121,30 @@ def jaccard_pairs(
     count intersections, divide by union size. If ``candidates``
     (id_a, id_b) is given — e.g. from MinHash LSH — only those pairs are
     verified (the 100 TB path).
+
+    ``max_doc_freq`` is the skew valve for the all-pairs form: a shingle
+    appearing in d documents fans out to d² join rows, so one stop-word
+    bigram shared by a million documents is a 10¹²-row hot key no
+    partitioning trick survives. Capping document frequency drops those
+    near-universal shingles from the *index* (they carry almost no
+    Jaccard signal but all of the cost); intersection counts then
+    undercount by at most the dropped shingles, making reported Jaccard
+    a lower bound. Default None = exact semantics (and what the oracle
+    checks); set it when running uncapped at scale.
     """
     sh = shingles(df, text_col, id_col, n).cache()
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
-    a = sh.select(F.col("id").alias("id_a"), "sh_h")
-    b = sh.select(F.col("id").alias("id_b"), "sh_h")
+    index = sh
+    if candidates is None and max_doc_freq is not None:
+        rare = (
+            sh.groupBy("sh_h")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") <= max_doc_freq)
+            .select("sh_h")
+        )
+        index = sh.join(rare, "sh_h")
+    a = index.select(F.col("id").alias("id_a"), "sh_h")
+    b = index.select(F.col("id").alias("id_b"), "sh_h")
     if candidates is not None:
         # verify ONLY the candidate pairs: attach each side's shingles to
         # the pair and count matches — the join fan-out is bounded by

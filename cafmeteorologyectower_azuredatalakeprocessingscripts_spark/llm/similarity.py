@@ -151,6 +151,95 @@ def lsh_ann_topk(
     )
 
 
+def ivf_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    n_probe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its ``n_probe`` nearest centroids (by
+    cosine). ``centroids`` must have columns (centroid_id, __ctr).
+    Centroids are broadcast — the coarse quantizer is tiny by
+    construction — so assignment is a map-only pass over the corpus."""
+    c = centroids.select("centroid_id", "__ctr")
+    scored = df.crossJoin(F.broadcast(c)).withColumn(
+        "__aff", cosine(_as_double(F.col(vec_col)), _as_double(F.col("__ctr")))
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("__aff").desc(), F.col("centroid_id").asc()
+    )
+    return (
+        scored.withColumn("__cr", F.row_number().over(w))
+        .filter(F.col("__cr") <= n_probe)
+        .drop("__ctr", "__aff", "__cr")
+    )
+
+
+def ivf_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-style approximate top-k: a coarse quantizer partitions the
+    corpus into cells; each query probes only its ``n_probe`` nearest
+    cells.
+
+    The quantizer here takes the first ``n_centroids`` corpus vectors
+    (by id) as cell centers — deterministic and training-free; a real
+    deployment would k-means them, which changes recall but not the
+    dataflow. Scale shape: corpus assignment is map-only (broadcast
+    centroids), the probe join is keyed by cell id (≤ n_probe × |q|
+    build rows), and per-query top-k is a bounded window — the corpus
+    is never self-joined and never shuffled whole.
+    """
+    cents = (
+        corpus.orderBy(id_col)
+        .limit(n_centroids)
+        .select(
+            F.row_number()
+            .over(Window.orderBy(id_col))
+            .alias("centroid_id"),
+            F.col(vec_col).alias("__ctr"),
+        )
+    )
+    cells = ivf_assign(
+        corpus.select(F.col(id_col), F.col(vec_col).alias("__cv")),
+        cents,
+        n_probe=1,
+        id_col=id_col,
+        vec_col="__cv",
+    )
+    probes = ivf_assign(
+        queries.select(F.col(query_id_col), F.col(vec_col).alias("__qv")),
+        cents,
+        n_probe=n_probe,
+        id_col=query_id_col,
+        vec_col="__qv",
+    )
+    sim = (
+        cells.join(F.broadcast(probes), "centroid_id")
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .withColumn(
+            "cosine",
+            F.round(cosine(_as_double(F.col("__qv")), _as_double(F.col("__cv"))), 6),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )
+
+
 def embed_neardup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

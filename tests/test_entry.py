@@ -44,8 +44,8 @@ def test_queries_have_oracles_or_documented_absence():
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     assert set(oracles) <= set(qs)
-    # only the approximate ANN op is allowed to skip the oracle
-    assert set(qs) - set(oracles) == {"ann_lsh_topk"}
+    # only the approximate ANN ops are allowed to skip the oracle
+    assert set(qs) - set(oracles) == {"ann_lsh_topk", "ann_ivf_topk"}
 
 
 @pytest.mark.parametrize("name", SAMPLE)

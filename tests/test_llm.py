@@ -145,3 +145,36 @@ def test_multimodal_plumbing(spark):
     assert all(0.0 <= v <= 1.0 for v in feats[0].fake_embedding)
     with pytest.raises(NotImplementedError):
         decode_stub(b"bytes")
+
+
+def test_ivf_ann_recall_vs_exact(spark):
+    import random
+
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm import (
+        ivf_ann_topk,
+    )
+
+    rng = random.Random(7)
+    rows = [
+        Row(vec_id=i, embedding=[rng.gauss(0, 1) for _ in range(16)])
+        for i in range(60)
+    ]
+    emb = spark.createDataFrame(rows)
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r.query_id, r.vec_id) for r in cosine_topk(emb, q, k=5).collect()
+    }
+    approx = ivf_ann_topk(emb, q, n_centroids=8, n_probe=3, k=5).collect()
+    pairs = {(r.query_id, r.vec_id) for r in approx}
+    # each query returns at most k ranked hits, deterministically
+    assert all(1 <= r.rank <= 5 for r in approx)
+    assert len(pairs) > 0
+    assert len(exact & pairs) > 0
+    # probing ALL cells makes IVF exhaustive -> must equal exact top-k
+    full = {
+        (r.query_id, r.vec_id)
+        for r in ivf_ann_topk(emb, q, n_centroids=8, n_probe=8, k=5).collect()
+    }
+    assert full == exact

@@ -1,0 +1,117 @@
+"""Property tests (SURVEY.md §5.2.3): invariants over randomized inputs.
+
+hypothesis drives input generation; each property materializes a small
+Spark plan, so examples are capped to keep the suite interactive.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.operators import (
+    dedup_keep_richest,
+    gap_fill,
+    union_by_name,
+)
+from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.functions.time import (
+    water_year_of,
+    first_date_of_water_year,
+    last_date_of_water_year,
+)
+
+_T0 = datetime.datetime(2022, 1, 1)
+
+_SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+# rows: (tick_index in a 2-day grid, record, value-or-none)
+_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=95),
+        st.one_of(st.none(), st.integers(min_value=0, max_value=5)),
+        st.one_of(st.none(), st.floats(allow_nan=False, allow_infinity=False,
+                                       min_value=-50, max_value=50)),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+def _mk(spark, rows):
+    data = [
+        (_T0 + datetime.timedelta(minutes=30 * i), r, v) for i, r, v in rows
+    ]
+    return spark.createDataFrame(
+        data, "TIMESTAMP timestamp, RECORD bigint, Tair double"
+    )
+
+
+@settings(**_SETTINGS)
+@given(rows=_rows)
+def test_dedup_idempotent_and_keeps_richest(spark, rows):
+    df = _mk(spark, rows)
+    once = dedup_keep_richest(df, tiebreakers=("Tair",))
+    twice = dedup_keep_richest(once, tiebreakers=("Tair",))
+    got = sorted(map(tuple, once.collect()))
+    # idempotence
+    assert sorted(map(tuple, twice.collect())) == got
+    # exactly one row per timestamp
+    ts = [t for t, *_ in got]
+    assert len(ts) == len(set(ts))
+    # survivor minimizes (record nulls-last, nan_count) per key
+    by_key: dict = {}
+    for t, r, v in ((_T0 + datetime.timedelta(minutes=30 * i), r, v)
+                    for i, r, v in rows):
+        k = (
+            (1, 0) if r is None else (0, r),
+            int(v is None),
+            -9e9 if v is None else v,
+        )
+        if t not in by_key or k < by_key[t][0]:
+            by_key[t] = (k, r)
+    for t, r, v in got:
+        assert by_key[t][1] == r
+
+
+@settings(**_SETTINGS)
+@given(rows=_rows)
+def test_gapfill_spine_is_complete_and_monotone(spark, rows):
+    df = dedup_keep_richest(_mk(spark, rows), tiebreakers=("Tair",))
+    filled = gap_fill(df, freq_minutes=30)
+    out = [r["TIMESTAMP"] for r in filled.orderBy("TIMESTAMP").collect()]
+    # exactly ceil((max-min)/freq)+1 rows from day-floor to day-ceil
+    lo = out[0]
+    assert lo.hour == 0 and lo.minute == 0
+    step = datetime.timedelta(minutes=30)
+    assert out == [lo + step * i for i in range(len(out))]
+    # every input tick survives with its value
+    n_in = df.count()
+    assert filled.filter(F.col("RECORD").isNotNull() | F.col("Tair").isNotNull()).count() <= n_in
+    assert len(out) == len(set(out))
+
+
+@settings(**_SETTINGS)
+@given(rows=_rows, split=st.integers(min_value=0, max_value=40))
+def test_union_dedup_order_independent(spark, rows, split):
+    split = min(split, len(rows))
+    a, b = _mk(spark, rows[:split]), _mk(spark, rows[split:])
+    ab = dedup_keep_richest(union_by_name([a, b]), tiebreakers=("Tair",))
+    ba = dedup_keep_richest(union_by_name([b, a]), tiebreakers=("Tair",))
+    assert sorted(map(tuple, ab.collect())) == sorted(map(tuple, ba.collect()))
+
+
+@given(d=st.dates(min_value=datetime.date(1990, 1, 1),
+                  max_value=datetime.date(2100, 12, 31)))
+@settings(max_examples=200, deadline=None)
+def test_water_year_round_trip(d):
+    wy = water_year_of(d)
+    assert first_date_of_water_year(wy) <= d <= last_date_of_water_year(wy)
+    # boundaries: Oct 1 starts the next water year
+    assert water_year_of(datetime.date(wy - 1, 10, 1)) == wy
+    assert water_year_of(datetime.date(wy, 9, 30)) == wy
