@@ -42,10 +42,15 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
 
-    # warm the JVM/codegen once on the smallest query
+    # warm the JVM/codegen once on the smallest query, and the Python
+    # worker pool with a trivial Arrow batch (so the mapInPandas query
+    # measures steady-state throughput, not one-time worker spawn)
     qs["wateryear_rollup"](spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
+    spark.range(32).repartition(32).mapInPandas(
+        lambda it: it, "id long"
+    ).write.format("noop").mode("overwrite").save()
 
     times: dict[str, float] = {}
     for name in HEADLINE:

@@ -1,0 +1,116 @@
+"""run_tower_job / run_tower_jobs: the reference-driver replacement
+(S1→pipeline→sink composition with incremental window resolution)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.config import SiteConfig
+from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.plans import (
+    run_tower_job,
+    run_tower_jobs,
+)
+
+_COLS = [
+    "TIMESTAMP", "RECORD", "H", "LE", "Fc_molar", "u_star",
+    "amb_tmpr_Avg", "RH_Avg", "amb_press_Avg", "rslt_wnd_spd",
+    "wnd_dir_compass", "Precipitation_Tot", "PAR_density_Avg",
+    "Rn_meas_Avg", "VPD_air", "e_Avg", "e_sat_Avg",
+    "CO2_sig_strgth_Min", "H2O_sig_strgth_Min", "door_is_open_Hst",
+    "H_qc_grade", "LE_qc_grade", "Fc_qc_grade",
+    "sonic_samples_Tot", "Fc_samples_Tot",
+]
+
+
+def _toa5(path: str, day: int, start_rec: int, ticks: int) -> None:
+    lines = [
+        '"TOA5","CookEast","CR6","1","CR6.Std","CPU:flux","1","Flux"',
+        ",".join(f'"{c}"' for c in _COLS),
+        ",".join('"TS"' if c == "TIMESTAMP" else '""' for c in _COLS),
+        ",".join('""' if c == "TIMESTAMP" else '"Avg"' for c in _COLS),
+    ]
+    for i in range(ticks):
+        ts = dt.datetime(2022, 1, day) + dt.timedelta(minutes=30 * (i + 1))
+        vals = {c: "1.0" for c in _COLS}
+        vals.update(
+            TIMESTAMP=f'"{ts:%Y-%m-%d %H:%M:%S}"',
+            RECORD=str(start_rec + i),
+            RH_Avg="71.0", amb_tmpr_Avg="5.5", amb_press_Avg="95.0",
+            H_qc_grade="3", LE_qc_grade="4", Fc_qc_grade="3",
+            sonic_samples_Tot="17000", Fc_samples_Tot="17000",
+            CO2_sig_strgth_Min="0.9", H2O_sig_strgth_Min="0.9",
+            door_is_open_Hst="0", Precipitation_Tot="0",
+        )
+        lines.append(",".join(vals[c] for c in _COLS))
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+@pytest.fixture()
+def rawdir(tmp_path):
+    d = tmp_path / "raw" / "2022" / "01"
+    os.makedirs(d)
+    _toa5(str(d / "CookEast_Flux_2022_01_01_0000.dat"), 1, 1000, 48)
+    _toa5(str(d / "CookEast_Flux_2022_01_02_0000.dat"), 2, 1048, 24)
+    return str(d)
+
+
+def test_run_tower_job_end_to_end(spark, tmp_path, rawdir):
+    cfg = SiteConfig(site="CookEast")
+    out_path = str(tmp_path / "out")
+    df = run_tower_job(
+        spark, cfg, "Flux", f"{rawdir}/*.dat", out_path,
+        start_date=dt.date(2022, 1, 1), end_date=dt.date(2022, 1, 31),
+    )
+    # spine: 2 full days of 30-min ticks + midnight boundary
+    assert df.count() == 2 * 48 + 1
+    # QC columns exist and carry flags; partition columns stamped
+    row = df.filter(F.col("RECORD") == 1000).first()
+    assert row["H_Flags"] is not None
+    assert row["site"] == "CookEast" and row["wateryear"] == 2022
+    # sink wrote the (site, wateryear) partition
+    back = spark.read.parquet(out_path)
+    assert back.filter(
+        (F.col("site") == "CookEast") & (F.col("wateryear") == 2022)
+    ).count() == 2 * 48 + 1
+
+
+def test_run_tower_job_incremental_resume(spark, tmp_path, rawdir):
+    cfg = SiteConfig(site="CookEast")
+    out_path = str(tmp_path / "out")
+    first = run_tower_job(
+        spark, cfg, "Flux", f"{rawdir}/*.dat", out_path,
+        start_date=dt.date(2022, 1, 1), end_date=dt.date(2022, 1, 1),
+    )
+    assert first.count() == 48 + 1
+    prev = spark.read.parquet(out_path)
+    # resume with no explicit dates: watermark from prev, 1-day overlap,
+    # clamp to the water year — day 2 rows join, no duplicates
+    resumed = run_tower_job(
+        spark, cfg, "Flux", f"{rawdir}/*.dat", out_path,
+        previous_aggregate=prev,
+        end_date=dt.date(2022, 1, 31),
+    )
+    assert resumed.count() == 2 * 48 + 1
+    ts = [r["TIMESTAMP"] for r in resumed.select("TIMESTAMP").collect()]
+    assert len(ts) == len(set(ts))
+
+
+def test_run_tower_jobs_tolerates_site_failure(spark, tmp_path, rawdir):
+    good = SiteConfig(site="CookEast")
+    bad = SiteConfig(site="BoydNorth")  # no files → AnalysisException
+
+    def glob_for(cfg, table):
+        return f"{rawdir}/{cfg.site}_*.dat"
+
+    results = run_tower_jobs(
+        spark, [good, bad], glob_for, str(tmp_path / "out"),
+        tables=("Flux",),
+        start_date=dt.date(2022, 1, 1), end_date=dt.date(2022, 1, 31),
+    )
+    assert results[("CookEast", "Flux")].count() == 2 * 48 + 1
+    assert isinstance(results[("BoydNorth", "Flux")], Exception)
