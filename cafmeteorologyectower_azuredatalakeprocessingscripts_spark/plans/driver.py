@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from ..config import SiteConfig
 from ..functions.time import water_year
 from ..operators.incremental import high_watermark_date, resolve_window
-from ..schemas import get_schema, to_canonical
+from ..schemas import get_full_schema, get_schema, to_canonical
 from ..sources.sinks import write_partitioned
 from ..sources.toa5 import read_toa5
 from .pipeline import aggregate_pipeline
@@ -42,6 +42,7 @@ def run_tower_job(
     bug_compat: bool = True,
     freq_minutes: int | None = None,
     ts_col: str = "TIMESTAMP",
+    full_layout: bool = False,
 ) -> DataFrame:
     """One (site, table) incremental aggregation run.
 
@@ -54,7 +55,14 @@ def run_tower_job(
     """
     freq = freq_minutes or _FREQ.get(table, 30)
     ver = cfg.ver if cfg.ver == "V2" else "V40826"
-    schema = get_schema(table, "Raw", ver)
+    # full_layout reads production logger files (every column of the
+    # reference layout, bound positionally); the default curated view
+    # serves column-subset fixtures and tests
+    schema = (
+        get_full_schema(table, "Raw", ver)
+        if full_layout
+        else get_schema(table, "Raw", ver)
+    )
     raw = to_canonical(read_toa5(spark, raw_glob, schema, ts_col=ts_col), table, ver)
 
     watermark = (

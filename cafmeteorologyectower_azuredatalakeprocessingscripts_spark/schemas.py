@@ -21,6 +21,9 @@ str/object -> StringType, index -> TimestampType.
 
 from __future__ import annotations
 
+import json
+import os
+
 from pyspark.sql import types as T
 
 _TYPES = {
@@ -28,7 +31,15 @@ _TYPES = {
     "f8": T.DoubleType(),
     "i8": T.LongType(),
     "str": T.StringType(),
+    "bool": T.BooleanType(),
 }
+
+# full reference layouts (every column, in file order) extracted from the
+# get_dtypes dict literals into a data resource by tools/extract_schemas.py
+# — see DECISIONS.md D-15: schema facts are data, not code
+_DATA_PATH = os.path.join(os.path.dirname(__file__), "schemas_data.json")
+with open(_DATA_PATH) as _f:
+    _FULL: dict[str, list[list[str]]] = json.load(_f)
 
 # Flux raw, in file column order (FluxRaw_V40826 subset,
 # src/AzureDataLakeAccess.py:809-1054)
@@ -156,13 +167,40 @@ _REGISTRY = {
 def get_schema(table: str, kind: str = "Raw", ver: str = "V40826") -> T.StructType:
     """Registry lookup mirroring ``get_dtypes(f'{col}Raw')`` call sites
     (src/AzureDataLakeAccess.py:456); ``ver`` is the logger-program
-    signature from config ('Ver', src/LTARCAFTowerReport.py:70-77)."""
+    signature from config ('Ver', src/LTARCAFTowerReport.py:70-77).
+
+    Returns the curated *operator view* (the columns the QC/aggregation
+    library reads, in file order — fine for fixtures and column-pruned
+    parquet). Real TOA5 files bind positionally across the FULL layout —
+    use :func:`get_full_schema` for those.
+    """
     try:
         return _REGISTRY[(table, kind, ver)]()
     except KeyError:
         raise KeyError(
             f"no schema registered for ({table}, {kind}, {ver})"
         ) from None
+
+
+def full_columns(dataset_type: str) -> list[tuple[str, str]]:
+    """Every column of a reference dataset layout, in file order. The
+    reference dicts omit TIMESTAMP when it is the read index
+    (``index_col='TIMESTAMP'``, src/AzureDataLakeAccess.py:74) — it is
+    the first physical column, so it is (re)prepended as TimestampType."""
+    cols = [(n, t) for n, t in _FULL[dataset_type]]
+    if cols and cols[0][0] == "TIMESTAMP":
+        cols = cols[1:]
+    return [("TIMESTAMP", "ts"), *cols]
+
+
+def get_full_schema(table: str, kind: str = "Raw", ver: str = "V40826") -> T.StructType:
+    """Exact full-layout schema for reading real logger/aggregate files
+    positionally: (Flux|Met) x (Raw|Aggregated) x (V40826 | V2 — the
+    suffix-less second-generation names)."""
+    name = f"{table}{kind}" + ("_V40826" if ver == "V40826" else "")
+    if name not in _FULL:
+        raise KeyError(f"no full layout for ({table}, {kind}, {ver})")
+    return build_schema(full_columns(name))
 
 
 def to_canonical(df, table: str, ver: str):
