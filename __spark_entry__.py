@@ -823,6 +823,29 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_ann_topk(emb, queries, dim=64, k=5, planes=4)
 
 
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5/S4: skip-already-processed as a broadcast left anti-join —
+    users with no 'purchase' event (the shape of the reference's
+    exists-check at src/AzureDataLakeAccess.py:174-183)."""
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.sources.files import (
+        anti_join_processed,
+    )
+
+    e = T(spark, sf_dir, "events")
+    candidates = e.select("user_id").distinct()
+    processed = e.filter(
+        (F.col("event_type") == "purchase") & (F.col("value") > 250)
+    ).select("user_id")
+    return anti_join_processed(candidates, processed, key="user_id")
+
+
+_ANTI_JOIN_SQL = """
+SELECT DISTINCT user_id FROM events
+WHERE user_id NOT IN (SELECT user_id FROM events
+                      WHERE event_type = 'purchase' AND value > 250)
+"""
+
+
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN (no oracle — rows-only check; exhaustive-probe
     equivalence to exact top-k is asserted in tests)."""
@@ -968,6 +991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_overlap_dedup": q_union_overlap_dedup,
         "mslp_barometric": q_mslp,
         "latest_per_user": q_latest_per_user,
+        "anti_join_processed": q_anti_join,
         "null_profile": q_null_profile,
         "last10d_window": q_last10d,
         "pricing_summary": q_pricing_summary,
@@ -1002,6 +1026,7 @@ def oracle_sql() -> dict[str, str]:
         "union_overlap_dedup": _UNION_OVERLAP_SQL,
         "mslp_barometric": _MSLP_SQL,
         "latest_per_user": _LATEST_SQL,
+        "anti_join_processed": _ANTI_JOIN_SQL,
         "null_profile": _NULL_PROFILE_SQL,
         "last10d_window": _LAST10D_SQL,
         "pricing_summary": _PRICING_SQL,
