@@ -76,3 +76,44 @@ def test_full_width_toa5_roundtrip(spark, tmp_path):
     assert got[0]["amb_tmpr_Avg"] == 7.25
     assert got[1]["amb_tmpr_Avg"] is None  # 'NAN' sentinel → null
     assert got[0]["RECORD"] == 100
+
+
+def test_reference_aggregate_csv_roundtrip(spark, tmp_path):
+    """Read a reference-produced AggregateQC CSV (1 header line, full
+    296-col FluxAggregated_V40826 layout) — the file a switching user
+    already has on disk."""
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.sources.toa5 import (
+        read_processed_csv,
+    )
+
+    cols = full_columns("FluxAggregated_V40826")
+    names = [n for n, _ in cols]
+    i_hflags = names.index("H_Flags")
+    rows = [",".join(names)]
+    for i in range(2):
+        ts = dt.datetime(2022, 1, 1) + dt.timedelta(minutes=30 * (i + 1))
+        vals = []
+        for j, (n, t) in enumerate(cols):
+            if n == "TIMESTAMP":
+                vals.append(f"{ts:%Y-%m-%d %H:%M:%S}")
+            elif j == i_hflags:
+                vals.append("010")
+            elif t == "i8":
+                vals.append(str(200 + i))
+            elif t == "str":
+                vals.append("txt")
+            else:
+                vals.append("2.5" if i == 0 else "NAN")
+        rows.append(",".join(vals))
+    path = str(tmp_path / "CookEast_Flux_AggregateQC_CY2022_V40826_20220102.csv")
+    with open(path, "w") as f:
+        f.write("\n".join(rows) + "\n")
+
+    df = read_processed_csv(
+        spark, path, get_full_schema("Flux", "Aggregated", "V40826")
+    )
+    got = df.orderBy("TIMESTAMP").collect()
+    assert len(got) == 2
+    assert got[0]["RECORD"] == 200
+    assert got[1]["H"] is None  # NAN sentinel
+    assert got[0]["H"] == 2.5
