@@ -823,6 +823,131 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_ann_topk(emb, queries, dim=64, k=5, planes=4)
 
 
+def q_rollup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine extension (SURVEY §2.4 note): ROLLUP subtotals + grand
+    total over event types — multi-level aggregates in one shuffle."""
+    e = T(spark, sf_dir, "events")
+    return (
+        e.rollup("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(_dsum(F.col("value")) / F.count("*"), 6).alias("avg_value"),
+        )
+        .select(
+            F.coalesce(F.col("event_type"), F.lit("ALL")).alias("event_type"),
+            "n",
+            "avg_value",
+        )
+    )
+
+
+_ROLLUP_SQL = """
+SELECT coalesce(event_type, 'ALL') AS event_type, count(*) AS n,
+       round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE)/count(*), 6) AS avg_value
+FROM events GROUP BY ROLLUP (event_type)
+"""
+
+
+def q_except_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set difference (exceptAll): users active in the first half of the
+    data but silent in the second half — churn-shaped EXCEPT."""
+    e = T(spark, sf_dir, "events")
+    mid = e.agg(
+        F.timestamp_seconds(
+            F.min(F.unix_timestamp("ts"))
+            + (F.max(F.unix_timestamp("ts")) - F.min(F.unix_timestamp("ts"))) * 0.99
+        ).alias("mid")
+    )
+    e2 = e.crossJoin(F.broadcast(mid))
+    first = e2.filter(F.col("ts") < F.col("mid")).select("user_id").distinct()
+    second = e2.filter(F.col("ts") >= F.col("mid")).select("user_id").distinct()
+    return first.exceptAll(second)
+
+
+_EXCEPT_SQL = """
+WITH mid AS (
+  SELECT to_timestamp(epoch(min(ts)) + (epoch(max(ts)) - epoch(min(ts))) * 0.99) AS mid FROM events
+)
+SELECT DISTINCT user_id FROM events, mid WHERE ts < mid
+EXCEPT ALL
+SELECT DISTINCT user_id FROM events, mid WHERE ts >= mid
+"""
+
+
+def q_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-day event counts spread across type columns (groupBy
+    + pivot with an explicit value list keeps it one shuffle, no extra
+    distinct-scan to discover columns)."""
+    e = T(spark, sf_dir, "events")
+    types = ["click", "view", "purchase", "signup", "error"]
+    return (
+        e.withColumn("day", F.date_trunc("DAY", F.col("ts")))
+        .groupBy("day")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .select(
+            "day", *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in types]
+        )
+    )
+
+
+_PIVOT_SQL = """
+SELECT date_trunc('day', ts) AS day,
+       count(*) FILTER (event_type = 'click') AS n_click,
+       count(*) FILTER (event_type = 'view') AS n_view,
+       count(*) FILTER (event_type = 'purchase') AS n_purchase,
+       count(*) FILTER (event_type = 'signup') AS n_signup,
+       count(*) FILTER (event_type = 'error') AS n_error
+FROM events GROUP BY 1
+"""
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (absent in the reference — SURVEY §2.10 T4 note):
+    per-user sessions split at >30-min inactivity gaps via lag + running
+    sum of session starts; one window shuffle keyed by user."""
+    e = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = (
+        e.withColumn("sess_no", F.sum(new_sess).over(w))
+        .groupBy("user_id", "sess_no")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("sess_start"),
+            F.max("ts").alias("sess_end"),
+        )
+    )
+    return sess.select(
+        "user_id",
+        "sess_no",
+        "n_events",
+        "sess_start",
+        "sess_end",
+    )
+
+
+_SESSIONIZE_SQL = """
+WITH gaps AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, ts,
+         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_no
+  FROM gaps
+)
+SELECT user_id, sess_no, count(*) AS n_events,
+       min(ts) AS sess_start, max(ts) AS sess_end
+FROM numbered GROUP BY 1, 2
+"""
+
+
 def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J5/S4: skip-already-processed as a broadcast left anti-join —
     users with no 'purchase' event (the shape of the reference's
@@ -992,6 +1117,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mslp_barometric": q_mslp,
         "latest_per_user": q_latest_per_user,
         "anti_join_processed": q_anti_join,
+        "rollup_summary": q_rollup_summary,
+        "except_churned_users": q_except_users,
+        "pivot_daily_counts": q_pivot_daily,
+        "sessionize": q_sessionize,
         "null_profile": q_null_profile,
         "last10d_window": q_last10d,
         "pricing_summary": q_pricing_summary,
@@ -1027,6 +1156,10 @@ def oracle_sql() -> dict[str, str]:
         "mslp_barometric": _MSLP_SQL,
         "latest_per_user": _LATEST_SQL,
         "anti_join_processed": _ANTI_JOIN_SQL,
+        "rollup_summary": _ROLLUP_SQL,
+        "except_churned_users": _EXCEPT_SQL,
+        "pivot_daily_counts": _PIVOT_SQL,
+        "sessionize": _SESSIONIZE_SQL,
         "null_profile": _NULL_PROFILE_SQL,
         "last10d_window": _LAST10D_SQL,
         "pricing_summary": _PRICING_SQL,

@@ -27,6 +27,7 @@ HEADLINE = [
     "lag_spike_qc",
     "flag_strings",
     "dedup_exact",
+    "sessionize",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
