@@ -823,6 +823,35 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_ann_topk(emb, queries, dim=64, k=5, planes=4)
 
 
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis extension: top-3 TF-IDF terms per document."""
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm import (
+        tfidf_top_terms,
+    )
+
+    d = T(spark, sf_dir, "documents")
+    return tfidf_top_terms(d, k=3)
+
+
+_TFIDF_SQL = f"""
+WITH toks AS (
+  SELECT doc_id AS id, unnest(string_split({_NORM_SQL}, ' ')) AS term FROM documents
+),
+tf AS (SELECT id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+scored AS (
+  SELECT id, term, tf, df,
+         round(tf * ln(n_docs * 1.0 / df), 6) AS tfidf
+  FROM tf JOIN dfreq USING (term), n
+)
+SELECT id, term, tf, df, tfidf, term_rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY id ORDER BY tfidf DESC, term ASC) AS term_rank
+  FROM scored
+) WHERE term_rank <= 3
+"""
+
+
 def q_rollup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Engine extension (SURVEY §2.4 note): ROLLUP subtotals + grand
     total over event types — multi-level aggregates in one shuffle."""
@@ -1128,6 +1157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "text_lang_id": q_lang_id,
         "text_fingerprint": q_fingerprint,
+        "text_tfidf_topk": q_tfidf,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_jaccard_pairs,
         "dedup_minhash_lsh": q_minhash_lsh,
@@ -1167,6 +1197,7 @@ def oracle_sql() -> dict[str, str]:
         "text_stats": _TEXT_STATS_SQL,
         "text_lang_id": _lang_id_sql(),
         "text_fingerprint": _FINGERPRINT_SQL,
+        "text_tfidf_topk": _TFIDF_SQL,
         "dedup_exact": _DEDUP_EXACT_SQL,
         "dedup_ngram_jaccard": _JACCARD_SQL,
         "dedup_minhash_lsh": _minhash_sql(),

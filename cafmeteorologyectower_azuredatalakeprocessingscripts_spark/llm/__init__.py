@@ -5,6 +5,7 @@ from .text import (
     prefix_fingerprint,
     quality_score,
     lang_id,
+    tfidf_top_terms,
 )
 from .dedup import (
     exact_dedup_groups,
@@ -24,6 +25,7 @@ __all__ = [
     "prefix_fingerprint",
     "quality_score",
     "lang_id",
+    "tfidf_top_terms",
     "exact_dedup_groups",
     "shingles",
     "jaccard_pairs",

@@ -78,3 +78,41 @@ def lang_id(c: Column | str) -> Column:
     for lang in reversed(LANG_PRECEDENCE):
         expr = F.when(scores[lang] == best, F.lit(lang)).otherwise(expr)
     return F.when(best == 0, F.lit("unknown")).otherwise(expr)
+
+
+def tfidf_top_terms(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+):
+    """Top-``k`` TF-IDF terms per document: (id, term, tf, df, tfidf,
+    term_rank).
+
+    Shape: one explode → per-(doc, token) counts (map-side combined) →
+    per-token document frequency (second aggregation, also combined) →
+    broadcast-friendly join back → per-doc top-k window. Term frequency
+    is the raw in-doc count; idf = ln(N / df) with exact integer N and
+    df so any engine reproduces it bit-for-bit (rounded to 6).
+    """
+    from pyspark.sql import Window
+
+    toks = F.split(norm_text(text_col), " ")
+    t = df.repartition(F.col(id_col)).select(
+        F.col(id_col).alias("id"), F.explode(toks).alias("term")
+    )
+    tf = t.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(id_col).distinct().count()
+    scored = tf.join(dfreq, "term").withColumn(
+        "tfidf",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6),
+    )
+    w = Window.partitionBy("id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w))
+        .filter(F.col("term_rank") <= k)
+        .select("id", "term", "tf", "df", "tfidf", "term_rank")
+    )

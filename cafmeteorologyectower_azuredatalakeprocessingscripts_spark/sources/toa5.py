@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.errors import AnalysisException
 
 
 def toa5_header_columns(spark: SparkSession, path: str) -> list[str]:
@@ -38,8 +39,14 @@ def read_toa5(
     ts_col: str = "TIMESTAMP",
     timestamp_format: str | None = None,
     validate_header: bool = False,
+    allow_missing: bool = False,
 ) -> DataFrame:
     """Scan TOA5 daily files into a typed DataFrame.
+
+    ``allow_missing=True`` returns an empty typed frame when no path
+    matches (the reference's empty-directory guard,
+    src/AzureDataLakeAccess.py:64-66); the default keeps Spark's
+    PATH_NOT_FOUND so misconfigured globs fail loudly.
 
     ``schema`` binds to file columns BY POSITION (its field order must
     match the file layout — schemas.py declares registry schemas in file
@@ -67,7 +74,12 @@ def read_toa5(
     )
     if timestamp_format:
         reader = reader.option("timestampFormat", timestamp_format)
-    df = reader.csv(paths)
+    try:
+        df = reader.csv(paths)
+    except AnalysisException:
+        if not allow_missing:
+            raise
+        return spark.createDataFrame([], schema)
     return df.filter(F.col(ts_col).isNotNull())
 
 

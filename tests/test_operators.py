@@ -139,3 +139,15 @@ def test_latest_per_group(spark):
     out = latest_per_group(spark.createDataFrame(rows), ["g"], "d")
     got = {r.g: r.f for r in out.collect()}
     assert got == {"a": "a_20220301", "b": "b_20220201"}
+
+
+def test_read_toa5_allow_missing_returns_empty_typed(spark, tmp_path):
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.schemas import get_schema
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.sources.toa5 import read_toa5
+
+    st = get_schema("Flux")
+    df = read_toa5(
+        spark, str(tmp_path / "nope" / "*.dat"), st, allow_missing=True
+    )
+    assert df.count() == 0
+    assert df.schema == st
