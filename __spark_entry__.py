@@ -977,6 +977,44 @@ FROM numbered GROUP BY 1, 2
 """
 
 
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window (streaming-capable session semantics):
+    windows merge while events are <30 min apart; window end = last
+    event + gap. Oracle reproduces via the lag/running-sum construction."""
+    e = T(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("sess_start"),
+            F.col("w.end").alias("sess_end"),
+            "n_events",
+        )
+    )
+
+
+_SESSION_WINDOW_SQL = """
+WITH gaps AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, ts,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sess_no
+  FROM gaps
+)
+SELECT user_id, min(ts) AS sess_start,
+       max(ts) + INTERVAL 30 MINUTE AS sess_end,
+       count(*) AS n_events
+FROM numbered GROUP BY user_id, sess_no
+"""
+
+
 def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J5/S4: skip-already-processed as a broadcast left anti-join —
     users with no 'purchase' event (the shape of the reference's
@@ -1150,6 +1188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "except_churned_users": q_except_users,
         "pivot_daily_counts": q_pivot_daily,
         "sessionize": q_sessionize,
+        "session_window_native": q_session_window,
         "null_profile": q_null_profile,
         "last10d_window": q_last10d,
         "pricing_summary": q_pricing_summary,
@@ -1190,6 +1229,7 @@ def oracle_sql() -> dict[str, str]:
         "except_churned_users": _EXCEPT_SQL,
         "pivot_daily_counts": _PIVOT_SQL,
         "sessionize": _SESSIONIZE_SQL,
+        "session_window_native": _SESSION_WINDOW_SQL,
         "null_profile": _NULL_PROFILE_SQL,
         "last10d_window": _LAST10D_SQL,
         "pricing_summary": _PRICING_SQL,
