@@ -1114,6 +1114,59 @@ def q_stream_keep_richest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming tumbling-window aggregation with a
+    watermark (T4 streaming form): 15-min windows over the event stream,
+    complete-mode emission via foreachBatch so every window lands in the
+    sink (append mode would hold back windows newer than the final
+    watermark). Oracle: the same bucketed counts in plain SQL."""
+    schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    tmp = tempfile.mkdtemp(prefix="caf_stream_win_")
+    src = os.path.join(tmp, "src")
+    os.makedirs(src)
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(src, "events.parquet"),
+    )
+    ts_is_raw_nanos = dict(
+        (f.name, f.dataType.simpleString()) for f in schema.fields
+    ).get("ts") == "bigint"
+    stream = spark.readStream.schema(schema).parquet(src + "/*")
+    if ts_is_raw_nanos:
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "15 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(_dsum(F.col("value")) / F.count(F.lit(1)), 6).alias("avg_value"),
+        )
+        .select(F.col("w.start").alias("TIMESTAMP"), "n_events", "avg_value")
+    )
+    sink = os.path.join(tmp, "agg")
+
+    def dump(df: DataFrame, bid: int) -> None:
+        df.write.mode("overwrite").parquet(sink)
+
+    (
+        agg.writeStream.outputMode("complete")
+        .foreachBatch(dump)
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.read.parquet(sink)
+
+
+_STREAM_WINDOWED_SQL = """
+SELECT make_timestamp(CAST(floor(epoch(ts)/900)*900*1000000 AS BIGINT)) AS TIMESTAMP,
+       count(*) AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE)/count(*), 6) AS avg_value
+FROM events GROUP BY 1
+"""
+
+
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming incremental ingest (T1/T2 streaming form):
     availableNow micro-batch, watermark + dropDuplicates, parquet sink —
@@ -1207,6 +1260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh,
         "ann_ivf_topk": q_ann_ivf,
         "stream_incremental_dedup": q_stream_dedup,
+        "stream_windowed_agg": q_stream_windowed_agg,
         "stream_keep_richest_state": q_stream_keep_richest,
     }
 
@@ -1246,6 +1300,7 @@ def oracle_sql() -> dict[str, str]:
         "embed_neardup": _EMBED_NEARDUP_SQL,
         "multimodal_features": _MULTIMODAL_SQL,
         "stream_incremental_dedup": _STREAM_DEDUP_SQL,
+        "stream_windowed_agg": _STREAM_WINDOWED_SQL,
         "stream_keep_richest_state": _DEDUP_RICHEST_SQL,
         # ann_lsh_topk: intentionally no oracle (approximate operator;
         # rows-only check + recall test in tests/test_llm.py)
