@@ -114,3 +114,102 @@ def test_run_tower_jobs_tolerates_site_failure(spark, tmp_path, rawdir):
     )
     assert results[("CookEast", "Flux")].count() == 2 * 48 + 1
     assert isinstance(results[("BoydNorth", "Flux")], Exception)
+
+
+_MET_COLS = [
+    "TIMESTAMP", "RECORD", "amb_tmpr_Avg", "RH_Avg", "amb_press_Avg",
+    "rslt_wnd_spd", "wnd_dir_compass", "Precipitation_Tot",
+    "PAR_density_Avg", "Rn_meas_Avg", "VPD_air", "e", "e_sat",
+]
+
+
+def _toa5_met(path: str, day: int, ticks: int) -> None:
+    lines = [
+        '"TOA5","CookEast","CR6","1","CR6.Std","CPU:met","1","Met"',
+        ",".join(f'"{c}"' for c in _MET_COLS),
+        ",".join('"TS"' if c == "TIMESTAMP" else '""' for c in _MET_COLS),
+        ",".join('""' if c == "TIMESTAMP" else '"Avg"' for c in _MET_COLS),
+    ]
+    for i in range(ticks):
+        ts = dt.datetime(2022, 2, day) + dt.timedelta(minutes=15 * (i + 1))
+        # values must VARY tick to tick or the stuck-sensor (diff != 0)
+        # test legitimately nulls the filtered columns
+        vals = {c: "1.0" for c in _MET_COLS}
+        vals.update(
+            TIMESTAMP=f'"{ts:%Y-%m-%d %H:%M:%S}"', RECORD=str(100 + i),
+            amb_tmpr_Avg=f"{4.5 + 0.1 * (i % 7):.2f}",
+            RH_Avg=f"{80.0 + 0.5 * (i % 5):.2f}",
+            amb_press_Avg="95.0",
+            Precipitation_Tot="0", rslt_wnd_spd="3.0",
+            wnd_dir_compass="200.0",
+        )
+        lines.append(",".join(vals[c] for c in _MET_COLS))
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+def test_run_tower_job_met_table(spark, tmp_path):
+    d = tmp_path / "raw"
+    os.makedirs(d)
+    _toa5_met(str(d / "CookEast_Met_2022_02_01_0000.dat"), 1, 96)
+    cfg = SiteConfig(site="CookEast")
+    df = run_tower_job(
+        spark, cfg, "Met", f"{d}/*.dat",
+        start_date=dt.date(2022, 2, 1), end_date=dt.date(2022, 2, 28),
+    )
+    # 15-min spine: full day + midnight tick
+    assert df.count() == 96 + 1
+    # mid-day row: lag exists, values vary → filtered values survive
+    row = df.filter(F.col("RECORD") == 151).first()
+    assert row["Tair_Hard_Limit"] is True
+    assert row["RH_Filtered"] == row["RH_Avg"]
+    assert "MSLP" in df.columns
+
+
+def test_run_tower_job_v2_generation(spark, tmp_path):
+    # V2 flux files: column order MUST follow the registry layout
+    # (positional binding) — derive the fixture from it
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.schemas import (
+        FLUX_RAW_V2_COLUMNS,
+    )
+
+    cols = [c for c, _ in FLUX_RAW_V2_COLUMNS]
+    d = tmp_path / "raw"
+    os.makedirs(d)
+    lines = [
+        '"TOA5","CookEast","CR6","1","CR6.Std","CPU:flux2","1","Flux"',
+        ",".join(f'"{c}"' for c in cols),
+        ",".join('"TS"' if c == "TIMESTAMP" else '""' for c in cols),
+        ",".join('""' if c == "TIMESTAMP" else '"Avg"' for c in cols),
+    ]
+    for i in range(48):
+        ts = dt.datetime(2022, 3, 1) + dt.timedelta(minutes=30 * (i + 1))
+        vals = {c: "1.0" for c in cols}
+        vals.update(TIMESTAMP=f'"{ts:%Y-%m-%d %H:%M:%S}"', RECORD=str(i),
+                    FC_QC="3", LE_QC="3", H_QC="3", FC_samples="15000",
+                    CO2_sig_strgth_Min="0.9", H2O_sig_strgth_Min="0.9",
+                    P="0", TA_1_1_1=f"{6.5 + 0.1 * (i % 3):.2f}",
+                    RH_1_1_1="75.0", PA="95.0")
+        lines.append(",".join(vals[c] for c in cols))
+    with open(str(d / "CookEast_Flux_2022_03_01_0000.dat"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.qc.grade import (
+        FluxQCConfig,
+    )
+
+    cfg = SiteConfig(
+        site="CookEast", ver="V2",
+        qc=FluxQCConfig(flux_cols=("H", "LE", "FC_mass")),
+    )
+    df = run_tower_job(
+        spark, cfg, "Flux", f"{d}/*.dat",
+        start_date=dt.date(2022, 3, 1), end_date=dt.date(2022, 3, 31),
+    )
+    # canonicalized columns drive QC + gap fill; values bound by position
+    assert "amb_tmpr_Avg" in df.columns
+    assert df.count() == 48 + 1
+    row = df.filter(F.col("RECORD") == 0).first()
+    assert row["amb_tmpr_Avg"] == 6.5  # was TA_1_1_1 in the file
+    assert row["H_qc_grade"] == 3  # was H_QC
+    assert row["H_Flags"] is not None
