@@ -538,9 +538,14 @@ _NORM_SQL = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = T(spark, sf_dir, "documents")
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.text import (
+        bpe_ish_token_count,
+    )
+
     return d.select(
         "doc_id",
         token_count(F.col("text")).alias("n_tokens"),
+        bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"),
         F.length("text").alias("n_chars_measured"),
         quality_score(F.col("text")).alias("quality"),
     )
@@ -549,6 +554,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TEXT_STATS_SQL = """
 SELECT doc_id,
        len(regexp_extract_all(text, '\\S+')) AS n_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens,
        length(text) AS n_chars_measured,
        round(0.4 * least(1.0, len(regexp_extract_all(text, '\\S+'))/100.0)
            + 0.4 * (CASE WHEN length(text) > 0
@@ -1038,6 +1044,37 @@ WHERE user_id NOT IN (SELECT user_id FROM events
 """
 
 
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal 1:N fan-out: fixed-size frame sampling from binary
+    payloads inside an Arrow-batched mapInPandas."""
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.multimodal import (
+        sample_frames,
+        to_binary_payload,
+    )
+
+    d = T(spark, sf_dir, "documents")
+    frames = sample_frames(to_binary_payload(d, "text"), frame_bytes=16, every_n=2)
+    # compare digests, not raw bytes (binary round-trips as bytearray
+    # vs bytes between engines' pandas bridges)
+    return frames.select(
+        "doc_id",
+        "frame_no",
+        F.md5(F.col("frame")).alias("frame_md5"),
+        F.length(F.col("frame")).alias("frame_len"),
+    )
+
+
+_MULTIMODAL_FRAMES_SQL = """
+-- documents are pure ASCII (verified: octet_length == length), so
+-- VARCHAR substring is byte-exact and the BLOB cast matches Spark's
+-- byte slicing
+SELECT doc_id, CAST(k AS INTEGER) AS frame_no,
+       md5(substring(text, CAST(k AS INTEGER)*16 + 1, 16)) AS frame_md5,
+       CAST(length(substring(text, CAST(k AS INTEGER)*16 + 1, 16)) AS INTEGER) AS frame_len
+FROM documents, unnest(range(0, length(text) // 16, 2)) AS t(k)
+"""
+
+
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN (no oracle — rows-only check; exhaustive-probe
     equivalence to exact top-k is asserted in tests)."""
@@ -1257,6 +1294,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_cosine_topk": q_cosine_topk,
         "embed_neardup": q_embed_neardup,
         "multimodal_features": q_multimodal,
+        "multimodal_frames": q_multimodal_frames,
         "ann_lsh_topk": q_ann_lsh,
         "ann_ivf_topk": q_ann_ivf,
         "stream_incremental_dedup": q_stream_dedup,
@@ -1299,6 +1337,7 @@ def oracle_sql() -> dict[str, str]:
         "embed_cosine_topk": _COSINE_TOPK_SQL,
         "embed_neardup": _EMBED_NEARDUP_SQL,
         "multimodal_features": _MULTIMODAL_SQL,
+        "multimodal_frames": _MULTIMODAL_FRAMES_SQL,
         "stream_incremental_dedup": _STREAM_DEDUP_SQL,
         "stream_windowed_agg": _STREAM_WINDOWED_SQL,
         "stream_keep_richest_state": _DEDUP_RICHEST_SQL,

@@ -79,3 +79,100 @@ def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return df.mapInPandas(run, FEATURE_SCHEMA)
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType()),
+                    T.StructField("n_bytes", T.LongType()),
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame, width: int, height: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Image-resize stage: Arrow-batched, map-only, schema-preserving.
+
+    The real decode+resample needs an image codec (absent here;
+    ``decode_stub`` raises NotImplementedError) — the deterministic
+    stand-in scales each payload to ``width*height`` bytes by repeating/
+    truncating, so batch shapes, output schema, and metadata handling
+    are exercised end-to-end."""
+    target = width * height
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_payload = []
+            for p in pdf["payload"]:
+                b = bytes(p) if p is not None else b""
+                scaled = (b * (target // max(len(b), 1) + 1))[:target]
+                out_payload.append(scaled)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "payload": out_payload,
+                    "meta": [
+                        {
+                            "mime": "image/raw-stub",
+                            "n_bytes": target,
+                            "width": width,
+                            "height": height,
+                        }
+                        for _ in out_payload
+                    ],
+                }
+            )
+
+    return df.mapInPandas(run, RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_no", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame,
+    frame_bytes: int = 16,
+    every_n: int = 2,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Video frame-sampling stage: one input payload fans out to every
+    ``every_n``-th fixed-size frame — a 1:N Arrow-batched flatMap.
+
+    Real containers need a demuxer (absent; see ``decode_stub``); the
+    stand-in treats the payload as a flat array of ``frame_bytes``-byte
+    frames, which keeps the fan-out dataflow (row multiplication inside
+    mapInPandas) and the output schema real."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nos, frames = [], [], []
+            for i, p in zip(pdf[id_col], pdf["payload"]):
+                b = bytes(p) if p is not None else b""
+                n_frames = len(b) // frame_bytes
+                for k in range(0, n_frames, every_n):
+                    ids.append(i)
+                    nos.append(k)
+                    frames.append(b[k * frame_bytes:(k + 1) * frame_bytes])
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_no": nos, "frame": frames}
+            )
+
+    return df.mapInPandas(run, FRAME_SCHEMA)

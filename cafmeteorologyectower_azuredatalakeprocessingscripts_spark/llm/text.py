@@ -116,3 +116,15 @@ def tfidf_top_terms(
         .filter(F.col("term_rank") <= k)
         .select("id", "term", "tf", "df", "tfidf", "term_rank")
     )
+
+
+def bpe_ish_token_count(c: Column | str) -> Column:
+    """Subword-flavored token count: word pieces + standalone
+    punctuation/symbol runs (``[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]``) — the
+    regex approximation of a BPE pre-tokenizer. Linear-time character
+    classes only."""
+    return F.size(
+        F.regexp_extract_all(
+            _c(c), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0
+        )
+    )

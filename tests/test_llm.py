@@ -178,3 +178,44 @@ def test_ivf_ann_recall_vs_exact(spark):
         for r in ivf_ann_topk(emb, q, n_centroids=8, n_probe=8, k=5).collect()
     }
     assert full == exact
+
+
+def test_multimodal_resize_and_frame_sample(spark):
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.multimodal import (
+        resize_images,
+        sample_frames,
+        to_binary_payload,
+    )
+
+    d = docs(spark, ["abcdefgh" * 8, "xy"])  # 64 and 2 bytes
+    payloads = to_binary_payload(d, "text")
+    resized = resize_images(payloads, 4, 3).collect()
+    assert all(len(r["payload"]) == 12 for r in resized)
+    assert all(r["meta"]["width"] == 4 and r["meta"]["height"] == 3 for r in resized)
+    # short payload scaled UP deterministically by repetition
+    short = [r for r in resized if r["doc_id"] == 1][0]
+    assert short["payload"] == b"xyxyxyxyxyxy"
+
+    frames = sample_frames(payloads, frame_bytes=16, every_n=2).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 0: 64 bytes -> 4 frames -> every 2nd = frames 0 and 2
+    assert sorted(r["frame_no"] for r in by_doc[0]) == [0, 2]
+    assert all(len(r["frame"]) == 16 for r in by_doc[0])
+    # doc 1: 2 bytes -> no complete frame
+    assert 1 not in by_doc
+
+
+def test_bpe_ish_token_count(spark):
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.text import (
+        bpe_ish_token_count,
+    )
+
+    d = docs(spark, ["Hello, world! x2y", ""])
+    got = {r["doc_id"]: r["n"] for r in d.select(
+        "doc_id", bpe_ish_token_count(F.col("text")).alias("n")
+    ).collect()}
+    # Hello , world ! x 2 y -> 7
+    assert got[0] == 7
+    assert got[1] == 0
