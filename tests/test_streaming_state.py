@@ -93,3 +93,40 @@ def test_stream_keep_richest_fewest_nulls_tiebreak(spark, tmp_path):
     q.awaitTermination(120)
     final = pd.concat(batches, ignore_index=True).iloc[-1]
     assert final["Tair"] == 9.5
+
+
+def test_stream_ingest_checkpoint_idempotent(spark, tmp_path):
+    """T5 streaming form: re-running the availableNow ingest over the
+    same source + checkpoint ingests nothing new (exactly-once file
+    tracking)."""
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.streaming import (
+        stream_ingest_dedup,
+    )
+
+    t1 = datetime.datetime(2022, 5, 1, 0, 0)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _write_file(spark, os.path.join(src, "f0.parquet"),
+                [(t1, 1, 10.0, 50.0), (t1, 1, 10.0, 50.0)])
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    from pyspark.sql import types as T
+
+    schema = T.StructType.fromDDL(_SCHEMA)
+    stream_ingest_dedup(
+        spark, src + "/*", schema, out, ckpt, key_cols=("TIMESTAMP", "RECORD")
+    )
+    n1 = spark.read.parquet(out).count()
+    assert n1 == 1  # in-stream duplicate dropped
+    # second run: nothing new
+    stream_ingest_dedup(
+        spark, src + "/*", schema, out, ckpt, key_cols=("TIMESTAMP", "RECORD")
+    )
+    assert spark.read.parquet(out).count() == n1
+    # new file arrives -> exactly its new key is appended
+    t2 = t1 + datetime.timedelta(minutes=30)
+    _write_file(spark, os.path.join(src, "f1.parquet"), [(t2, 2, 11.0, 51.0)])
+    stream_ingest_dedup(
+        spark, src + "/*", schema, out, ckpt, key_cols=("TIMESTAMP", "RECORD")
+    )
+    assert spark.read.parquet(out).count() == n1 + 1
