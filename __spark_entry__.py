@@ -858,6 +858,27 @@ SELECT id, term, tf, df, tfidf, term_rank FROM (
 """
 
 
+def q_type_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine extension (SURVEY §2.4 note): distinct-count + exact
+    interpolated percentiles per group — the QC-summary shapes the
+    reference never had."""
+    e = T(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("user_id").alias("n_users"),
+        F.round(F.percentile("value", 0.5), 6).alias("p50"),
+        F.round(F.percentile("value", 0.95), 6).alias("p95"),
+    )
+
+
+_TYPE_SUMMARY_SQL = """
+SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.95), 6) AS p95
+FROM events GROUP BY 1
+"""
+
+
 def q_rollup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Engine extension (SURVEY §2.4 note): ROLLUP subtotals + grand
     total over event types — multi-level aggregates in one shuffle."""
@@ -1275,6 +1296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_per_user": q_latest_per_user,
         "anti_join_processed": q_anti_join,
         "rollup_summary": q_rollup_summary,
+        "type_summary_stats": q_type_summary_stats,
         "except_churned_users": q_except_users,
         "pivot_daily_counts": q_pivot_daily,
         "sessionize": q_sessionize,
@@ -1318,6 +1340,7 @@ def oracle_sql() -> dict[str, str]:
         "latest_per_user": _LATEST_SQL,
         "anti_join_processed": _ANTI_JOIN_SQL,
         "rollup_summary": _ROLLUP_SQL,
+        "type_summary_stats": _TYPE_SUMMARY_SQL,
         "except_churned_users": _EXCEPT_SQL,
         "pivot_daily_counts": _PIVOT_SQL,
         "sessionize": _SESSIONIZE_SQL,
