@@ -858,6 +858,41 @@ SELECT id, term, tf, df, tfidf, term_rank FROM (
 """
 
 
+def q_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation: per-label embedding centroid, long form
+    (label, dim_pos, centroid) — posexplode + one grouped mean; the
+    element-wise reduction pattern behind IVF training."""
+    emb = T(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("dim_pos", "x"))
+        .groupBy("label", "dim_pos")
+        .agg(
+            # float32 inputs: engines disagree on decimal/round ties at
+            # the 6th place, so the contract output stays integral —
+            # exact micro-unit sums (floor(x*1e6) is IEEE-identical) and
+            # the count; centroid = sum_micro / 1e6 / n at the consumer
+            F.sum(F.floor(F.col("x").cast("double") * 1e6))
+            .cast("bigint")
+            .alias("sum_micro"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+_EMBED_CENTROIDS_SQL = """
+WITH long AS (
+  SELECT label,
+         unnest(range(0, len(embedding))) AS dim_pos,
+         unnest(embedding) AS x
+  FROM embeddings
+)
+SELECT label, CAST(dim_pos AS INTEGER) AS dim_pos,
+       CAST(sum(floor(CAST(x AS DOUBLE) * 1e6)) AS BIGINT) AS sum_micro,
+       count(*) AS n
+FROM long GROUP BY 1, 2
+"""
+
+
 def q_type_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Engine extension (SURVEY §2.4 note): distinct-count + exact
     interpolated percentiles per group — the QC-summary shapes the
@@ -1297,6 +1332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anti_join_processed": q_anti_join,
         "rollup_summary": q_rollup_summary,
         "type_summary_stats": q_type_summary_stats,
+        "embed_label_centroids": q_embed_centroids,
         "except_churned_users": q_except_users,
         "pivot_daily_counts": q_pivot_daily,
         "sessionize": q_sessionize,
@@ -1341,6 +1377,7 @@ def oracle_sql() -> dict[str, str]:
         "anti_join_processed": _ANTI_JOIN_SQL,
         "rollup_summary": _ROLLUP_SQL,
         "type_summary_stats": _TYPE_SUMMARY_SQL,
+        "embed_label_centroids": _EMBED_CENTROIDS_SQL,
         "except_churned_users": _EXCEPT_SQL,
         "pivot_daily_counts": _PIVOT_SQL,
         "sessionize": _SESSIONIZE_SQL,
