@@ -115,3 +115,43 @@ def test_water_year_round_trip(d):
     # boundaries: Oct 1 starts the next water year
     assert water_year_of(datetime.date(wy - 1, 10, 1)) == wy
     assert water_year_of(datetime.date(wy, 9, 30)) == wy
+
+
+_words = st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"])
+_docs = st.lists(
+    st.lists(_words, min_size=0, max_size=8).map(" ".join),
+    min_size=2, max_size=8,
+)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(texts=_docs)
+def test_jaccard_matches_python_model(spark, texts):
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.dedup import (
+        jaccard_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_pairs(df, n=2, threshold=0.0).collect()
+    }
+
+    def shingle_set(t):
+        toks = t.lower().split()
+        return {" ".join(toks[i:i + 2]) for i in range(len(toks) - 1)}
+
+    sets = {i: shingle_set(t) for i, t in enumerate(texts)}
+    want = {}
+    for a in sets:
+        for b in sets:
+            if a < b and sets[a] and sets[b]:
+                inter = len(sets[a] & sets[b])
+                if inter:
+                    want[(a, b)] = round(
+                        inter / (len(sets[a] | sets[b])), 6
+                    )
+    assert got == want
