@@ -22,6 +22,7 @@ from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.operators import
     dedup_keep_richest,
     gap_fill,
     latest_per_group,
+    spread,
     union_by_name,
 )
 from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.functions import water_year
@@ -511,6 +512,7 @@ def q_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = T(spark, sf_dir, "orders")
     li = T(spark, sf_dir, "lineitem")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    li = spread(li)  # single-row-group local files scan as one task
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)

@@ -1,6 +1,6 @@
 from .dedup import dedup_keep_richest
 from .gapfill import gap_fill, time_spine
-from .unions import union_by_name
+from .unions import spread, union_by_name
 from .topk import latest_per_group
 from .incremental import (
     CrossWaterYearError,
@@ -13,6 +13,7 @@ __all__ = [
     "dedup_keep_richest",
     "gap_fill",
     "time_spine",
+    "spread",
     "union_by_name",
     "latest_per_group",
     "CrossWaterYearError",

@@ -22,3 +22,19 @@ def union_by_name(dfs: Sequence[DataFrame]) -> DataFrame:
     return reduce(
         lambda a, b: a.unionByName(b, allowMissingColumns=True), dfs
     )
+
+
+def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Repartition ONLY if the input has fewer partitions than the
+    session's parallelism (or ``min_partitions``).
+
+    Single large files with one parquet row group scan as ONE task — a
+    row group cannot be split — so everything up to the first exchange
+    runs on one core. The round-robin shuffle is cheap relative to the
+    serialized compute it unblocks; on well-partitioned data this is a
+    no-op (no shuffle added).
+    """
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
