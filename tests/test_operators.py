@@ -151,3 +151,13 @@ def test_read_toa5_allow_missing_returns_empty_typed(spark, tmp_path):
     )
     assert df.count() == 0
     assert df.schema == st
+
+
+def test_spread_conditional(spark):
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.operators import spread
+
+    one = spark.range(1000).coalesce(1)
+    out = spread(one)
+    assert out.rdd.getNumPartitions() >= spark.sparkContext.defaultParallelism
+    wide = spark.range(1000).repartition(64)
+    assert spread(wide) is wide  # no-op, no extra shuffle
