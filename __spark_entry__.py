@@ -753,6 +753,29 @@ SELECT id, ({recombine}) AS simhash FROM sig
 """
 
 
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: prefix-bucket blocking + exact Hamming
+    filter via bit_count(xor) — the bounded pair join over signatures."""
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.dedup import (
+        simhash_pairs,
+    )
+
+    d = T(spark, sf_dir, "documents")
+    return simhash_pairs(d, max_hamming=16, bucket_bits=4)
+
+
+def _simhash_pairs_sql() -> str:
+    sig = _simhash_sql().strip().rstrip()
+    return f"""
+WITH sig AS ({sig}),
+b AS (SELECT id, simhash, simhash >> {SIMHASH_BITS - 4} AS bucket FROM sig)
+SELECT a.id AS id_a, b2.id AS id_b,
+       bit_count(xor(a.simhash, b2.simhash)) AS hamming
+FROM b a JOIN b b2 USING (bucket)
+WHERE a.id < b2.id AND bit_count(xor(a.simhash, b2.simhash)) <= 16
+"""
+
+
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = T(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
@@ -1351,6 +1374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_jaccard_pairs,
         "dedup_minhash_lsh": q_minhash_lsh,
         "dedup_simhash": q_simhash,
+        "dedup_simhash_pairs": q_simhash_pairs,
         "embed_cosine_topk": q_cosine_topk,
         "embed_neardup": q_embed_neardup,
         "multimodal_features": q_multimodal,
@@ -1396,6 +1420,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": _JACCARD_SQL,
         "dedup_minhash_lsh": _minhash_sql(),
         "dedup_simhash": _simhash_sql(),
+        "dedup_simhash_pairs": _simhash_pairs_sql(),
         "embed_cosine_topk": _COSINE_TOPK_SQL,
         "embed_neardup": _EMBED_NEARDUP_SQL,
         "multimodal_features": _MULTIMODAL_SQL,
