@@ -808,7 +808,7 @@ SELECT query_id, vec_id, cosine, rank FROM (
 
 def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = T(spark, sf_dir, "embeddings")
-    return embed_neardup_pairs(emb, threshold=0.8)
+    return embed_neardup_pairs(emb, threshold=0.45)
 
 
 _EMBED_NEARDUP_SQL = """
@@ -824,7 +824,7 @@ FROM v a CROSS JOIN v b
 WHERE a.vec_id < b.vec_id
   AND round(list_sum(list_transform(range(1, len(a.vec)+1), i -> a.vec[i]*b.vec[i])) /
             (sqrt(list_sum(list_transform(a.vec, x -> x*x))) *
-             sqrt(list_sum(list_transform(b.vec, x -> x*x)))), 6) >= 0.8
+             sqrt(list_sum(list_transform(b.vec, x -> x*x)))), 6) >= 0.45
 """
 
 
