@@ -60,10 +60,33 @@ SF001 = "/root/testdata/sf0.001"
 # ---------------------------------------------------------------- helpers
 
 
+def _ensure_nanos_readable(spark: SparkSession) -> None:
+    """The driver injects its OWN SparkSession (without session.py's
+    defaults), and events.parquet carries TIMESTAMP(NANOS) which vanilla
+    Spark rejects with PARQUET_TYPE_ILLEGAL. The conf is runtime-settable,
+    so set it here — never rely on the session builder having done it."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # conf not recognized on some builds; the retry in T() copes
+
+
+def _read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet read that survives TIMESTAMP(NANOS) columns on any session."""
+    _ensure_nanos_readable(spark)
+    try:
+        return spark.read.parquet(path)
+    except Exception:
+        # env drift fallback: retry once after (re)setting the conf —
+        # some sessions only honor it when set before the first read
+        _ensure_nanos_readable(spark)
+        return spark.read.parquet(path)
+
+
 def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = _read_parquet(spark, os.path.join(sf_dir, f"{name}.parquet"))
     # events.ts is TIMESTAMP(NANOS) parquet — read as nano longs
-    # (session conf) and truncated to micros, matching DuckDB's read
+    # (nanosAsLong conf) and truncated to micros, matching DuckDB's read
     for f in df.schema.fields:
         if f.name == "ts" and f.dataType.simpleString() == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
@@ -968,25 +991,30 @@ def q_except_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set difference (exceptAll): users active in the first half of the
     data but silent in the second half — churn-shaped EXCEPT."""
     e = T(spark, sf_dir, "events")
+    # 99th-percentile midpoint in exact integer microseconds: Spark's
+    # unix_timestamp truncates to whole seconds while DuckDB's epoch()
+    # is fractional, so any double math here can classify boundary rows
+    # differently across engines. Integer micros are engine-exact.
     mid = e.agg(
-        F.timestamp_seconds(
-            F.min(F.unix_timestamp("ts"))
-            + (F.max(F.unix_timestamp("ts")) - F.min(F.unix_timestamp("ts"))) * 0.99
-        ).alias("mid")
+        (
+            F.min(F.unix_micros("ts"))
+            + F.expr("(max(unix_micros(ts)) - min(unix_micros(ts))) * 99 div 100")
+        ).alias("mid_us")
     )
-    e2 = e.crossJoin(F.broadcast(mid))
-    first = e2.filter(F.col("ts") < F.col("mid")).select("user_id").distinct()
-    second = e2.filter(F.col("ts") >= F.col("mid")).select("user_id").distinct()
+    e2 = e.withColumn("ts_us", F.unix_micros("ts")).crossJoin(F.broadcast(mid))
+    first = e2.filter(F.col("ts_us") < F.col("mid_us")).select("user_id").distinct()
+    second = e2.filter(F.col("ts_us") >= F.col("mid_us")).select("user_id").distinct()
     return first.exceptAll(second)
 
 
 _EXCEPT_SQL = """
 WITH mid AS (
-  SELECT to_timestamp(epoch(min(ts)) + (epoch(max(ts)) - epoch(min(ts))) * 0.99) AS mid FROM events
+  SELECT min(epoch_us(ts)) + (max(epoch_us(ts)) - min(epoch_us(ts))) * 99 // 100 AS mid_us
+  FROM events
 )
-SELECT DISTINCT user_id FROM events, mid WHERE ts < mid
+SELECT DISTINCT user_id FROM events, mid WHERE epoch_us(ts) < mid_us
 EXCEPT ALL
-SELECT DISTINCT user_id FROM events, mid WHERE ts >= mid
+SELECT DISTINCT user_id FROM events, mid WHERE epoch_us(ts) >= mid_us
 """
 
 
@@ -1024,8 +1052,10 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum of session starts; one window shuffle keyed by user."""
     e = T(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
-    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    # gap in exact integer microseconds (unix_timestamp would truncate to
+    # seconds while the DuckDB oracle's epoch arithmetic is fractional)
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    new_sess = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
     sess = (
         e.withColumn("sess_no", F.sum(new_sess).over(w))
         .groupBy("user_id", "sess_no")
@@ -1048,7 +1078,7 @@ _SESSIONIZE_SQL = """
 WITH gaps AS (
   SELECT user_id, ts, event_id,
          CASE WHEN lag(ts) OVER w IS NULL
-                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
               THEN 1 ELSE 0 END AS new_sess
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -1085,7 +1115,7 @@ _SESSION_WINDOW_SQL = """
 WITH gaps AS (
   SELECT user_id, ts, event_id,
          CASE WHEN lag(ts) OVER w IS NULL
-                   OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
               THEN 1 ELSE 0 END AS new_sess
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -1179,7 +1209,7 @@ def q_stream_keep_richest(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_dedup_keep_richest,
     )
 
-    schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    schema = _read_parquet(spark, os.path.join(sf_dir, "events.parquet")).schema
     tmp = tempfile.mkdtemp(prefix="caf_stream_rich_")
     src = os.path.join(tmp, "src")
     os.makedirs(src)
@@ -1238,7 +1268,7 @@ def q_stream_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     complete-mode emission via foreachBatch so every window lands in the
     sink (append mode would hold back windows newer than the final
     watermark). Oracle: the same bucketed counts in plain SQL."""
-    schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    schema = _read_parquet(spark, os.path.join(sf_dir, "events.parquet")).schema
     tmp = tempfile.mkdtemp(prefix="caf_stream_win_")
     src = os.path.join(tmp, "src")
     os.makedirs(src)
@@ -1293,7 +1323,7 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_ingest_dedup,
     )
 
-    schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    schema = _read_parquet(spark, os.path.join(sf_dir, "events.parquet")).schema
     tmp = tempfile.mkdtemp(prefix="caf_stream_")
     # the file stream source wants a directory — symlink the parquet in
     src = os.path.join(tmp, "src")

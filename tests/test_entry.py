@@ -48,6 +48,21 @@ def test_queries_have_oracles_or_documented_absence():
     assert set(qs) - set(oracles) == {"ann_lsh_topk", "ann_ivf_topk"}
 
 
+def test_reads_nanos_parquet_on_foreign_session(spark):
+    """Regression (round-1 driver failure): the correctness harness injects
+    its OWN SparkSession without session.py's nanosAsLong default, so
+    events.parquet (TIMESTAMP(NANOS)) raised PARQUET_TYPE_ILLEGAL in 21/41
+    queries. T() must set the conf itself on whatever session it is given."""
+    foreign = spark.newSession()
+    # emulate a session that never saw the workaround
+    foreign.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    df = entrymod.T(foreign, SF, "events")
+    assert dict((f.name, f.dataType.simpleString()) for f in df.schema.fields)[
+        "ts"
+    ] == "timestamp"
+    assert df.limit(5).count() == 5
+
+
 @pytest.mark.parametrize("name", SAMPLE)
 def test_query_matches_oracle(spark, duck, name):
     sdf = entrymod.queries()[name](spark, SF).toPandas()
