@@ -1200,6 +1200,153 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_ann_topk(emb, queries, n_centroids=16, n_probe=4, k=5)
 
 
+# --- SRP-LSH oracles: the hyperplanes are md5-derived literals, so the
+# DuckDB oracle replays the exact same buckets — the approximate operators
+# become hash-checkable, not rows-only. All dots are double-exact in both
+# engines (same fold over the same literals), and every ranking key is
+# rounded to 6 before comparison so ordering ties break identically.
+
+_EMB_DIM = 64
+_NEARDUP_PLANES = 4
+_NEARDUP_TABLES = 8
+
+
+def _srp_values_sql(planes: int, tables: int, dim: int) -> str:
+    """(tbl, plane, weights) VALUES rows replaying srp_weights()."""
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.similarity import (
+        srp_weights,
+    )
+
+    rows = []
+    for t in range(tables):
+        for p, wrow in enumerate(srp_weights(dim, planes, offset=t * planes)):
+            lst = "[" + ", ".join(repr(x) for x in wrow) + "]"
+            rows.append(f"({t}, {p}, CAST({lst} AS DOUBLE[]))")
+    return ",\n  ".join(rows)
+
+
+_DOT_VW = "list_sum(list_transform(range(1, {dim}+1), i -> {a}[i] * {b}[i]))"
+
+
+def _cos_sql(a: str, b: str, dim: int = _EMB_DIM) -> str:
+    dot = _DOT_VW.format(dim=dim, a=a, b=b)
+    na = f"sqrt(list_sum(list_transform({a}, x -> x*x)))"
+    nb = f"sqrt(list_sum(list_transform({b}, x -> x*x)))"
+    return f"round({dot} / ({na} * {nb}), 6)"
+
+
+def q_embed_neardup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path for embedding near-dup: multi-table SRP-LSH blocking —
+    candidate pairs come from an equi-join keyed by (table, bucket), so
+    the corpus is never cross-joined. The oracle replays the identical
+    deterministic buckets, making this a hash-checked approximate op."""
+    emb = T(spark, sf_dir, "embeddings")
+    return embed_neardup_pairs(
+        emb,
+        threshold=0.45,
+        block=True,
+        dim=_EMB_DIM,
+        planes=_NEARDUP_PLANES,
+        tables=_NEARDUP_TABLES,
+    )
+
+
+def _embed_neardup_blocked_sql() -> str:
+    vals = _srp_values_sql(_NEARDUP_PLANES, _NEARDUP_TABLES, _EMB_DIM)
+    proj = _DOT_VW.format(dim=_EMB_DIM, a="vec", b="wv")
+    return f"""
+WITH w(tbl, plane, wv) AS (VALUES
+  {vals}),
+v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings
+),
+proj AS (
+  SELECT vec_id, tbl,
+         CAST(sum(CASE WHEN {proj} > 0 THEN 1 << plane ELSE 0 END) AS BIGINT) AS bkt
+  FROM v CROSS JOIN w GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM proj a JOIN proj b ON a.tbl = b.tbl AND a.bkt = b.bkt AND a.vec_id < b.vec_id
+),
+scored AS (
+  SELECT id_a, id_b, {_cos_sql('va.vec', 'vb.vec')} AS cosine
+  FROM cand
+  JOIN v va ON va.vec_id = cand.id_a
+  JOIN v vb ON vb.vec_id = cand.id_b
+)
+SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.45
+"""
+
+
+def _ann_lsh_sql() -> str:
+    vals = _srp_values_sql(4, 1, _EMB_DIM)
+    proj = _DOT_VW.format(dim=_EMB_DIM, a="vec", b="wv")
+    return f"""
+WITH w(tbl, plane, wv) AS (VALUES
+  {vals}),
+v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings
+),
+proj AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN {proj} > 0 THEN 1 << plane ELSE 0 END) AS BIGINT) AS bkt
+  FROM v CROSS JOIN w GROUP BY 1
+),
+c AS (SELECT v.vec_id, vec, bkt FROM v JOIN proj USING (vec_id)),
+sims AS (
+  SELECT q.vec_id AS query_id, c.vec_id, {_cos_sql('q.vec', 'c.vec')} AS cosine
+  FROM c JOIN c q ON c.bkt = q.bkt
+  WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
+)
+SELECT query_id, vec_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM sims
+) WHERE rank <= 5
+"""
+
+
+def _ann_ivf_sql() -> str:
+    aff_c = _cos_sql("v.vec", "c.ctr")
+    return f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings
+),
+cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) AS centroid_id, vec AS ctr
+  FROM (SELECT * FROM v ORDER BY vec_id LIMIT 16)
+),
+cells AS (
+  SELECT vec_id, centroid_id, vec FROM (
+    SELECT v.vec_id, c.centroid_id, v.vec,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {aff_c} DESC, c.centroid_id ASC) AS cr
+    FROM v CROSS JOIN cents c
+  ) WHERE cr <= 1
+),
+probes AS (
+  SELECT query_id, centroid_id, qv FROM (
+    SELECT v.vec_id AS query_id, c.centroid_id, v.vec AS qv,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {aff_c} DESC, c.centroid_id ASC) AS cr
+    FROM v CROSS JOIN cents c WHERE v.vec_id < 5
+  ) WHERE cr <= 4
+),
+sims AS (
+  SELECT query_id, cells.vec_id, {_cos_sql('qv', 'cells.vec')} AS cosine
+  FROM cells JOIN probes USING (centroid_id)
+  WHERE cells.vec_id <> query_id
+)
+SELECT query_id, vec_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM sims
+) WHERE rank <= 5
+"""
+
+
 def q_stream_keep_richest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (T2 + D1 semantics):
     applyInPandasWithState keeps the richest row per (user_id, hour) —
@@ -1407,6 +1554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": q_simhash_pairs,
         "embed_cosine_topk": q_cosine_topk,
         "embed_neardup": q_embed_neardup,
+        "embed_neardup_blocked": q_embed_neardup_blocked,
         "multimodal_features": q_multimodal,
         "multimodal_frames": q_multimodal_frames,
         "ann_lsh_topk": q_ann_lsh,
@@ -1453,11 +1601,16 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash_pairs": _simhash_pairs_sql(),
         "embed_cosine_topk": _COSINE_TOPK_SQL,
         "embed_neardup": _EMBED_NEARDUP_SQL,
+        "embed_neardup_blocked": _embed_neardup_blocked_sql(),
         "multimodal_features": _MULTIMODAL_SQL,
         "multimodal_frames": _MULTIMODAL_FRAMES_SQL,
+        # the approximate ops ARE oracle-checkable: SRP hyperplanes and
+        # IVF centroids are deterministic md5/first-N literals, so DuckDB
+        # replays the exact buckets/cells (recall is additionally
+        # asserted against exact top-k in tests/test_llm.py)
+        "ann_lsh_topk": _ann_lsh_sql(),
+        "ann_ivf_topk": _ann_ivf_sql(),
         "stream_incremental_dedup": _STREAM_DEDUP_SQL,
         "stream_windowed_agg": _STREAM_WINDOWED_SQL,
         "stream_keep_richest_state": _DEDUP_RICHEST_SQL,
-        # ann_lsh_topk: intentionally no oracle (approximate operator;
-        # rows-only check + recall test in tests/test_llm.py)
     }

@@ -80,14 +80,18 @@ def cosine_topk(
     )
 
 
-def srp_weights(dim: int, planes: int) -> list[list[float]]:
+def srp_weights(dim: int, planes: int, offset: int = 0) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes, derived from md5 so any
     engine (or the DuckDB oracle) can reproduce them as plain literals:
-    w[p][d] = (md5_int('srp:p:d') mod 2001 - 1000) / 1000."""
+    w[p][d] = (md5_int('srp:p:d') mod 2001 - 1000) / 1000.
+
+    ``offset`` selects planes [offset, offset+planes) of the same
+    infinite family — multi-table LSH uses disjoint slices so the
+    tables are independent without a separate seed parameter."""
     import hashlib
 
     out = []
-    for p in range(planes):
+    for p in range(offset, offset + planes):
         row = []
         for d in range(dim):
             h = int(hashlib.md5(f"srp:{p}:{d}".encode()).hexdigest()[:15], 16)
@@ -96,11 +100,11 @@ def srp_weights(dim: int, planes: int) -> list[list[float]]:
     return out
 
 
-def _srp_bucket(vec: Column, dim: int, planes: int) -> Column:
+def _srp_bucket(vec: Column, dim: int, planes: int, offset: int = 0) -> Column:
     """Sign-random-projection bucket id: for each hyperplane p,
     bit p = sign(w[p] . v)."""
     bucket = F.lit(0)
-    for p, row in enumerate(srp_weights(dim, planes)):
+    for p, row in enumerate(srp_weights(dim, planes, offset)):
         weights = F.array(*[F.lit(w) for w in row])
         proj = F.aggregate(
             F.zip_with(vec, weights, lambda v, w: v * w),
@@ -163,8 +167,11 @@ def ivf_assign(
     Centroids are broadcast — the coarse quantizer is tiny by
     construction — so assignment is a map-only pass over the corpus."""
     c = centroids.select("centroid_id", "__ctr")
+    # round-6 affinity: cell choice becomes engine-exact (an oracle in a
+    # different engine replays the same assignment; ties break by id)
     scored = df.crossJoin(F.broadcast(c)).withColumn(
-        "__aff", cosine(_as_double(F.col(vec_col)), _as_double(F.col("__ctr")))
+        "__aff",
+        F.round(cosine(_as_double(F.col(vec_col)), _as_double(F.col("__ctr"))), 6),
     )
     w = Window.partitionBy(id_col).orderBy(
         F.col("__aff").desc(), F.col("centroid_id").asc()
@@ -245,9 +252,59 @@ def embed_neardup_pairs(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    block: bool = False,
+    dim: int | None = None,
+    planes: int = 4,
+    tables: int = 8,
 ) -> DataFrame:
-    """All pairs with cosine >= threshold (brute-force — correctness
-    baseline; compose with ``_srp_bucket`` blocking at scale)."""
+    """Embedding near-duplicate pairs (cosine >= threshold).
+
+    ``block=False``: brute-force all-pairs — exact, O(n²); the oracle
+    baseline at test scale, a scale-killer on a real corpus.
+
+    ``block=True``: multi-table SRP-LSH blocking — each vector is hashed
+    into ``tables`` independent sign-random-projection buckets (disjoint
+    plane slices of the deterministic md5 family) and only same-bucket
+    pairs are compared. The self-join is an equi-join keyed by
+    (table, bucket): shuffle ∝ n·tables rows, candidate pairs ∝
+    Σ bucket²  — never the full n². Recall per pair at angle θ is
+    1-(1-(1-θ/π)^planes)^tables (tunable); collisions in several
+    tables are deduped by a (id_a,id_b) groupBy before emission, so
+    output pairs are unique and each cosine is computed per-collision
+    but emitted once. Requires ``dim``."""
+    if block:
+        if dim is None:
+            raise ValueError("block=True requires dim=")
+        v = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+        buckets = F.array(
+            *[
+                _srp_bucket(_as_double(F.col("__v")), dim, planes, offset=t * planes)
+                for t in range(tables)
+            ]
+        )
+        tagged = v.select(
+            "__id", "__v", F.posexplode(buckets).alias("__tbl", "__bkt")
+        )
+        a = tagged.select(
+            F.col("__id").alias("id_a"), F.col("__v").alias("__va"), "__tbl", "__bkt"
+        )
+        b = tagged.select(
+            F.col("__id").alias("id_b"), F.col("__v").alias("__vb"), "__tbl", "__bkt"
+        )
+        return (
+            a.join(b, ["__tbl", "__bkt"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .withColumn(
+                "cosine",
+                F.round(
+                    cosine(_as_double(F.col("__va")), _as_double(F.col("__vb"))), 6
+                ),
+            )
+            .filter(F.col("cosine") >= threshold)
+            .groupBy("id_a", "id_b")
+            .agg(F.max("cosine").alias("cosine"))
+            .select("id_a", "id_b", "cosine")
+        )
     a = df.repartition(F.col(id_col)).select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")
     )

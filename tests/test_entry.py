@@ -44,8 +44,9 @@ def test_queries_have_oracles_or_documented_absence():
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     assert set(oracles) <= set(qs)
-    # only the approximate ANN ops are allowed to skip the oracle
-    assert set(qs) - set(oracles) == {"ann_lsh_topk", "ann_ivf_topk"}
+    # every query is oracle-checked — the approximate ANN ops replay
+    # their deterministic buckets/cells in DuckDB (round 2)
+    assert set(qs) == set(oracles)
 
 
 def test_reads_nanos_parquet_on_foreign_session(spark):

@@ -121,6 +121,42 @@ def test_lsh_ann_recall_vs_exact(spark):
     assert len(exact & approx) > 0
 
 
+def test_embed_neardup_blocked_recall(spark):
+    import random
+
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm import (
+        embed_neardup_pairs,
+    )
+
+    rng = random.Random(41)
+    base = [[rng.gauss(0, 1) for _ in range(16)] for _ in range(30)]
+    rows = [Row(vec_id=i, embedding=v) for i, v in enumerate(base)]
+    # 30 near-duplicates: tiny perturbations of each base vector
+    rows += [
+        Row(vec_id=100 + i, embedding=[x + rng.gauss(0, 0.01) for x in v])
+        for i, v in enumerate(base)
+    ]
+    emb = spark.createDataFrame(rows)
+    brute = {
+        (r.id_a, r.id_b): r.cosine
+        for r in embed_neardup_pairs(emb, threshold=0.95).collect()
+    }
+    blocked = {
+        (r.id_a, r.id_b): r.cosine
+        for r in embed_neardup_pairs(
+            emb, threshold=0.95, block=True, dim=16, planes=4, tables=8
+        ).collect()
+    }
+    # blocking never invents pairs, and cosines agree exactly
+    assert set(blocked) <= set(brute)
+    assert all(brute[p] == c for p, c in blocked.items())
+    # the 30 planted near-dup pairs are ~cos 0.99+: multi-table SRP at
+    # (4 planes, 8 tables) misses each with prob ~(1-0.83)^8 — demand
+    # high recall, with slack for the random draw
+    assert len(brute) >= 30
+    assert len(blocked) / len(brute) >= 0.85
+
+
 def test_text_functions(spark):
     d = docs(spark, ["The quick  brown fox", "1234 5678 !!"])
     out = d.select(
