@@ -130,6 +130,78 @@ _NULLS_SQL = """
 # ------------------------------------------------------------- queries
 
 
+def q_toa5_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1+S2+U1+D1+J4 end-to-end through the hard signal: write a
+    deterministic TOA5 fixture (4-line headers, NAN sentinels, an
+    overlapping re-download with duplicate timestamps, a corrupt junk
+    file), scan it with read_toa5, union, keep-richest dedup, gap-fill
+    to day boundaries. The oracle replays the same literal rows in SQL
+    (reference semantics src/AzureDataLakeAccess.py:50-90)."""
+    from pyspark.sql import types as T_
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.sources.toa5 import (
+        read_toa5,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="caf_toa5_rt_")
+    hdr = (
+        '"TOA5","CookEast","CR3000","1234","CR3000.Std.32","CPU:flux.CR3","5678","Flux"\n'
+        '"TIMESTAMP","RECORD","Tair","RH"\n'
+        '"TS","RN","degC","%"\n'
+        '"","","Avg","Smp"\n'
+    )
+    with open(os.path.join(tmp, "day1.dat"), "w") as f:
+        f.write(hdr)
+        f.write('"2022-06-01 00:00:00",100,21.5,45.2\n')
+        f.write('"2022-06-01 00:30:00",101,"NAN",44.0\n')
+        f.write('"2022-06-01 01:30:00",103,20.1,"NAN"\n')  # 01:00 tick missing
+    with open(os.path.join(tmp, "day1_redownload.dat"), "w") as f:
+        f.write(hdr)
+        f.write('"2022-06-01 01:30:00",9103,19.9,41.0\n')  # dup ts, higher RECORD
+        f.write('"2022-06-01 02:00:00",9104,19.5,40.5\n')
+    with open(os.path.join(tmp, "junk.dat"), "w") as f:
+        f.write("this is not a TOA5 file\nat,all,really\n")
+    schema = T_.StructType(
+        [
+            T_.StructField("TIMESTAMP", T_.TimestampType()),
+            T_.StructField("RECORD", T_.LongType()),
+            T_.StructField("Tair", T_.DoubleType()),
+            T_.StructField("RH", T_.DoubleType()),
+        ]
+    )
+    raw = read_toa5(spark, os.path.join(tmp, "*.dat"), schema)
+    deduped = dedup_keep_richest(raw, keys=("TIMESTAMP",), record_col="RECORD")
+    return gap_fill(deduped, ts_col="TIMESTAMP", freq_minutes=30).select(
+        "TIMESTAMP", "RECORD", "Tair", "RH"
+    )
+
+
+_TOA5_ROUNDTRIP_SQL = """
+WITH raw(TIMESTAMP, RECORD, Tair, RH) AS (VALUES
+  (TIMESTAMP '2022-06-01 00:00:00', CAST(100 AS BIGINT), 21.5, 45.2),
+  (TIMESTAMP '2022-06-01 00:30:00', CAST(101 AS BIGINT), CAST(NULL AS DOUBLE), 44.0),
+  (TIMESTAMP '2022-06-01 01:30:00', CAST(103 AS BIGINT), 20.1, CAST(NULL AS DOUBLE)),
+  (TIMESTAMP '2022-06-01 01:30:00', CAST(9103 AS BIGINT), 19.9, 41.0),
+  (TIMESTAMP '2022-06-01 02:00:00', CAST(9104 AS BIGINT), 19.5, 40.5)
+),
+dedup AS (
+  SELECT TIMESTAMP, RECORD, Tair, RH FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY TIMESTAMP
+      ORDER BY RECORD ASC NULLS LAST,
+               (CASE WHEN Tair IS NULL THEN 1 ELSE 0 END
+                + CASE WHEN RH IS NULL THEN 1 ELSE 0 END) ASC) AS rn
+    FROM raw) WHERE rn = 1
+),
+spine AS (
+  SELECT unnest(generate_series(TIMESTAMP '2022-06-01 00:00:00',
+                                TIMESTAMP '2022-06-02 00:00:00',
+                                INTERVAL 30 MINUTE)) AS TIMESTAMP
+)
+SELECT spine.TIMESTAMP, RECORD, Tair, RH
+FROM spine LEFT JOIN dedup USING (TIMESTAMP)
+"""
+
+
 def q_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1+A2+J4+W1+F3 composition: bucket events to a regular 15-min
     series, gap-fill to day boundaries, lag-based spike test."""
@@ -1521,6 +1593,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_tower_pipeline": q_flagship,
+        "toa5_roundtrip": q_toa5_roundtrip,
         "dedup_keep_richest": q_dedup_keep_richest,
         "gapfill_spine": q_gapfill_spine,
         "lag_spike_qc": q_lag_spike,
@@ -1568,6 +1641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "flagship_tower_pipeline": _FLAGSHIP_SQL,
+        "toa5_roundtrip": _TOA5_ROUNDTRIP_SQL,
         "dedup_keep_richest": _DEDUP_RICHEST_SQL,
         "gapfill_spine": _GAPFILL_SQL,
         "lag_spike_qc": _LAG_SPIKE_SQL,
