@@ -130,6 +130,67 @@ _NULLS_SQL = """
 # ------------------------------------------------------------- queries
 
 
+def q_flagship_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship composition in its multi-series form — the plan
+    shape that scales: spine, lag window, and spike test all keyed by
+    event_type (the 'site' analogue), so no stage funnels the whole
+    series through one task (qc/metqc.py does the same per site)."""
+    e = T(spark, sf_dir, "events")
+    bucketed = (
+        e.select("event_type", _bucket15(F.col("ts")).alias("TIMESTAMP"), "value")
+        .groupBy("event_type", "TIMESTAMP")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(_dsum(F.col("value")) / F.count("*"), 6).alias("avg_value"),
+        )
+    )
+    filled = gap_fill(
+        bucketed,
+        ts_col="TIMESTAMP",
+        freq_minutes=15,
+        partition_cols=("event_type",),
+    )
+    w = Window.partitionBy("event_type").orderBy("TIMESTAMP")
+    delta = F.round(F.col("avg_value") - F.lag("avg_value").over(w), 6)
+    return (
+        filled.withColumn("n_events", F.coalesce("n_events", F.lit(0)))
+        .withColumn("delta", delta)
+        .withColumn("spike", F.coalesce(F.abs(delta) >= 100.0, F.lit(False)))
+        .select("event_type", "TIMESTAMP", "n_events", "avg_value", "delta", "spike")
+    )
+
+
+_FLAGSHIP_PARTITIONED_SQL = """
+WITH bucketed AS (
+  SELECT event_type,
+         make_timestamp(CAST(floor(epoch(ts)/900)*900*1000000 AS BIGINT)) AS TIMESTAMP,
+         count(*) AS n_events,
+         round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE)/count(*), 6) AS avg_value
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT event_type,
+         date_trunc('day', min(TIMESTAMP)) AS lo,
+         CASE WHEN max(TIMESTAMP) = date_trunc('day', max(TIMESTAMP))
+              THEN max(TIMESTAMP)
+              ELSE date_trunc('day', max(TIMESTAMP)) + INTERVAL 1 DAY END AS hi
+  FROM bucketed GROUP BY 1
+), spine AS (
+  SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 15 MINUTE)) AS TIMESTAMP
+  FROM bounds
+), filled AS (
+  SELECT s.event_type, s.TIMESTAMP, coalesce(b.n_events, 0) AS n_events, b.avg_value
+  FROM spine s LEFT JOIN bucketed b USING (event_type, TIMESTAMP)
+)
+SELECT event_type, TIMESTAMP, n_events, avg_value,
+       round(avg_value - lag(avg_value)
+             OVER (PARTITION BY event_type ORDER BY TIMESTAMP), 6) AS delta,
+       coalesce(abs(round(avg_value - lag(avg_value)
+                          OVER (PARTITION BY event_type ORDER BY TIMESTAMP), 6)) >= 100.0,
+                false) AS spike
+FROM filled
+"""
+
+
 def q_toa5_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1+S2+U1+D1+J4 end-to-end through the hard signal: write a
     deterministic TOA5 fixture (4-line headers, NAN sentinels, an
@@ -1279,7 +1340,11 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rounded to 6 before comparison so ordering ties break identically.
 
 _EMB_DIM = 64
-_NEARDUP_PLANES = 4
+# 8 planes = 256 buckets/table: at threshold 0.45 recall is modest (LSH
+# blocking is a high-threshold tool — see the 0.95-threshold recall test),
+# but candidate pairs stay ~bucket-sized as the corpus grows — the point
+# of the scale path. 4 planes measured 16x more candidates at sf0.1.
+_NEARDUP_PLANES = 8
 _NEARDUP_TABLES = 8
 
 
@@ -1593,6 +1658,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_tower_pipeline": q_flagship,
+        "flagship_partitioned": q_flagship_partitioned,
         "toa5_roundtrip": q_toa5_roundtrip,
         "dedup_keep_richest": q_dedup_keep_richest,
         "gapfill_spine": q_gapfill_spine,
@@ -1641,6 +1707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "flagship_tower_pipeline": _FLAGSHIP_SQL,
+        "flagship_partitioned": _FLAGSHIP_PARTITIONED_SQL,
         "toa5_roundtrip": _TOA5_ROUNDTRIP_SQL,
         "dedup_keep_richest": _DEDUP_RICHEST_SQL,
         "gapfill_spine": _GAPFILL_SQL,

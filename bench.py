@@ -18,8 +18,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import __spark_entry__ as entrymod
 from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.session import get_spark
 
+N_RUNS = 2  # min-of-N per query (measured ±40% single-run noise on this box)
+
 HEADLINE = [
     "flagship_tower_pipeline",
+    "flagship_partitioned",
     "pricing_summary",
     "top_revenue",
     "dedup_keep_richest",
@@ -32,6 +35,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "embed_cosine_topk",
+    "embed_neardup_blocked",
     "multimodal_features",
 ]
 
@@ -59,7 +63,7 @@ def main() -> None:
     times: dict[str, float] = {}
     for name in HEADLINE:
         best = float("inf")
-        for _ in range(2):
+        for _ in range(N_RUNS):
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -74,6 +78,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,
+                "n": N_RUNS,
             }
         )
     )

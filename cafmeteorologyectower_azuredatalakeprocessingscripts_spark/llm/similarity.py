@@ -40,6 +40,24 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _dot_static(a: Column, b: Column, dim: int) -> Column:
+    """Dot product unrolled over a known dim — a plain codegen expression
+    (the lambda forms above run interpreted, ~an order of magnitude
+    slower in hot pair loops). The fold order (0.0 + t0) + t1 + ... is
+    identical to ``aggregate``'s left fold, so doubles are bit-equal."""
+    acc = F.lit(0.0)
+    for i in range(dim):
+        acc = acc + a[i] * b[i]
+    return acc
+
+
+def _norm_static(a: Column, dim: int) -> Column:
+    acc = F.lit(0.0)
+    for i in range(dim):
+        acc = acc + a[i] * a[i]
+    return F.sqrt(acc)
+
+
 def _as_double(c: Column) -> Column:
     return F.transform(c, lambda x: x.cast("double"))
 
@@ -102,7 +120,10 @@ def srp_weights(dim: int, planes: int, offset: int = 0) -> list[list[float]]:
 
 def _srp_bucket(vec: Column, dim: int, planes: int, offset: int = 0) -> Column:
     """Sign-random-projection bucket id: for each hyperplane p,
-    bit p = sign(w[p] . v)."""
+    bit p = sign(w[p] . v). Deliberately the zip_with/aggregate form:
+    it runs interpreted (once per VECTOR — cheap), while an unrolled
+    literal chain over planes x dim terms overflows janino's method
+    limit and knocks the whole stage out of codegen (measured slower)."""
     bucket = F.lit(0)
     for p, row in enumerate(srp_weights(dim, planes, offset)):
         weights = F.array(*[F.lit(w) for w in row])
@@ -275,21 +296,41 @@ def embed_neardup_pairs(
     if block:
         if dim is None:
             raise ValueError("block=True requires dim=")
-        v = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+        from ..operators.unions import spread
+
+        v = spread(
+            df.select(
+                F.col(id_col).alias("__id"),
+                _as_double(F.col(vec_col)).alias("__v"),
+            )
+        ).withColumn("__n", _norm_static(F.col("__v"), dim))
+        # norms computed ONCE per vector and carried as scalars — the
+        # per-pair cosine is then a single unrolled dot (bit-identical
+        # to recomputing norms inline, so the oracle form is unchanged);
+        # bucket tagging stays per-vector (n rows), the pair stage is
+        # the hot loop and gets the codegen _dot_static.
         buckets = F.array(
             *[
-                _srp_bucket(_as_double(F.col("__v")), dim, planes, offset=t * planes)
+                _srp_bucket(F.col("__v"), dim, planes, offset=t * planes)
                 for t in range(tables)
             ]
         )
         tagged = v.select(
-            "__id", "__v", F.posexplode(buckets).alias("__tbl", "__bkt")
+            "__id", "__v", "__n", F.posexplode(buckets).alias("__tbl", "__bkt")
         )
         a = tagged.select(
-            F.col("__id").alias("id_a"), F.col("__v").alias("__va"), "__tbl", "__bkt"
+            F.col("__id").alias("id_a"),
+            F.col("__v").alias("__va"),
+            F.col("__n").alias("__na"),
+            "__tbl",
+            "__bkt",
         )
         b = tagged.select(
-            F.col("__id").alias("id_b"), F.col("__v").alias("__vb"), "__tbl", "__bkt"
+            F.col("__id").alias("id_b"),
+            F.col("__v").alias("__vb"),
+            F.col("__n").alias("__nb"),
+            "__tbl",
+            "__bkt",
         )
         return (
             a.join(b, ["__tbl", "__bkt"])
@@ -297,7 +338,9 @@ def embed_neardup_pairs(
             .withColumn(
                 "cosine",
                 F.round(
-                    cosine(_as_double(F.col("__va")), _as_double(F.col("__vb"))), 6
+                    _dot_static(F.col("__va"), F.col("__vb"), dim)
+                    / (F.col("__na") * F.col("__nb")),
+                    6,
                 ),
             )
             .filter(F.col("cosine") >= threshold)
