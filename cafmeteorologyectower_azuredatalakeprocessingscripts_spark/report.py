@@ -64,18 +64,39 @@ def report_frames(
     Mirrors the reference's tolerance: stations whose frames are empty
     are skipped with a note (src/TowerReportPlots.py:30-37); variables a
     station lacks are simply absent. Returns ``(frames, missing)``.
+
+    The clip window is ANCHORED: the reference computes
+    [last-10d, last] from the FIRST valid station's final tick and
+    slices every station to that shared range
+    (src/TowerReportPlots.py:56-62) — a station with stale data shows
+    the same x-range as the others (possibly empty), not its own.
     """
     groups = dict(groups or VARIABLE_GROUPS)
     wanted = [v for vs in groups.values() for v in vs]
-    frames: dict[str, object] = {}
-    missing: list[str] = []
-    for station, df in stations.items():
+
+    def bounded(df: DataFrame) -> DataFrame:
         if start is not None:
             df = df.filter(F.col(ts_col) > F.lit(start))
         if end is not None:
             df = df.filter(F.col(ts_col) < F.lit(end))
+        return df
+
+    # anchor = first station with any data: one scalar max agg, no collect
+    anchor = None
+    for station, df in stations.items():
+        row = bounded(df).agg(F.max(ts_col).alias("mx")).first()
+        if row is not None and row["mx"] is not None:
+            anchor = row["mx"]
+            break
+
+    frames: dict[str, object] = {}
+    missing: list[str] = []
+    for station, df in stations.items():
         cols = [c for c in wanted if c in df.columns]
-        clipped = clip_last_days(df.select(ts_col, *cols), ts_col, days)
+        clipped = bounded(df.select(ts_col, *cols))
+        if anchor is not None:
+            lo = anchor - datetime.timedelta(days=days)
+            clipped = clipped.filter(F.col(ts_col).between(F.lit(lo), F.lit(anchor)))
         pdf = clipped.orderBy(ts_col).toPandas()
         if len(pdf) == 0:
             missing.append(station)

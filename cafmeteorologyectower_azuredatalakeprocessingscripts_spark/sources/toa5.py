@@ -76,8 +76,11 @@ def read_toa5(
         reader = reader.option("timestampFormat", timestamp_format)
     try:
         df = reader.csv(paths)
-    except AnalysisException:
-        if not allow_missing:
+    except AnalysisException as e:
+        # only the missing-path case maps to "empty frame" — schema or
+        # other analysis errors must still fail loudly
+        cls = e.getErrorClass() if hasattr(e, "getErrorClass") else None
+        if not allow_missing or cls != "PATH_NOT_FOUND":
             raise
         return spark.createDataFrame([], schema)
     return df.filter(F.col(ts_col).isNotNull())

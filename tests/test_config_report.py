@@ -106,6 +106,27 @@ def test_report_frames_skips_empty_station(spark):
     assert list(frames) == ["CookEast"]
 
 
+def test_report_frames_anchor_shared_across_stations(spark):
+    """Reference anchors the 10-day window on the FIRST valid station's
+    last tick (src/TowerReportPlots.py:56-62): a station whose data is
+    stale relative to the anchor falls outside the shared window."""
+    fresh = _mk_station(spark)  # ends 2022-01-30 23:30
+    stale = fresh.filter(
+        F.col("TIMESTAMP") < F.lit(datetime.datetime(2022, 1, 10))
+    )
+    frames, missing = report_frames({"CookEast": fresh, "BoydSouth": stale})
+    # stale station has NO rows inside [anchor-10d, anchor] -> missing
+    assert missing == ["BoydSouth"]
+    assert list(frames) == ["CookEast"]
+
+    # reversed order: the stale station becomes the anchor, and the
+    # fresh station contributes only the ticks inside the stale window
+    frames2, missing2 = report_frames({"BoydSouth": stale, "CookEast": fresh})
+    assert missing2 == []
+    anchor_end = frames2["BoydSouth"].index.max()
+    assert frames2["CookEast"].index.max() <= anchor_end
+
+
 def test_render_csv(tmp_path, spark):
     frames, _ = report_frames({"CookEast": _mk_station(spark)})
     written = render_csv(frames, str(tmp_path))
