@@ -1001,8 +1001,9 @@ FROM documents
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate NN via sign-random-projection buckets (no oracle —
-    rows-only check; recall vs exact top-k is asserted in tests)."""
+    """Approximate NN via sign-random-projection buckets. Hash-checked:
+    the oracle replays the deterministic md5-derived hyperplanes; recall
+    vs exact top-k is additionally asserted in tests."""
     emb = T(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -1320,8 +1321,9 @@ FROM documents, unnest(range(0, length(text) // 16, 2)) AS t(k)
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN (no oracle — rows-only check; exhaustive-probe
-    equivalence to exact top-k is asserted in tests)."""
+    """IVF-style ANN. Hash-checked: the oracle replays the first-N
+    quantizer and round-6 cell assignment; exhaustive-probe equivalence
+    to exact top-k is asserted in tests."""
     from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm import (
         ivf_ann_topk,
     )
@@ -1482,6 +1484,85 @@ SELECT query_id, vec_id, cosine, rank FROM (
   FROM sims
 ) WHERE rank <= 5
 """
+
+
+def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with a k-means-trained quantizer (2 deterministic Lloyd
+    iterations — round-6 affinity assignment, integral micro-unit mean
+    update), replacing first-N seeding. Same dataflow as ann_ivf_topk;
+    the oracle replays both training iterations exactly."""
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm import (
+        ivf_ann_topk,
+    )
+
+    emb = T(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_ann_topk(
+        emb, queries, n_centroids=16, n_probe=4, k=5, train_iters=2
+    )
+
+
+def _ann_ivf_kmeans_sql(iters: int = 2) -> str:
+    aff = _cos_sql("v.vec", "c.ctr")
+    sql = """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings
+),
+cents0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) AS centroid_id, vec AS ctr
+  FROM (SELECT * FROM v ORDER BY vec_id LIMIT 16)
+)"""
+    for r in range(iters):
+        sql += f""",
+assign{r} AS (
+  SELECT vec_id, centroid_id, vec FROM (
+    SELECT v.vec_id, c.centroid_id, v.vec,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {aff} DESC, c.centroid_id ASC) AS cr
+    FROM v CROSS JOIN cents{r} c
+  ) WHERE cr = 1
+),
+means{r} AS (
+  SELECT centroid_id, pos,
+         CAST(sum(floor(x * 1e6)) AS BIGINT) / 1e6 / count(*) AS m
+  FROM (SELECT centroid_id, unnest(range(0, len(vec))) AS pos, unnest(vec) AS x
+        FROM assign{r})
+  GROUP BY 1, 2
+),
+cents{r + 1} AS (
+  SELECT centroid_id, list(m ORDER BY pos) AS ctr FROM means{r} GROUP BY 1
+)"""
+    sql += f""",
+cells AS (
+  SELECT vec_id, centroid_id, vec FROM (
+    SELECT v.vec_id, c.centroid_id, v.vec,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {aff} DESC, c.centroid_id ASC) AS cr
+    FROM v CROSS JOIN cents{iters} c
+  ) WHERE cr <= 1
+),
+probes AS (
+  SELECT query_id, centroid_id, qv FROM (
+    SELECT v.vec_id AS query_id, c.centroid_id, v.vec AS qv,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {aff} DESC, c.centroid_id ASC) AS cr
+    FROM v CROSS JOIN cents{iters} c WHERE v.vec_id < 5
+  ) WHERE cr <= 4
+),
+sims AS (
+  SELECT query_id, cells.vec_id, {_cos_sql('qv', 'cells.vec')} AS cosine
+  FROM cells JOIN probes USING (centroid_id)
+  WHERE cells.vec_id <> query_id
+)
+SELECT query_id, vec_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM sims
+) WHERE rank <= 5
+"""
+    return sql
 
 
 def q_stream_keep_richest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1698,6 +1779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frames": q_multimodal_frames,
         "ann_lsh_topk": q_ann_lsh,
         "ann_ivf_topk": q_ann_ivf,
+        "ann_ivf_kmeans_topk": q_ann_ivf_kmeans,
         "stream_incremental_dedup": q_stream_dedup,
         "stream_windowed_agg": q_stream_windowed_agg,
         "stream_keep_richest_state": q_stream_keep_richest,
@@ -1751,6 +1833,7 @@ def oracle_sql() -> dict[str, str]:
         # asserted against exact top-k in tests/test_llm.py)
         "ann_lsh_topk": _ann_lsh_sql(),
         "ann_ivf_topk": _ann_ivf_sql(),
+        "ann_ivf_kmeans_topk": _ann_ivf_kmeans_sql(),
         "stream_incremental_dedup": _STREAM_DEDUP_SQL,
         "stream_windowed_agg": _STREAM_WINDOWED_SQL,
         "stream_keep_richest_state": _DEDUP_RICHEST_SQL,

@@ -16,7 +16,13 @@ from .dedup import (
     simhash,
     simhash_pairs,
 )
-from .similarity import cosine_topk, embed_neardup_pairs, ivf_ann_topk, lsh_ann_topk
+from .similarity import (
+    cosine_topk,
+    embed_neardup_pairs,
+    ivf_ann_topk,
+    kmeans_centroids,
+    lsh_ann_topk,
+)
 
 __all__ = [
     "norm_text",

@@ -204,6 +204,60 @@ def ivf_assign(
     )
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic Lloyd training for the IVF coarse quantizer,
+    expressed entirely as grouped aggregation (no UDFs, no driver loop
+    over data — only ``iters`` plan iterations).
+
+    Engine-exact by construction, so an oracle in another engine replays
+    it bit-for-bit: init is the first ``n_centroids`` vectors by id;
+    assignment uses round-6 cosine affinity with centroid-id tiebreak;
+    the mean update sums integral micro-units (``floor(x*1e6)`` — exact
+    int64 arithmetic, order-free) and divides as double. A cluster that
+    loses all members disappears (k shrinks) — identically in any engine.
+
+    ``iters=0`` returns the training-free first-N quantizer.
+    """
+    v = corpus.select(
+        F.col(id_col).alias("__kid"), _as_double(F.col(vec_col)).alias("__kv")
+    )
+    cents = (
+        v.orderBy("__kid")
+        .limit(n_centroids)
+        .select(
+            F.row_number().over(Window.orderBy("__kid")).alias("centroid_id"),
+            F.col("__kv").alias("__ctr"),
+        )
+    )
+    for _ in range(iters):
+        assigned = ivf_assign(v, cents, n_probe=1, id_col="__kid", vec_col="__kv")
+        exploded = assigned.select(
+            "centroid_id", F.posexplode("__kv").alias("__pos", "__x")
+        )
+        means = exploded.groupBy("centroid_id", "__pos").agg(
+            (
+                F.sum(F.floor(F.col("__x") * F.lit(1e6))).cast("bigint")
+                / F.lit(1e6)
+                / F.count(F.lit(1))
+            ).alias("__m")
+        )
+        cents = (
+            means.groupBy("centroid_id")
+            .agg(F.array_sort(F.collect_list(F.struct("__pos", "__m"))).alias("__s"))
+            .select(
+                "centroid_id",
+                F.transform("__s", lambda s: s["__m"]).alias("__ctr"),
+            )
+        )
+    return cents
+
+
 def ivf_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -213,28 +267,27 @@ def ivf_ann_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    train_iters: int = 0,
 ) -> DataFrame:
     """IVF-style approximate top-k: a coarse quantizer partitions the
     corpus into cells; each query probes only its ``n_probe`` nearest
     cells.
 
-    The quantizer here takes the first ``n_centroids`` corpus vectors
-    (by id) as cell centers — deterministic and training-free; a real
-    deployment would k-means them, which changes recall but not the
-    dataflow. Scale shape: corpus assignment is map-only (broadcast
-    centroids), the probe join is keyed by cell id (≤ n_probe × |q|
-    build rows), and per-query top-k is a bounded window — the corpus
-    is never self-joined and never shuffled whole.
+    ``train_iters=0`` takes the first ``n_centroids`` corpus vectors
+    (by id) as cell centers — deterministic and training-free;
+    ``train_iters>0`` runs that many deterministic Lloyd iterations
+    (``kmeans_centroids``) which improves cell balance/recall without
+    changing the dataflow. Scale shape: corpus assignment is map-only
+    (broadcast centroids), the probe join is keyed by cell id
+    (≤ n_probe × |q| build rows), and per-query top-k is a bounded
+    window — the corpus is never self-joined and never shuffled whole.
     """
-    cents = (
-        corpus.orderBy(id_col)
-        .limit(n_centroids)
-        .select(
-            F.row_number()
-            .over(Window.orderBy(id_col))
-            .alias("centroid_id"),
-            F.col(vec_col).alias("__ctr"),
-        )
+    cents = kmeans_centroids(
+        corpus,
+        n_centroids=n_centroids,
+        iters=train_iters,
+        id_col=id_col,
+        vec_col=vec_col,
     )
     cells = ivf_assign(
         corpus.select(F.col(id_col), F.col(vec_col).alias("__cv")),

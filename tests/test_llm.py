@@ -121,6 +121,42 @@ def test_lsh_ann_recall_vs_exact(spark):
     assert len(exact & approx) > 0
 
 
+def test_ivf_kmeans_training(spark):
+    import random
+
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm import (
+        ivf_ann_topk,
+        kmeans_centroids,
+    )
+
+    rng = random.Random(7)
+    rows = [
+        Row(vec_id=i, embedding=[rng.gauss(0, 1) for _ in range(16)])
+        for i in range(60)
+    ]
+    emb = spark.createDataFrame(rows)
+    # deterministic: two runs produce identical centroids
+    c1 = sorted(map(tuple, kmeans_centroids(emb, 8, iters=2).collect()))
+    c2 = sorted(map(tuple, kmeans_centroids(emb, 8, iters=2).collect()))
+    assert c1 == c2
+    # training moves centroids off the first-N seeds
+    c0 = sorted(map(tuple, kmeans_centroids(emb, 8, iters=0).collect()))
+    assert c1 != c0
+    # exhaustive probe with trained centroids still equals exact top-k
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {(r.query_id, r.vec_id) for r in cosine_topk(emb, q, k=5).collect()}
+    n_cells = len(c1)  # clusters may die during training
+    full = {
+        (r.query_id, r.vec_id)
+        for r in ivf_ann_topk(
+            emb, q, n_centroids=8, n_probe=n_cells, k=5, train_iters=2
+        ).collect()
+    }
+    assert full == exact
+
+
 def test_embed_neardup_blocked_recall(spark):
     import random
 
