@@ -263,6 +263,39 @@ FROM spine LEFT JOIN dedup USING (TIMESTAMP)
 """
 
 
+def q_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6+T5 in the hard signal: dynamic-partition-overwrite parquet
+    sink, written TWICE (idempotent re-run — the reference's
+    skip-if-exists/overwrite contract), then re-read through the
+    partition-discovery scan and aggregated. The oracle computes the
+    same rollup straight from the source table — equality proves the
+    sink/scan round trip loses and duplicates nothing."""
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.sources.sinks import (
+        write_partitioned,
+    )
+
+    e = T(spark, sf_dir, "events").withColumn("wateryear", water_year("ts"))
+    out = os.path.join(tempfile.mkdtemp(prefix="caf_sink_rt_"), "events_pq")
+    write_partitioned(e, out, partition_cols=("wateryear",))
+    write_partitioned(e, out, partition_cols=("wateryear",))  # re-run: same result
+    back = spark.read.parquet(out)
+    return back.groupBy(
+        F.col("wateryear").cast("int").alias("wateryear"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(_dsum(F.col("value")), 6).alias("sum_value"),
+    )
+
+
+_SINK_ROUNDTRIP_SQL = """
+SELECT CAST(CASE WHEN month(ts) >= 10 THEN year(ts) + 1 ELSE year(ts) END AS INTEGER)
+         AS wateryear,
+       event_type, count(*) AS n,
+       round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 6) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
 def q_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1+A2+J4+W1+F3 composition: bucket events to a regular 15-min
     series, gap-fill to day boundaries, lag-based spike test."""
@@ -1741,6 +1774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flagship_tower_pipeline": q_flagship,
         "flagship_partitioned": q_flagship_partitioned,
         "toa5_roundtrip": q_toa5_roundtrip,
+        "sink_roundtrip": q_sink_roundtrip,
         "dedup_keep_richest": q_dedup_keep_richest,
         "gapfill_spine": q_gapfill_spine,
         "lag_spike_qc": q_lag_spike,
@@ -1791,6 +1825,7 @@ def oracle_sql() -> dict[str, str]:
         "flagship_tower_pipeline": _FLAGSHIP_SQL,
         "flagship_partitioned": _FLAGSHIP_PARTITIONED_SQL,
         "toa5_roundtrip": _TOA5_ROUNDTRIP_SQL,
+        "sink_roundtrip": _SINK_ROUNDTRIP_SQL,
         "dedup_keep_richest": _DEDUP_RICHEST_SQL,
         "gapfill_spine": _GAPFILL_SQL,
         "lag_spike_qc": _LAG_SPIKE_SQL,
