@@ -40,22 +40,23 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
-def _dot_static(a: Column, b: Column, dim: int) -> Column:
-    """Dot product unrolled over a known dim — a plain codegen expression
-    (the lambda forms above run interpreted, ~an order of magnitude
-    slower in hot pair loops). The fold order (0.0 + t0) + t1 + ... is
-    identical to ``aggregate``'s left fold, so doubles are bit-equal."""
-    acc = F.lit(0.0)
-    for i in range(dim):
-        acc = acc + a[i] * b[i]
-    return acc
+def _dot_static_sql(a: str, b: str, dim: int) -> str:
+    """Dot product unrolled over a known dim as ONE SQL string — a plain
+    codegen expression (the lambda forms above run interpreted, ~an
+    order of magnitude slower in hot pair loops), parsed by Catalyst in
+    one call (building the same tree via thousands of py4j Column ops
+    measured ~10s of driver time per query construction). The fold
+    order (0D + t0) + t1 + ... is identical to ``aggregate``'s left
+    fold, so doubles are bit-equal."""
+    return "(0D + " + " + ".join(f"{a}[{i}] * {b}[{i}]" for i in range(dim)) + ")"
 
 
-def _norm_static(a: Column, dim: int) -> Column:
-    acc = F.lit(0.0)
-    for i in range(dim):
-        acc = acc + a[i] * a[i]
-    return F.sqrt(acc)
+def _norm_static_sql(a: str, dim: int) -> str:
+    return (
+        "sqrt(0D + "
+        + " + ".join(f"{a}[{i}] * {a}[{i}]" for i in range(dim))
+        + ")"
+    )
 
 
 def _as_double(c: Column) -> Column:
@@ -118,22 +119,27 @@ def srp_weights(dim: int, planes: int, offset: int = 0) -> list[list[float]]:
     return out
 
 
-def _srp_bucket(vec: Column, dim: int, planes: int, offset: int = 0) -> Column:
-    """Sign-random-projection bucket id: for each hyperplane p,
-    bit p = sign(w[p] . v). Deliberately the zip_with/aggregate form:
-    it runs interpreted (once per VECTOR — cheap), while an unrolled
-    literal chain over planes x dim terms overflows janino's method
-    limit and knocks the whole stage out of codegen (measured slower)."""
-    bucket = F.lit(0)
+def _srp_bucket_sql(vec_sql: str, dim: int, planes: int, offset: int = 0) -> str:
+    """Sign-random-projection bucket id as a SQL string: for each
+    hyperplane p, bit p = sign(w[p] . v). Deliberately the
+    zip_with/aggregate form: it runs interpreted (once per VECTOR —
+    cheap), while an unrolled literal chain over planes x dim terms
+    overflows janino's method limit and knocks the whole stage out of
+    codegen (measured slower). One string parse per query keeps the
+    driver-side plan construction milliseconds, not seconds."""
+    parts = []
     for p, row in enumerate(srp_weights(dim, planes, offset)):
-        weights = F.array(*[F.lit(w) for w in row])
-        proj = F.aggregate(
-            F.zip_with(vec, weights, lambda v, w: v * w),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
+        arr = ", ".join(f"{w!r}D" for w in row)
+        proj = (
+            f"aggregate(zip_with({vec_sql}, array({arr}), (x, y) -> x * y), "
+            f"0D, (acc, e) -> acc + e)"
         )
-        bucket = bucket + F.when(proj > 0, F.lit(2 ** p)).otherwise(F.lit(0))
-    return bucket
+        parts.append(f"IF({proj} > 0, {2 ** p}, 0)")
+    return "(" + " + ".join(parts) + ")"
+
+
+def _srp_bucket(vec_sql: str, dim: int, planes: int, offset: int = 0) -> Column:
+    return F.expr(_srp_bucket_sql(vec_sql, dim, planes, offset))
 
 
 def lsh_ann_topk(
@@ -148,15 +154,16 @@ def lsh_ann_topk(
 ) -> DataFrame:
     """Approximate top-k: compare only corpus vectors in the query's SRP
     bucket. Recall < 1 by design; the bucket join is the scale win."""
+    cast_vec = f"transform({vec_col}, x -> CAST(x AS DOUBLE))"
     c = corpus.select(
         F.col(id_col),
         F.col(vec_col).alias("__cv"),
-        _srp_bucket(_as_double(F.col(vec_col)), dim, planes).alias("__bkt"),
+        _srp_bucket(cast_vec, dim, planes).alias("__bkt"),
     )
     q = queries.select(
         F.col(query_id_col),
         F.col(vec_col).alias("__qv"),
-        _srp_bucket(_as_double(F.col(vec_col)), dim, planes).alias("__bkt"),
+        _srp_bucket(cast_vec, dim, planes).alias("__bkt"),
     )
     sim = (
         c.join(F.broadcast(q), "__bkt")
@@ -356,20 +363,21 @@ def embed_neardup_pairs(
                 F.col(id_col).alias("__id"),
                 _as_double(F.col(vec_col)).alias("__v"),
             )
-        ).withColumn("__n", _norm_static(F.col("__v"), dim))
+        ).withColumn("__n", F.expr(_norm_static_sql("__v", dim)))
         # norms computed ONCE per vector and carried as scalars — the
         # per-pair cosine is then a single unrolled dot (bit-identical
         # to recomputing norms inline, so the oracle form is unchanged);
         # bucket tagging stays per-vector (n rows), the pair stage is
-        # the hot loop and gets the codegen _dot_static.
-        buckets = F.array(
-            *[
-                _srp_bucket(F.col("__v"), dim, planes, offset=t * planes)
-                for t in range(tables)
-            ]
+        # the hot loop and gets the codegen static dot.
+        buckets = ", ".join(
+            _srp_bucket_sql("__v", dim, planes, offset=t * planes)
+            for t in range(tables)
         )
         tagged = v.select(
-            "__id", "__v", "__n", F.posexplode(buckets).alias("__tbl", "__bkt")
+            "__id",
+            "__v",
+            "__n",
+            F.posexplode(F.expr(f"array({buckets})")).alias("__tbl", "__bkt"),
         )
         a = tagged.select(
             F.col("__id").alias("id_a"),
@@ -390,10 +398,9 @@ def embed_neardup_pairs(
             .filter(F.col("id_a") < F.col("id_b"))
             .withColumn(
                 "cosine",
-                F.round(
-                    _dot_static(F.col("__va"), F.col("__vb"), dim)
-                    / (F.col("__na") * F.col("__nb")),
-                    6,
+                F.expr(
+                    f"round({_dot_static_sql('__va', '__vb', dim)}"
+                    " / (__na * __nb), 6)"
                 ),
             )
             .filter(F.col("cosine") >= threshold)
