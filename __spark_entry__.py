@@ -742,18 +742,22 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_TEXT_STATS_SQL = """
-SELECT doc_id,
-       len(regexp_extract_all(text, '\\S+')) AS n_tokens,
-       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens,
-       length(text) AS n_chars_measured,
-       round(0.4 * least(1.0, len(regexp_extract_all(text, '\\S+'))/100.0)
+_NTOK_SQL = "len(regexp_extract_all(text, '\\S+'))"
+
+_QUALITY_SQL = f"""round(0.4 * least(1.0, {_NTOK_SQL}/100.0)
            + 0.4 * (CASE WHEN length(text) > 0
                          THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g'))*1.0/length(text)
                          ELSE 0 END)
            + 0.2 * (1.0 - least(1.0, (CASE WHEN length(text) > 0
                           THEN length(regexp_replace(text, '[^0-9]', '', 'g'))*1.0/length(text)
-                          ELSE 0 END) * 5.0)), 6) AS quality
+                          ELSE 0 END) * 5.0)), 6)"""
+
+_TEXT_STATS_SQL = f"""
+SELECT doc_id,
+       {_NTOK_SQL} AS n_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens,
+       length(text) AS n_chars_measured,
+       {_QUALITY_SQL} AS quality
 FROM documents
 """
 
@@ -763,7 +767,7 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
 
 
-def _lang_id_sql() -> str:
+def _lang_id_sql(source: str = "documents") -> str:
     score_exprs = {
         lang: (
             "len(regexp_extract_all(lower(text), "
@@ -778,7 +782,7 @@ def _lang_id_sql() -> str:
         case += f"WHEN s_{lang} = best THEN '{lang}' "
     case += "ELSE 'unknown' END"
     return f"""
-WITH scored AS (SELECT doc_id, {scores} FROM documents),
+WITH scored AS (SELECT doc_id, {scores} FROM {source}),
 g AS (SELECT *, {greatest} AS best FROM scored)
 SELECT doc_id, CASE WHEN best = 0 THEN 'unknown' ELSE ({case}) END AS lang_pred
 FROM g
@@ -818,11 +822,11 @@ FROM documents GROUP BY 1
 _SHINGLE_N_Q = 2
 
 
-def _shingle_cte(n: int) -> str:
+def _shingle_cte(n: int, source: str = "documents") -> str:
     # shingles are hashed to 60-bit ints (same md5-prefix hash as the
     # engine) before the distinct — collisions, if any, match exactly
     return f"""
-toks AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents),
+toks AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM {source}),
 sh AS (
   SELECT DISTINCT doc_id AS id,
          CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS sh_h
@@ -910,6 +914,97 @@ JOIN cand USING (id_a, id_b)
 JOIN sizes sa ON sa.id = id_a
 JOIN sizes sb ON sb.id = id_b
 WHERE round(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.0
+"""
+
+
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical training-corpus curation pipeline as ONE lazy plan:
+    language-ID filter -> quality filter -> exact dedup (keep lowest id
+    per fingerprint) -> MinHash-LSH near-dup removal (candidates from
+    banding, Jaccard-verified, drop the higher id of each pair) ->
+    per-document token/quality stats. Every stage reuses the library
+    operator the standalone queries check; the oracle composes the same
+    stages over the same filtered relation."""
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm import (
+        minhash_lsh_pairs as _mlp,
+    )
+
+    d = T(spark, sf_dir, "documents")
+    enriched = d.select(
+        "doc_id",
+        "text",
+        lang_id(F.col("text")).alias("lang_pred"),
+        quality_score(F.col("text")).alias("quality"),
+        token_count(F.col("text")).alias("n_tokens"),
+        fingerprint_md5(F.col("text")).alias("fp"),
+    )
+    kept0 = enriched.filter(
+        (F.col("lang_pred") == "en") & (F.col("quality") >= 0.6)
+    )
+    keepers = kept0.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    kept = kept0.join(keepers, ["fp", "doc_id"])
+    cand = _mlp(kept, n=_SHINGLE_N_Q)
+    ver = jaccard_pairs(kept, n=_SHINGLE_N_Q, threshold=0.1, candidates=cand)
+    drops = ver.select(F.col("id_b").alias("doc_id")).distinct()
+    return kept.join(drops, "doc_id", "left_anti").select(
+        "doc_id", "n_tokens", "quality"
+    )
+
+
+def _corpus_curation_sql() -> str:
+    mins = ", ".join(
+        f"min(({MINHASH_A[i]} * x + {MINHASH_B[i]}) % {MINHASH_P}) AS mh_{i}"
+        for i in range(LSH_BANDS * LSH_ROWS)
+    )
+    bands = ", ".join(
+        "md5("
+        + " || ',' || ".join(
+            f"CAST(mh_{b * LSH_ROWS + r} AS VARCHAR)" for r in range(LSH_ROWS)
+        )
+        + f") AS bucket_{b}"
+        for b in range(LSH_BANDS)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT id, {b} AS band, bucket_{b} AS bucket FROM banded"
+        for b in range(LSH_BANDS)
+    )
+    return f"""
+WITH langs AS ({_lang_id_sql()}),
+enr AS (
+  SELECT d.doc_id, d.text, l.lang_pred, {_QUALITY_SQL} AS quality,
+         {_NTOK_SQL} AS n_tokens, md5({_NORM_SQL}) AS fp
+  FROM documents d JOIN langs l ON l.doc_id = d.doc_id
+),
+kept0 AS (SELECT * FROM enr WHERE lang_pred = 'en' AND quality >= 0.6),
+keepers AS (SELECT fp, min(doc_id) AS doc_id FROM kept0 GROUP BY 1),
+kept AS (SELECT kept0.* FROM kept0 JOIN keepers USING (fp, doc_id)),
+{_shingle_cte(_SHINGLE_N_Q, "kept").strip().rstrip()},
+hashed AS (SELECT id, sh_h % {MINHASH_P} AS x FROM sh),
+sig AS (SELECT id, {mins} FROM hashed GROUP BY id),
+banded AS (SELECT id, {bands} FROM sig),
+buckets AS ({band_rows}),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM buckets a JOIN buckets b USING (band, bucket)
+  WHERE a.id < b.id
+),
+sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+  FROM sh a JOIN sh b USING (sh_h)
+  WHERE a.id < b.id
+  GROUP BY 1, 2
+),
+ver AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN cand USING (id_a, id_b)
+  JOIN sizes sa ON sa.id = id_a
+  JOIN sizes sb ON sb.id = id_b
+  WHERE round(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.1
+)
+SELECT doc_id, n_tokens, quality FROM kept
+WHERE doc_id NOT IN (SELECT id_b FROM ver)
 """
 
 
@@ -1804,6 +1899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_jaccard_pairs,
         "dedup_minhash_lsh": q_minhash_lsh,
+        "corpus_curation": q_corpus_curation,
         "dedup_simhash": q_simhash,
         "dedup_simhash_pairs": q_simhash_pairs,
         "embed_cosine_topk": q_cosine_topk,
@@ -1855,6 +1951,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": _DEDUP_EXACT_SQL,
         "dedup_ngram_jaccard": _JACCARD_SQL,
         "dedup_minhash_lsh": _minhash_sql(),
+        "corpus_curation": _corpus_curation_sql(),
         "dedup_simhash": _simhash_sql(),
         "dedup_simhash_pairs": _simhash_pairs_sql(),
         "embed_cosine_topk": _COSINE_TOPK_SQL,
