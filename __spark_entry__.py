@@ -733,12 +733,17 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         bpe_ish_token_count,
     )
 
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.text import (
+        stopword_ratio,
+    )
+
     return d.select(
         "doc_id",
         token_count(F.col("text")).alias("n_tokens"),
         bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"),
         F.length("text").alias("n_chars_measured"),
         quality_score(F.col("text")).alias("quality"),
+        stopword_ratio(F.col("text")).alias("stopword_ratio"),
     )
 
 
@@ -752,12 +757,26 @@ _QUALITY_SQL = f"""round(0.4 * least(1.0, {_NTOK_SQL}/100.0)
                           THEN length(regexp_replace(text, '[^0-9]', '', 'g'))*1.0/length(text)
                           ELSE 0 END) * 5.0)), 6)"""
 
+def _stopword_ratio_sql() -> str:
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.text import (
+        STOPWORDS,
+    )
+
+    pat = r"\b(" + "|".join(STOPWORDS) + r")\b"
+    hits = f"len(regexp_extract_all(lower(text), '{pat}'))"
+    return (
+        f"round(CASE WHEN {_NTOK_SQL} > 0 "
+        f"THEN {hits} * 1.0 / {_NTOK_SQL} ELSE 0 END, 6)"
+    )
+
+
 _TEXT_STATS_SQL = f"""
 SELECT doc_id,
        {_NTOK_SQL} AS n_tokens,
        len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens,
        length(text) AS n_chars_measured,
-       {_QUALITY_SQL} AS quality
+       {_QUALITY_SQL} AS quality,
+       {_stopword_ratio_sql()} AS stopword_ratio
 FROM documents
 """
 

@@ -60,6 +60,24 @@ def quality_score(c: Column | str) -> Column:
     return F.round(score, 6)
 
 
+#: English stopwords for the stopword-ratio signal (natural prose sits
+#: roughly in [0.2, 0.6]; keyword soup and boilerplate fall outside).
+STOPWORDS = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "are", "was",
+    "for", "on", "with", "as", "at", "by", "it", "this", "that", "be",
+]
+
+
+def stopword_ratio(c: Column | str) -> Column:
+    """Fraction of whitespace tokens that are (lowercased) stopwords —
+    the classic prose-vs-junk signal alongside length/punct ratios."""
+    c = _c(c)
+    pat = r"\b(" + "|".join(STOPWORDS) + r")\b"
+    hits = F.size(F.regexp_extract_all(F.lower(c), F.lit(pat), 0)).cast("double")
+    n = token_count(c).cast("double")
+    return F.round(F.when(n > 0, hits / n).otherwise(F.lit(0.0)), 6)
+
+
 def _marker_score(c: Column, words: list[str]) -> Column:
     pat = r"\b(" + "|".join(words) + r")\b"
     return F.size(F.regexp_extract_all(F.lower(c), F.lit(pat), 0))

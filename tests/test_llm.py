@@ -194,7 +194,14 @@ def test_embed_neardup_blocked_recall(spark):
 
 
 def test_text_functions(spark):
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.text import (
+        stopword_ratio,
+    )
+
     d = docs(spark, ["The quick  brown fox", "1234 5678 !!"])
+    sw = d.orderBy("doc_id").select(stopword_ratio("text").alias("r")).collect()
+    assert sw[0].r == 0.25  # 'The' of 4 tokens
+    assert sw[1].r == 0.0
     out = d.select(
         token_count("text").alias("n"),
         quality_score("text").alias("q"),
