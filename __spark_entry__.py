@@ -1027,6 +1027,41 @@ WHERE doc_id NOT IN (SELECT id_b FROM ver)
 """
 
 
+_MAX_DOC_FREQ_Q = 40
+
+
+def q_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew valve in the hard signal: `max_doc_freq` drops
+    near-universal shingles from the inverted index (a shingle in d docs
+    fans out to d² join rows — the 100 TB hot-key killer), making
+    reported Jaccard a documented lower bound. The oracle replicates
+    the cap exactly, so the approximation itself is hash-checked."""
+    d = T(spark, sf_dir, "documents")
+    return jaccard_pairs(
+        d, n=_SHINGLE_N_Q, threshold=0.1, max_doc_freq=_MAX_DOC_FREQ_Q
+    )
+
+
+_JACCARD_CAPPED_SQL = f"""
+WITH {_shingle_cte(_SHINGLE_N_Q)},
+rare AS (SELECT sh_h FROM sh GROUP BY sh_h HAVING count(*) <= {_MAX_DOC_FREQ_Q}),
+idx AS (SELECT id, sh_h FROM sh JOIN rare USING (sh_h)),
+sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+  FROM idx a JOIN idx b USING (sh_h)
+  WHERE a.id < b.id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE round(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.1
+"""
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = T(spark, sf_dir, "documents")
     return simhash(d)
@@ -1917,6 +1952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tfidf_topk": q_tfidf,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_jaccard_pairs,
+        "dedup_ngram_jaccard_capped": q_jaccard_capped,
         "dedup_minhash_lsh": q_minhash_lsh,
         "corpus_curation": q_corpus_curation,
         "dedup_simhash": q_simhash,
@@ -1969,6 +2005,7 @@ def oracle_sql() -> dict[str, str]:
         "text_tfidf_topk": _TFIDF_SQL,
         "dedup_exact": _DEDUP_EXACT_SQL,
         "dedup_ngram_jaccard": _JACCARD_SQL,
+        "dedup_ngram_jaccard_capped": _JACCARD_CAPPED_SQL,
         "dedup_minhash_lsh": _minhash_sql(),
         "corpus_curation": _corpus_curation_sql(),
         "dedup_simhash": _simhash_sql(),

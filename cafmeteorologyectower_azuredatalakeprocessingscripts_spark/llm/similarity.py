@@ -99,6 +99,10 @@ def cosine_topk(
     )
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=64)
 def srp_weights(dim: int, planes: int, offset: int = 0) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes, derived from md5 so any
     engine (or the DuckDB oracle) can reproduce them as plain literals:
