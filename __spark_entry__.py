@@ -54,6 +54,18 @@ from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.multimodal i
     extract_features,
     to_binary_payload,
 )
+from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.curation import (
+    HASH_SPACE,
+    assign_shards,
+    contamination,
+    dup_line_fraction,
+    dup_token_fraction,
+    hash_u32_sql,
+    pack_chunks,
+    redact_pii,
+    sample_stratified,
+    top_ngram_share,
+)
 
 SF001 = "/root/testdata/sf0.001"
 
@@ -1910,6 +1922,195 @@ FROM (SELECT DISTINCT event_id, event_type FROM events)
 GROUP BY 1
 """
 
+# ----------------------------------------------------- corpus curation II
+# repetition signals, decontamination, deterministic sample/shard/pack,
+# PII redaction (llm/curation.py) — each oracle replays the exact
+# md5-derived hashes, so even the "randomized" layout ops hash-match.
+
+
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals: duplicate-line / duplicate-token
+    fractions (pure projections) + modal-bigram share (two doc-keyed
+    aggs with map-side combine)."""
+    d = T(spark, sf_dir, "documents")
+    rep = d.select(
+        "doc_id",
+        dup_line_fraction("text").alias("dup_line_frac"),
+        dup_token_fraction("text").alias("dup_token_frac"),
+    )
+    return rep.join(top_ngram_share(d, 2), "doc_id")
+
+
+_TEXT_REPETITION_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w,
+         list_filter(string_split(text, chr(10)), x -> length(trim(x)) > 0) AS lines
+  FROM documents),
+base AS (
+  SELECT doc_id,
+         round(CASE WHEN len(lines) > 0
+                    THEN (len(lines) - len(list_distinct(lines))) * 1.0 / len(lines)
+                    ELSE 0 END, 6) AS dup_line_frac,
+         round(CASE WHEN len(w) > 0
+                    THEN (len(w) - len(list_distinct(w))) * 1.0 / len(w)
+                    ELSE 0 END, 6) AS dup_token_frac
+  FROM toks),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(w) - 1, 0) + 1),
+                               i -> array_to_string(w[i:i+1], ' '))) AS g
+  FROM toks),
+counts AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2),
+top AS (SELECT doc_id, round(max(c) * 1.0 / sum(c), 6) AS top_2gram_share
+        FROM counts GROUP BY 1)
+SELECT b.doc_id, dup_line_frac, dup_token_frac,
+       coalesce(top_2gram_share, 0.0) AS top_2gram_share
+FROM base b LEFT JOIN top USING (doc_id)
+"""
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: every 20th document plays the held-out
+    test set; the rest of the corpus is scored for hashed 3-gram overlap
+    against its broadcast shingle set."""
+    d = T(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 20 == 0)
+    corpus = d.filter(F.col("doc_id") % 20 != 0)
+    return contamination(corpus, bench, n=3, flag_threshold=0.5)
+
+
+def _decontaminate_sql() -> str:
+    def sh_cte(pred: str, toks: str, sh: str, cols: str) -> str:
+        return f"""
+{toks} AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w
+           FROM documents WHERE {pred}),
+{sh} AS (
+  SELECT DISTINCT {cols}
+  FROM (SELECT doc_id,
+               CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS sh_h
+        FROM (SELECT doc_id,
+                     unnest(list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+                                           i -> array_to_string(w[i:i+2], ' '))) AS shingle
+              FROM {toks})))"""
+
+    return f"""
+WITH {sh_cte("doc_id % 20 <> 0", "ctoks", "csh", "doc_id AS id, sh_h")},
+{sh_cte("doc_id % 20 = 0", "btoks", "bsh", "sh_h")},
+sizes AS (SELECT id, count(*) AS n_sh FROM csh GROUP BY 1),
+hits AS (SELECT id, count(*) AS n_hit FROM csh JOIN bsh USING (sh_h) GROUP BY 1)
+SELECT s.id AS doc_id, n_sh, coalesce(n_hit, 0) AS n_hit,
+       round(coalesce(n_hit, 0) * 1.0 / n_sh, 6) AS contaminated_frac,
+       round(coalesce(n_hit, 0) * 1.0 / n_sh, 6) >= 0.5 AS contaminated
+FROM sizes s LEFT JOIN hits USING (id)
+"""
+
+
+#: per-language keep fractions for the stratified-sample query:
+#: downsample the head language, keep the tail intact.
+_STRATA_FRACS = {"en": 0.35, "zh": 1.0}
+_STRATA_DEFAULT = 0.75
+_PACK_SEED = "r2"
+_PACK_SHARDS = 4
+_PACK_BUDGET = 256
+
+
+def q_sample_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data layout pipeline in one lazy plan: per-language
+    deterministic downsample → hash sharding (the reproducible corpus
+    shuffle) → concat-and-chunk packing into 256-token windows. One
+    md5 hash per row drives all three stages; the only wide op is the
+    per-shard window cumsum (parallel in the shard count)."""
+    d = T(spark, sf_dir, "documents")
+    s = sample_stratified(
+        d, "doc_id", "lang", _STRATA_FRACS, _STRATA_DEFAULT, seed=_PACK_SEED
+    ).withColumn("n_tok", token_count(F.col("text")))
+    packed = pack_chunks(
+        assign_shards(s, "doc_id", _PACK_SHARDS, seed=_PACK_SEED),
+        "n_tok",
+        budget=_PACK_BUDGET,
+    )
+    return packed.select(
+        "doc_id", "lang", "n_tok", "shuffle_key", "shard", "offset", "chunk_id"
+    )
+
+
+def _sample_shard_pack_sql() -> str:
+    h = hash_u32_sql("doc_id", _PACK_SEED)
+    cases = " ".join(
+        f"WHEN lang = '{v}' THEN {int(f * HASH_SPACE)}"
+        for v, f in _STRATA_FRACS.items()
+    )
+    thr = f"CASE {cases} ELSE {int(_STRATA_DEFAULT * HASH_SPACE)} END"
+    return f"""
+WITH h AS (
+  SELECT doc_id, lang, {_NTOK_SQL} AS n_tok, {h} AS shuffle_key
+  FROM documents),
+samp AS (SELECT * FROM h WHERE shuffle_key < {thr}),
+sh AS (SELECT *, CAST(shuffle_key % {_PACK_SHARDS} AS INT) AS shard FROM samp)
+SELECT doc_id, lang, n_tok, shuffle_key, shard,
+       CAST(sum(n_tok) OVER w - n_tok AS BIGINT) AS offset,
+       CAST(floor((sum(n_tok) OVER w - n_tok) * 1.0 / {_PACK_BUDGET}) AS BIGINT) AS chunk_id
+FROM sh
+WINDOW w AS (PARTITION BY shard ORDER BY shuffle_key, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over a deterministic enrichment of the corpus (the
+    synthetic docs contain no contact strings, so the query plants one
+    email + URL per doc and a phone for every third — both engines build
+    the identical string, then redact it). Sequential regexp projection,
+    no shuffle."""
+    d = T(spark, sf_dir, "documents")
+    pii_text = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com via https://site"),
+        (F.col("doc_id") % 10).cast("string"),
+        F.lit(".org/p"),
+        F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(" or 555-123-4567")).otherwise(
+            F.lit("")
+        ),
+    )
+    red, counts = redact_pii(pii_text)
+    return d.select(
+        "doc_id",
+        red.alias("redacted"),
+        counts["URL"].alias("n_url"),
+        counts["EMAIL"].alias("n_email"),
+        counts["PHONE"].alias("n_phone"),
+    )
+
+
+_URL_RE = r"https?://[^\s]+"
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
+
+_REDACT_SQL = f"""
+WITH pii AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com via https://site' || CAST(doc_id % 10 AS VARCHAR)
+              || '.org/p' || CAST(doc_id AS VARCHAR)
+              || CASE WHEN doc_id % 3 = 0 THEN ' or 555-123-4567' ELSE '' END AS t
+  FROM documents),
+s1 AS (SELECT doc_id, len(regexp_extract_all(t, '{_URL_RE}')) AS n_url,
+              regexp_replace(t, '{_URL_RE}', '<URL>', 'g') AS t
+       FROM pii),
+s2 AS (SELECT doc_id, n_url,
+              len(regexp_extract_all(t, '{_EMAIL_RE}')) AS n_email,
+              regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g') AS t
+       FROM s1),
+s3 AS (SELECT doc_id, n_url, n_email,
+              len(regexp_extract_all(t, '{_PHONE_RE}')) AS n_phone,
+              regexp_replace(t, '{_PHONE_RE}', '<PHONE>', 'g') AS t
+       FROM s2)
+SELECT doc_id, t AS redacted, n_url, n_email, n_phone FROM s3
+"""
+
 # ------------------------------------------------------------- contract
 
 
@@ -1955,6 +2156,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard_capped": q_jaccard_capped,
         "dedup_minhash_lsh": q_minhash_lsh,
         "corpus_curation": q_corpus_curation,
+        "text_repetition": q_text_repetition,
+        "decontaminate_ngrams": q_decontaminate,
+        "sample_shard_pack": q_sample_shard_pack,
+        "redact_pii": q_redact_pii,
         "dedup_simhash": q_simhash,
         "dedup_simhash_pairs": q_simhash_pairs,
         "embed_cosine_topk": q_cosine_topk,
@@ -2008,6 +2213,10 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard_capped": _JACCARD_CAPPED_SQL,
         "dedup_minhash_lsh": _minhash_sql(),
         "corpus_curation": _corpus_curation_sql(),
+        "text_repetition": _TEXT_REPETITION_SQL,
+        "decontaminate_ngrams": _decontaminate_sql(),
+        "sample_shard_pack": _sample_shard_pack_sql(),
+        "redact_pii": _REDACT_SQL,
         "dedup_simhash": _simhash_sql(),
         "dedup_simhash_pairs": _simhash_pairs_sql(),
         "embed_cosine_topk": _COSINE_TOPK_SQL,

@@ -1,0 +1,272 @@
+"""Corpus-curation operators beyond dedup: repetition quality signals,
+benchmark decontamination, deterministic sampling / sharding / sequence
+packing, and PII redaction.
+
+These are the remaining standard stages of a large-scale training-data
+pipeline (the repetition filters follow the published Gopher/C4 family
+of heuristics: duplicate-line / duplicate-token fractions and the
+modal-n-gram share). Scale notes per op:
+
+- repetition fractions: pure Column expressions over per-row arrays —
+  embarrassingly parallel projections, no shuffle.
+- top-n-gram share: explode → two hash aggregations keyed by doc;
+  map-side partial aggregation collapses each doc's grams inside its
+  scan partition, so shuffle bytes scale with docs, not tokens.
+- decontamination: the benchmark side of the join is small by nature
+  (a test set), so it broadcasts; the corpus side streams map-only.
+- sampling / sharding / packing: driven by one md5-derived 32-bit
+  integer per row — deterministic across engines AND cluster sizes
+  (no rand(), no partition-index dependence), so runs are replayable
+  and the DuckDB oracles reproduce them bit-for-bit. Packing uses a
+  per-shard cumulative sum (window partitioned by shard — parallel in
+  the shard count, never a global sort).
+- redaction: sequential regexp_replace projection, linear-time
+  patterns, no shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import shingles
+from .text import norm_text, token_count
+
+# ------------------------------------------------------- deterministic hash
+
+#: Upper bound (exclusive) of :func:`hash_u32`.
+HASH_SPACE = 2 ** 32
+
+
+def hash_u32(key: Column | str, seed: str) -> Column:
+    """Deterministic uniform integer in [0, 2^32) from a row key.
+
+    md5 of ``key|seed`` → first 8 hex digits → integer. Identical in any
+    engine with md5 (DuckDB replays it via a hex cast), independent of
+    partitioning and cluster size — unlike ``rand()``, which Spark seeds
+    per partition index. That makes samples, shards, and pack orders
+    reproducible across runs AND auditable by the oracle.
+    """
+    key = F.col(key) if isinstance(key, str) else key
+    h = F.md5(F.concat(key.cast("string"), F.lit("|" + seed)))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint")
+
+
+def hash_u32_sql(key_sql: str, seed: str) -> str:
+    """The DuckDB expression computing exactly :func:`hash_u32`."""
+    return (
+        f"CAST(('0x' || substr(md5(CAST({key_sql} AS VARCHAR) || '|{seed}'), 1, 8)) "
+        "AS BIGINT)"
+    )
+
+
+def sample_hash(
+    df: DataFrame, key: str, fraction: float, seed: str = "s0"
+) -> DataFrame:
+    """Deterministic uniform sample: keep rows whose hash falls below
+    ``fraction`` of the hash space (exact integer threshold — no float
+    boundary ambiguity between engines)."""
+    return df.filter(hash_u32(key, seed) < int(fraction * HASH_SPACE))
+
+
+def sample_stratified(
+    df: DataFrame,
+    key: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    seed: str = "s0",
+) -> DataFrame:
+    """Per-stratum deterministic sample (e.g. language rebalancing:
+    downsample the head language, keep the tail). ``fractions`` maps
+    stratum value → keep fraction; unlisted strata use
+    ``default_fraction``. One pass, no shuffle."""
+    thr = F.lit(int(default_fraction * HASH_SPACE))
+    for value, frac in fractions.items():
+        thr = F.when(
+            F.col(strata_col) == value, F.lit(int(frac * HASH_SPACE))
+        ).otherwise(thr)
+    return df.filter(hash_u32(key, seed) < thr)
+
+
+def assign_shards(
+    df: DataFrame, key: str, n_shards: int, seed: str = "s0"
+) -> DataFrame:
+    """Deterministic global shuffle + sharding for training-data layout:
+    ``shard`` = hash % n_shards, ``shuffle_key`` = the hash itself (the
+    within-shard order). Writing partitioned by ``shard`` sorted by
+    ``shuffle_key`` yields a reproducible corpus-wide permutation with
+    uniform shard sizes — no global sort, no rand()."""
+    h = hash_u32(key, seed)
+    return df.withColumn("shuffle_key", h).withColumn(
+        "shard", (h % n_shards).cast("int")
+    )
+
+
+def pack_chunks(
+    df: DataFrame,
+    token_col: str,
+    budget: int,
+    shard_col: str = "shard",
+    order_cols: tuple[str, ...] = ("shuffle_key",),
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: within each shard, lay the
+    documents end-to-end in deterministic order and cut the token stream
+    into fixed ``budget``-token context windows. Each document gets the
+    chunk containing its first token (``chunk_id``) and its start
+    ``offset`` in the shard's stream.
+
+    This is the standard GPT-style packing layout expressed as one
+    partitioned window cumulative sum — parallel in the shard count;
+    no per-row Python, no global sort.
+    """
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(*order_cols, id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offset = F.sum(token_col).over(w) - F.col(token_col)
+    return df.withColumn("offset", offset.cast("bigint")).withColumn(
+        "chunk_id", F.floor(F.col("offset") / budget).cast("bigint")
+    )
+
+
+# ------------------------------------------------------ repetition signals
+
+
+def _nonempty_lines(c: Column | str) -> Column:
+    c = F.col(c) if isinstance(c, str) else c
+    return F.filter(F.split(c, "\n"), lambda x: F.length(F.trim(x)) > 0)
+
+
+def dup_line_fraction(c: Column | str) -> Column:
+    """Fraction of non-empty lines that are repeats of an earlier line —
+    the classic boilerplate signal (menus, headers, chat logs)."""
+    lines = _nonempty_lines(c)
+    n = F.size(lines).cast("double")
+    return F.round(
+        F.when(n > 0, (n - F.size(F.array_distinct(lines))) / n).otherwise(
+            F.lit(0.0)
+        ),
+        6,
+    )
+
+
+def dup_token_fraction(c: Column | str) -> Column:
+    """Fraction of tokens that are repeats of an earlier token — high
+    values mean keyword stuffing / low lexical diversity."""
+    toks = F.split(norm_text(c), " ")
+    n = F.size(toks).cast("double")
+    return F.round(
+        F.when(n > 0, (n - F.size(F.array_distinct(toks))) / n).otherwise(
+            F.lit(0.0)
+        ),
+        6,
+    )
+
+
+def top_ngram_share(
+    df: DataFrame,
+    n: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id_col, top_{n}gram_share): the fraction of a document's n-gram
+    slots occupied by its single most frequent n-gram — near 1.0 for
+    degenerate repeated-phrase documents.
+
+    Explode → count per (doc, gram) → max/total per doc. Both
+    aggregations partially aggregate map-side (a doc's grams sit in its
+    scan partition), so the exchanges carry doc-level rows only.
+    Documents with fewer than ``n`` tokens have no n-grams and report 0.
+    """
+    toks = F.split(norm_text(text_col), " ")
+    arr = toks
+    for k in range(1, n):
+        arr = F.zip_with(
+            arr,
+            F.slice(toks, k + 1, F.size(toks)),
+            lambda x, y: F.concat(x, F.lit(" "), y),
+        )
+    grams = (
+        df.select(F.col(id_col), F.explode(arr).alias("g"))
+        .filter(F.col("g").isNotNull())
+    )
+    per_gram = grams.groupBy(id_col, "g").agg(F.count("*").alias("c"))
+    per_doc = per_gram.groupBy(id_col).agg(
+        F.max("c").alias("mx"), F.sum("c").alias("total")
+    )
+    share = F.round(F.col("mx") / F.col("total"), 6)
+    out_col = f"top_{n}gram_share"
+    return df.select(id_col).join(per_doc, id_col, "left").select(
+        id_col, F.coalesce(share, F.lit(0.0)).alias(out_col)
+    )
+
+
+# -------------------------------------------------------- decontamination
+
+
+def contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    flag_threshold: float = 0.5,
+) -> DataFrame:
+    """Benchmark decontamination: per corpus document, the fraction of
+    its distinct word n-gram shingles that also appear anywhere in the
+    benchmark (test-set) corpus, plus a ``contaminated`` flag.
+
+    The benchmark shingle set is distinct-reduced and **broadcast** — a
+    test set is small by construction, so the corpus side streams
+    map-only through the join; no corpus shuffle beyond the per-doc
+    count aggregation. Shingles are 60-bit md5 hashes (8-byte keys,
+    engine-reproducible; see ``dedup.shingles``).
+    """
+    corp_sh = shingles(corpus, text_col, id_col, n)
+    bench_sh = shingles(benchmark, text_col, id_col, n).select("sh_h").distinct()
+    sizes = corp_sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    hits = (
+        corp_sh.join(F.broadcast(bench_sh), "sh_h")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    frac = F.round(
+        F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_sh"), 6
+    )
+    return (
+        sizes.join(hits, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "n_sh",
+            F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
+            frac.alias("contaminated_frac"),
+            (frac >= flag_threshold).alias("contaminated"),
+        )
+    )
+
+
+# ------------------------------------------------------------- redaction
+
+#: (tag, pattern) applied in order; identical RE2/Java-regex subset
+#: (character classes, bounded repeats, \b) so DuckDB replays exactly.
+PII_PATTERNS: list[tuple[str, str]] = [
+    ("URL", r"https?://[^\s]+"),
+    ("EMAIL", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("PHONE", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"),
+]
+
+
+def redact_pii(c: Column | str) -> tuple[Column, dict[str, Column]]:
+    """(redacted_text, {tag: match_count}) — each pattern is counted on
+    the text as it stands after the previous replacements (URLs first so
+    their embedded host strings are not double-counted as emails), then
+    replaced by ``<TAG>``. Pure sequential regexp projection."""
+    cur = F.col(c) if isinstance(c, str) else c
+    counts: dict[str, Column] = {}
+    for tag, pat in PII_PATTERNS:
+        counts[tag] = F.size(F.regexp_extract_all(cur, F.lit(pat), 0))
+        cur = F.regexp_replace(cur, pat, f"<{tag}>")
+    return cur, counts

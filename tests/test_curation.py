@@ -1,0 +1,189 @@
+"""Curation-operator semantics: repetition signals, decontamination,
+deterministic sampling / sharding / packing, PII redaction."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.curation import (
+    HASH_SPACE,
+    assign_shards,
+    contamination,
+    dup_line_fraction,
+    dup_token_fraction,
+    hash_u32,
+    pack_chunks,
+    redact_pii,
+    sample_hash,
+    sample_stratified,
+    top_ngram_share,
+)
+
+
+def docs(spark, texts):
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+
+
+# ------------------------------------------------------- repetition
+
+
+def test_dup_fractions(spark):
+    d = docs(spark, [
+        "a\nb\n\n  \na",          # 3 non-empty lines, one repeat
+        "x y z",                   # all distinct tokens
+        "w w w w",                 # 3 of 4 tokens are repeats
+        "",
+    ])
+    out = {
+        r.doc_id: (r.dl, r.dt)
+        for r in d.select(
+            "doc_id",
+            dup_line_fraction("text").alias("dl"),
+            dup_token_fraction("text").alias("dt"),
+        ).collect()
+    }
+    assert out[0][0] == pytest.approx(1 / 3, abs=1e-6)
+    assert out[1] == (0.0, 0.0)
+    assert out[2][1] == 0.75
+    assert out[3] == (0.0, 0.0)
+
+
+def test_top_ngram_share(spark):
+    d = docs(spark, [
+        "a b a b a b",      # bigrams: ab ba ab ba ab -> 3/5
+        "p q r s",          # all distinct -> 1/3
+        "solo",             # no bigrams -> 0
+    ])
+    out = {r.doc_id: r.top_2gram_share for r in top_ngram_share(d, 2).collect()}
+    assert out[0] == 0.6
+    assert out[1] == pytest.approx(1 / 3, abs=1e-6)
+    assert out[2] == 0.0
+
+
+# -------------------------------------------------- decontamination
+
+
+def test_contamination_flags_overlap(spark):
+    corpus = docs(spark, [
+        "the quick brown fox jumps over the lazy dog",   # = benchmark doc
+        "a completely different sentence with no overlap at all",
+    ])
+    bench = spark.createDataFrame(
+        [Row(doc_id=100, text="the quick brown fox jumps over the lazy dog")]
+    )
+    out = {r.doc_id: r for r in contamination(corpus, bench, n=3).collect()}
+    assert out[0].contaminated_frac == 1.0 and out[0].contaminated
+    assert out[1].n_hit == 0 and not out[1].contaminated
+    assert out[1].contaminated_frac == 0.0
+
+
+# ------------------------------------- sampling / sharding / packing
+
+
+def test_sample_hash_fraction_and_determinism(spark):
+    d = spark.range(0, 4000).withColumnRenamed("id", "doc_id")
+    s1 = sample_hash(d, "doc_id", 0.25, seed="t")
+    n = s1.count()
+    assert abs(n / 4000 - 0.25) < 0.05          # ~uniform
+    assert s1.count() == n                       # stable on re-run
+    # disjoint seeds give different (but valid) samples
+    s2 = sample_hash(d, "doc_id", 0.25, seed="u")
+    assert s1.join(s2, "doc_id").count() != n
+
+
+def test_sample_stratified_respects_per_stratum_fractions(spark):
+    d = spark.createDataFrame(
+        [Row(doc_id=i, lang="en" if i % 2 == 0 else "fr") for i in range(2000)]
+    )
+    out = sample_stratified(
+        d, "doc_id", "lang", {"en": 0.1, "fr": 0.8}, seed="t"
+    )
+    counts = {r.lang: r.c for r in out.groupBy("lang").agg(F.count("*").alias("c")).collect()}
+    assert abs(counts["en"] / 1000 - 0.1) < 0.05
+    assert abs(counts["fr"] / 1000 - 0.8) < 0.05
+
+
+def test_assign_shards_uniform_and_deterministic(spark):
+    d = spark.range(0, 4000).withColumnRenamed("id", "doc_id")
+    out = assign_shards(d, "doc_id", 8, seed="t")
+    sizes = [r.c for r in out.groupBy("shard").agg(F.count("*").alias("c")).collect()]
+    assert len(sizes) == 8
+    assert max(sizes) - min(sizes) < 200        # near-uniform
+    # shard is a pure function of the key
+    again = assign_shards(d, "doc_id", 8, seed="t")
+    assert out.select("doc_id", "shard").exceptAll(
+        again.select("doc_id", "shard")
+    ).count() == 0
+
+
+def test_pack_chunks_layout(spark):
+    d = spark.createDataFrame(
+        [Row(doc_id=i, n_tok=10 + (i % 5)) for i in range(200)]
+    )
+    packed = pack_chunks(
+        assign_shards(d, "doc_id", 4, seed="t"),
+        "n_tok",
+        budget=64,
+    ).collect()
+    by_shard = {}
+    for r in packed:
+        by_shard.setdefault(r.shard, []).append(r)
+    for rows in by_shard.values():
+        rows.sort(key=lambda r: (r.shuffle_key, r.doc_id))
+        # offsets are the exact running layout: contiguous, gap-free
+        pos = 0
+        for r in rows:
+            assert r.offset == pos
+            assert r.chunk_id == pos // 64
+            pos += r.n_tok
+
+
+# --------------------------------------------------------- redaction
+
+
+def test_redact_pii(spark):
+    d = docs(spark, [
+        "mail me at a.b+c@example.org or see https://ex.org/x?q=1 now",
+        "call 555-123-4567 today",
+        "nothing sensitive here",
+    ])
+    red, counts = redact_pii("text")
+    out = {
+        r.doc_id: r
+        for r in d.select(
+            "doc_id",
+            red.alias("redacted"),
+            counts["EMAIL"].alias("n_email"),
+            counts["URL"].alias("n_url"),
+            counts["PHONE"].alias("n_phone"),
+        ).collect()
+    }
+    assert out[0].redacted == "mail me at <EMAIL> or see <URL> now"
+    assert (out[0].n_email, out[0].n_url) == (1, 1)
+    assert out[1].redacted == "call <PHONE> today"
+    assert out[1].n_phone == 1
+    assert out[2].redacted == "nothing sensitive here"
+    assert (out[2].n_email, out[2].n_url, out[2].n_phone) == (0, 0, 0)
+
+
+def test_hash_u32_matches_duckdb(spark):
+    """The cross-engine contract: Spark's hash_u32 == DuckDB's hex-cast
+    replay for the same key/seed."""
+    import duckdb
+
+    d = spark.range(0, 50).withColumnRenamed("id", "k")
+    got = {
+        r.k: r.h
+        for r in d.select("k", hash_u32("k", "s7").alias("h")).collect()
+    }
+    con = duckdb.connect()
+    want = dict(
+        con.sql(
+            "SELECT k, CAST(('0x' || substr(md5(CAST(k AS VARCHAR) || '|s7'), 1, 8)) AS BIGINT) "
+            "FROM range(50) t(k)"
+        ).fetchall()
+    )
+    assert got == want
+    assert all(0 <= v < HASH_SPACE for v in got.values())
