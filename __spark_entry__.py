@@ -37,6 +37,7 @@ from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.params impor
     SIMHASH_BITS,
 )
 from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm import (
+    connected_components,
     cosine_topk,
     exact_dedup_groups,
     embed_neardup_pairs,
@@ -2111,6 +2112,69 @@ s3 AS (SELECT doc_id, n_url, n_email,
 SELECT doc_id, t AS redacted, n_url, n_email, n_phone FROM s3
 """
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster formation: MinHash-LSH candidate pairs →
+    connected components (iterative min-label propagation) → one keeper
+    per cluster (the smallest doc_id). The step that turns pairwise
+    similarity into corpus-wide keep/drop decisions; the oracle replays
+    the components with a recursive CTE over the same banding join."""
+    d = T(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(d, n=_SHINGLE_N_Q)
+    labels = connected_components(pairs).withColumnRenamed("id", "doc_id")
+    cluster = F.coalesce("cluster", F.col("doc_id"))
+    return d.select("doc_id").join(labels, "doc_id", "left").select(
+        "doc_id",
+        cluster.alias("cluster"),
+        (cluster == F.col("doc_id")).alias("is_keeper"),
+    )
+
+
+def _dedup_clusters_sql() -> str:
+    # same CTE chain as _minhash_sql up to the candidate pairs, then
+    # reachability closure: reach(src, label) holds every label
+    # reachable from src, so min(label) is the component minimum
+    mins = ", ".join(
+        f"min(({MINHASH_A[i]} * x + {MINHASH_B[i]}) % {MINHASH_P}) AS mh_{i}"
+        for i in range(LSH_BANDS * LSH_ROWS)
+    )
+    bands = ", ".join(
+        "md5("
+        + " || ',' || ".join(
+            f"CAST(mh_{b * LSH_ROWS + r} AS VARCHAR)" for r in range(LSH_ROWS)
+        )
+        + f") AS bucket_{b}"
+        for b in range(LSH_BANDS)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT id, {b} AS band, bucket_{b} AS bucket FROM banded"
+        for b in range(LSH_BANDS)
+    )
+    return f"""
+WITH RECURSIVE {_shingle_cte(_SHINGLE_N_Q)},
+hashed AS (SELECT id, sh_h % {MINHASH_P} AS x FROM sh),
+sig AS (SELECT id, {mins} FROM hashed GROUP BY id),
+banded AS (SELECT id, {bands} FROM sig),
+buckets AS ({band_rows}),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM buckets a JOIN buckets b USING (band, bucket)
+  WHERE a.id < b.id
+),
+sym AS (SELECT id_a AS src, id_b AS dst FROM cand
+        UNION SELECT id_b, id_a FROM cand),
+reach(src, label) AS (
+  SELECT src, src FROM sym
+  UNION
+  SELECT s.src, r.label FROM sym s JOIN reach r ON r.src = s.dst
+),
+lab AS (SELECT src AS id, min(label) AS cluster FROM reach GROUP BY 1)
+SELECT d.doc_id,
+       coalesce(lab.cluster, d.doc_id) AS cluster,
+       coalesce(lab.cluster, d.doc_id) = d.doc_id AS is_keeper
+FROM documents d LEFT JOIN lab ON lab.id = d.doc_id
+"""
+
+
 # ------------------------------------------------------------- contract
 
 
@@ -2155,6 +2219,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_jaccard_pairs,
         "dedup_ngram_jaccard_capped": q_jaccard_capped,
         "dedup_minhash_lsh": q_minhash_lsh,
+        "dedup_clusters": q_dedup_clusters,
         "corpus_curation": q_corpus_curation,
         "text_repetition": q_text_repetition,
         "decontaminate_ngrams": q_decontaminate,
@@ -2212,6 +2277,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": _JACCARD_SQL,
         "dedup_ngram_jaccard_capped": _JACCARD_CAPPED_SQL,
         "dedup_minhash_lsh": _minhash_sql(),
+        "dedup_clusters": _dedup_clusters_sql(),
         "corpus_curation": _corpus_curation_sql(),
         "text_repetition": _TEXT_REPETITION_SQL,
         "decontaminate_ngrams": _decontaminate_sql(),

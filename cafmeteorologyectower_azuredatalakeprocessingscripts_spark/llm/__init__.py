@@ -8,6 +8,7 @@ from .text import (
     tfidf_top_terms,
 )
 from .dedup import (
+    connected_components,
     exact_dedup_groups,
     shingles,
     jaccard_pairs,
@@ -25,6 +26,7 @@ from .similarity import (
 )
 
 __all__ = [
+    "connected_components",
     "norm_text",
     "token_count",
     "fingerprint_md5",

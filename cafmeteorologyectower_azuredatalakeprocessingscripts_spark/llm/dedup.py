@@ -231,6 +231,73 @@ def minhash_lsh_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """(id, cluster): connected components of an undirected near-dup
+    pair graph by iterative min-label propagation — the step that turns
+    pairwise similarity into keep/drop groups (one keeper per cluster).
+
+    Each round every node adopts the smallest label among itself and its
+    neighbors; convergence is reached within the graph diameter. Dedup
+    graphs are overwhelmingly tiny star/clique clusters (diameter ≤ a
+    few), so the loop exits after 2-3 rounds; ``max_iter`` bounds
+    pathological chains. Per round: one join + one groupBy, both keyed
+    by node id — shuffle scales with edge count. The driver-side loop
+    holds only a changed-row *count* (no collect of data rows), the
+    standard shape for iterative algorithms on Spark.
+
+    Labels are the node ids themselves, so the result is deterministic
+    (cluster id = smallest member id) and replayable by a recursive-CTE
+    oracle.
+    """
+    edges = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    )
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    labels = (
+        sym.select(F.col("src").alias("id")).distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neigh = (
+            sym.join(
+                labels.withColumnsRenamed({"id": "dst", "label": "nlabel"}),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("nlabel").alias("nlabel"))
+            .withColumnRenamed("src", "id")
+        )
+        new_labels = (
+            labels.join(neigh, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce("nlabel", "label")).alias(
+                    "label"
+                ),
+            )
+            # truncate the lineage each round: without this the plan
+            # doubles per iteration and analysis time explodes
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("label", "old"), "id")
+            .filter(F.col("label") != F.col("old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("id", F.col("label").alias("cluster"))
+
+
 def simhash(
     df: DataFrame,
     text_col: str = "text",

@@ -168,6 +168,20 @@ def test_redact_pii(spark):
     assert (out[2].n_email, out[2].n_url, out[2].n_phone) == (0, 0, 0)
 
 
+def test_connected_components(spark):
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm import (
+        connected_components,
+    )
+
+    # two components: a 4-node chain (diameter 3 — needs >1 round)
+    # and a 2-node edge; labels converge to each component's min id
+    pairs = spark.createDataFrame(
+        [Row(id_a=a, id_b=b) for a, b in [(4, 3), (3, 2), (2, 1), (9, 8)]]
+    )
+    out = {r.id: r.cluster for r in connected_components(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 8: 8, 9: 8}
+
+
 def test_hash_u32_matches_duckdb(spark):
     """The cross-engine contract: Spark's hash_u32 == DuckDB's hex-cast
     replay for the same key/seed."""
