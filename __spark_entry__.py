@@ -22,6 +22,7 @@ from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.operators import
     dedup_keep_richest,
     gap_fill,
     latest_per_group,
+    salted_join,
     spread,
     union_by_name,
 )
@@ -2112,6 +2113,33 @@ s3 AS (SELECT doc_id, n_url, n_email,
 SELECT doc_id, t AS redacted, n_url, n_email, n_phone FROM s3
 """
 
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigation salted join (operators/skew.py): events (the
+    skewed fact side — one hot user can dominate a shuffle partition at
+    scale) joined to the customer dim with each key spread over 8 salt
+    buckets. Salting is semantically transparent, so the oracle is the
+    plain SQL join — the hash-match proves no row is lost or duplicated
+    by the salt/explode mechanics."""
+    e = T(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    c = (
+        T(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    )
+    j = salted_join(e, c, "user_id", n_salts=8)
+    return j.groupBy("c_mktsegment", "event_type").agg(
+        F.count("*").alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
+
+
+_SALTED_JOIN_SQL = """
+SELECT c_mktsegment, event_type, count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY 1, 2
+"""
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup cluster formation: MinHash-LSH candidate pairs →
     connected components (iterative min-label propagation) → one keeper
@@ -2220,6 +2248,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard_capped": q_jaccard_capped,
         "dedup_minhash_lsh": q_minhash_lsh,
         "dedup_clusters": q_dedup_clusters,
+        "salted_skew_join": q_salted_join,
         "corpus_curation": q_corpus_curation,
         "text_repetition": q_text_repetition,
         "decontaminate_ngrams": q_decontaminate,
@@ -2278,6 +2307,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard_capped": _JACCARD_CAPPED_SQL,
         "dedup_minhash_lsh": _minhash_sql(),
         "dedup_clusters": _dedup_clusters_sql(),
+        "salted_skew_join": _SALTED_JOIN_SQL,
         "corpus_curation": _corpus_curation_sql(),
         "text_repetition": _TEXT_REPETITION_SQL,
         "decontaminate_ngrams": _decontaminate_sql(),

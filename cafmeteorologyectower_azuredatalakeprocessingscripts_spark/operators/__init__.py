@@ -2,6 +2,7 @@ from .dedup import dedup_keep_richest
 from .gapfill import gap_fill, time_spine
 from .unions import spread, union_by_name
 from .topk import latest_per_group
+from .skew import salted_join
 from .incremental import (
     CrossWaterYearError,
     resolve_window,
@@ -16,6 +17,7 @@ __all__ = [
     "spread",
     "union_by_name",
     "latest_per_group",
+    "salted_join",
     "CrossWaterYearError",
     "resolve_window",
     "high_watermark_date",

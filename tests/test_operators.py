@@ -161,3 +161,29 @@ def test_spread_conditional(spark):
     assert out.rdd.getNumPartitions() >= spark.sparkContext.defaultParallelism
     wide = spark.range(1000).repartition(64)
     assert spread(wide) is wide  # no-op, no extra shuffle
+
+
+def test_salted_join_matches_plain_join(spark):
+    from pyspark.sql import Row
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.operators import salted_join
+
+    left = spark.createDataFrame(
+        [Row(k=i % 5, v=i) for i in range(300)]          # key 0..4, skew-free
+        + [Row(k=0, v=1000 + i) for i in range(200)]     # hot key 0
+    )
+    right = spark.createDataFrame([Row(k=i, name=f"n{i}") for i in range(4)])
+
+    plain = left.join(right, "k").collect()
+    salted = salted_join(left, right, "k", n_salts=8).collect()
+    key = lambda r: (r.k, r.v, r.name)
+    assert sorted(map(key, salted)) == sorted(map(key, plain))
+
+    # hot-keys variant: only key 0 is salted; result set identical
+    hot = salted_join(left, right, "k", n_salts=8, hot_keys=[0]).collect()
+    assert sorted(map(key, hot)) == sorted(map(key, plain))
+
+    # left join preserves unmatched left rows (k=4 has no dim row)
+    plain_l = left.join(right, "k", "left").collect()
+    salted_l = salted_join(left, right, "k", n_salts=8, how="left").collect()
+    keyl = lambda r: (r.k, r.v, r.name)
+    assert sorted(map(keyl, salted_l)) == sorted(map(keyl, plain_l))
