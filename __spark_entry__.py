@@ -2203,6 +2203,163 @@ FROM documents d LEFT JOIN lab ON lab.id = d.doc_id
 """
 
 
+# ----------------------------------------- full training-data pipeline
+
+_TDP_QUALITY_MIN = 0.6
+_TDP_MAX_DUP = 0.65
+_TDP_CONTAM_MAX = 0.5
+_TDP_FRACS = {"en": 0.5}
+_TDP_DEFAULT_FRAC = 1.0
+_TDP_SEED = "tdp"
+_TDP_SHARDS = 4
+_TDP_BUDGET = 512
+
+
+def q_training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole curation book as ONE lazy plan — what a 100 TB corpus
+    run actually executes: quality + repetition filters (projections) →
+    exact dedup (fp groupBy) → MinHash-LSH near-dup clusters, keeping
+    each cluster's smallest id (banding join + label propagation) →
+    benchmark decontamination (broadcast test-set shingles) → per-lang
+    stratified downsample (hash threshold) → hash sharding → 512-token
+    concat-and-chunk packing (per-shard window cumsum). Every stage is
+    the library operator its standalone query checks; the oracle
+    composes the same stages in SQL, recursive-CTE components included."""
+    d = T(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 20 == 0)
+    corpus = d.filter(F.col("doc_id") % 20 != 0)
+    enr = corpus.select(
+        "doc_id",
+        "text",
+        "lang",
+        quality_score(F.col("text")).alias("quality"),
+        dup_token_fraction("text").alias("dup_tok"),
+        token_count(F.col("text")).alias("n_tok"),
+        fingerprint_md5(F.col("text")).alias("fp"),
+    )
+    kept0 = enr.filter(
+        (F.col("quality") >= _TDP_QUALITY_MIN)
+        & (F.col("dup_tok") <= _TDP_MAX_DUP)
+    )
+    keepers = kept0.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    kept1 = kept0.join(keepers, ["fp", "doc_id"])
+    labels = connected_components(
+        minhash_lsh_pairs(kept1, n=_SHINGLE_N_Q)
+    ).withColumnRenamed("id", "doc_id")
+    kept2 = (
+        kept1.join(labels, "doc_id", "left")
+        .filter(F.coalesce("cluster", F.col("doc_id")) == F.col("doc_id"))
+        .drop("cluster")
+    )
+    clean = (
+        contamination(kept2, bench, n=3, flag_threshold=_TDP_CONTAM_MAX)
+        .filter(~F.col("contaminated"))
+        .select("doc_id")
+    )
+    kept3 = kept2.join(clean, "doc_id")
+    samp = sample_stratified(
+        kept3, "doc_id", "lang", _TDP_FRACS, _TDP_DEFAULT_FRAC, seed=_TDP_SEED
+    )
+    packed = pack_chunks(
+        assign_shards(samp, "doc_id", _TDP_SHARDS, seed=_TDP_SEED),
+        "n_tok",
+        budget=_TDP_BUDGET,
+    )
+    return packed.select("doc_id", "lang", "n_tok", "shard", "offset", "chunk_id")
+
+
+def _training_data_pipeline_sql() -> str:
+    mins = ", ".join(
+        f"min(({MINHASH_A[i]} * x + {MINHASH_B[i]}) % {MINHASH_P}) AS mh_{i}"
+        for i in range(LSH_BANDS * LSH_ROWS)
+    )
+    bands = ", ".join(
+        "md5("
+        + " || ',' || ".join(
+            f"CAST(mh_{b * LSH_ROWS + r} AS VARCHAR)" for r in range(LSH_ROWS)
+        )
+        + f") AS bucket_{b}"
+        for b in range(LSH_BANDS)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT id, {b} AS band, bucket_{b} AS bucket FROM banded"
+        for b in range(LSH_BANDS)
+    )
+
+    def sh3(src: str, toks: str, sh: str, cols: str) -> str:
+        return f"""
+{toks} AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM {src}),
+{sh} AS (
+  SELECT DISTINCT {cols}
+  FROM (SELECT doc_id,
+               CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS sh_h
+        FROM (SELECT doc_id,
+                     unnest(list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+                                           i -> array_to_string(w[i:i+2], ' '))) AS shingle
+              FROM {toks})))"""
+
+    h = hash_u32_sql("doc_id", _TDP_SEED)
+    cases = " ".join(
+        f"WHEN lang = '{v}' THEN {int(f * HASH_SPACE)}"
+        for v, f in _TDP_FRACS.items()
+    )
+    thr = f"CASE {cases} ELSE {int(_TDP_DEFAULT_FRAC * HASH_SPACE)} END"
+    return f"""
+WITH RECURSIVE
+corp AS (SELECT * FROM documents WHERE doc_id % 20 <> 0),
+toks0 AS (SELECT doc_id, text, lang, string_split({_NORM_SQL}, ' ') AS w FROM corp),
+enr AS (
+  SELECT doc_id, text, lang,
+         {_QUALITY_SQL} AS quality,
+         round(CASE WHEN len(w) > 0
+                    THEN (len(w) - len(list_distinct(w))) * 1.0 / len(w)
+                    ELSE 0 END, 6) AS dup_tok,
+         {_NTOK_SQL} AS n_tok, md5({_NORM_SQL}) AS fp
+  FROM toks0),
+kept0 AS (SELECT * FROM enr
+          WHERE quality >= {_TDP_QUALITY_MIN} AND dup_tok <= {_TDP_MAX_DUP}),
+keepers AS (SELECT fp, min(doc_id) AS doc_id FROM kept0 GROUP BY 1),
+kept1 AS (SELECT kept0.* FROM kept0 JOIN keepers USING (fp, doc_id)),
+{_shingle_cte(_SHINGLE_N_Q, "kept1").strip().rstrip()},
+hashed AS (SELECT id, sh_h % {MINHASH_P} AS x FROM sh),
+sig AS (SELECT id, {mins} FROM hashed GROUP BY id),
+banded AS (SELECT id, {bands} FROM sig),
+buckets AS ({band_rows}),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM buckets a JOIN buckets b USING (band, bucket)
+  WHERE a.id < b.id
+),
+sym AS (SELECT id_a AS src, id_b AS dst FROM cand
+        UNION SELECT id_b, id_a FROM cand),
+reach(src, label) AS (
+  SELECT src, src FROM sym
+  UNION
+  SELECT s.src, r.label FROM sym s JOIN reach r ON r.src = s.dst
+),
+lab AS (SELECT src AS id, min(label) AS cluster FROM reach GROUP BY 1),
+kept2 AS (SELECT kept1.* FROM kept1 LEFT JOIN lab ON lab.id = kept1.doc_id
+          WHERE coalesce(lab.cluster, kept1.doc_id) = kept1.doc_id),
+{sh3("kept2", "dtoks", "csh3", "doc_id AS id, sh_h").strip()},
+{sh3("(SELECT * FROM documents WHERE doc_id % 20 = 0)", "btoks", "bsh3", "sh_h").strip()},
+sizes3 AS (SELECT id, count(*) AS n_sh FROM csh3 GROUP BY 1),
+hits3 AS (SELECT id, count(*) AS n_hit FROM csh3 JOIN bsh3 USING (sh_h) GROUP BY 1),
+clean AS (SELECT s.id AS doc_id
+          FROM sizes3 s LEFT JOIN hits3 USING (id)
+          WHERE round(coalesce(n_hit, 0) * 1.0 / n_sh, 6) < {_TDP_CONTAM_MAX}),
+kept3 AS (SELECT kept2.* FROM kept2 JOIN clean USING (doc_id)),
+hk AS (SELECT doc_id, lang, n_tok, {h} AS shuffle_key FROM kept3),
+samp AS (SELECT * FROM hk WHERE shuffle_key < {thr}),
+shrd AS (SELECT *, CAST(shuffle_key % {_TDP_SHARDS} AS INT) AS shard FROM samp)
+SELECT doc_id, lang, n_tok, shard,
+       CAST(sum(n_tok) OVER w - n_tok AS BIGINT) AS offset,
+       CAST(floor((sum(n_tok) OVER w - n_tok) * 1.0 / {_TDP_BUDGET}) AS BIGINT) AS chunk_id
+FROM shrd
+WINDOW w AS (PARTITION BY shard ORDER BY shuffle_key, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
 # ------------------------------------------------------------- contract
 
 
@@ -2249,6 +2406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_minhash_lsh,
         "dedup_clusters": q_dedup_clusters,
         "salted_skew_join": q_salted_join,
+        "training_data_pipeline": q_training_data_pipeline,
         "corpus_curation": q_corpus_curation,
         "text_repetition": q_text_repetition,
         "decontaminate_ngrams": q_decontaminate,
@@ -2308,6 +2466,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": _minhash_sql(),
         "dedup_clusters": _dedup_clusters_sql(),
         "salted_skew_join": _SALTED_JOIN_SQL,
+        "training_data_pipeline": _training_data_pipeline_sql(),
         "corpus_curation": _corpus_curation_sql(),
         "text_repetition": _TEXT_REPETITION_SQL,
         "decontaminate_ngrams": _decontaminate_sql(),
