@@ -21,7 +21,9 @@ from pyspark.sql import functions as F
 from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.operators import (
     dedup_keep_richest,
     gap_fill,
+    asof_join,
     latest_per_group,
+    range_join,
     salted_join,
     spread,
     union_by_name,
@@ -2203,6 +2205,77 @@ FROM documents d LEFT JOIN lab ON lab.id = d.doc_id
 """
 
 
+# ----------------------------------------------------- temporal joins
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/temporal.py): events matched to the latest
+    per-user daily checkpoint at-or-before each event. Spark has no
+    native as-of operator — this is the union + partitioned forward-fill
+    composition (one shuffle keyed by user, the plan a native sort-merge
+    as-of would produce). DuckDB's built-in ASOF JOIN is the oracle."""
+    e = T(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    checkpoints = (
+        e.groupBy("user_id", F.date_trunc("day", F.col("ts")).alias("d"))
+        .agg(F.min("ts").alias("ts"), F.min("value").alias("cp"))
+        .select("user_id", "ts", "cp")
+    )
+    j = asof_join(e, checkpoints, "ts", "user_id", ["cp"])
+    return j.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(_dsum(F.col("cp")), 4).alias("sum_cp"),
+        F.sum(F.when(F.col("cp").isNull(), 1).otherwise(0)).alias("n_unmatched"),
+    )
+
+
+_ASOF_SQL = """
+WITH r AS (
+  SELECT user_id, min(ts) AS rts, min(value) AS cp
+  FROM events GROUP BY user_id, date_trunc('day', ts)
+)
+SELECT e.event_type, count(*) AS n_events,
+       round(CAST(sum(CAST(cp AS DECIMAL(38,6))) AS DOUBLE), 4) AS sum_cp,
+       CAST(sum(CASE WHEN cp IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unmatched
+FROM events e ASOF JOIN r ON e.user_id = r.user_id AND e.ts >= r.rts
+GROUP BY 1
+"""
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: events falling inside daily 06:00-08:00
+    maintenance windows. The operator buckets time so the interval
+    containment becomes a hash equi-join + residual filter instead of a
+    nested-loop inequality join; the oracle is the plain inequality
+    join."""
+    e = T(spark, sf_dir, "events").select("event_id", "ts", "event_type")
+    windows = (
+        e.select(F.date_trunc("day", F.col("ts")).alias("d"))
+        .distinct()
+        .select(
+            (F.col("d") + F.expr("INTERVAL 6 HOURS")).alias("w_start"),
+            (F.col("d") + F.expr("INTERVAL 8 HOURS")).alias("w_end"),
+        )
+    )
+    j = range_join(e, windows, "ts", "w_start", "w_end", bucket="2 hours")
+    return j.groupBy("event_type").agg(
+        F.count("*").alias("n_in_window"),
+        F.count_distinct("event_id").alias("n_distinct"),
+    )
+
+
+_RANGE_JOIN_SQL = """
+WITH days AS (SELECT DISTINCT date_trunc('day', ts) AS d FROM events),
+win AS (SELECT d + INTERVAL 6 HOUR AS w_start, d + INTERVAL 8 HOUR AS w_end
+        FROM days)
+SELECT event_type, count(*) AS n_in_window,
+       count(DISTINCT event_id) AS n_distinct
+FROM events e JOIN win w ON e.ts >= w.w_start AND e.ts < w.w_end
+GROUP BY 1
+"""
+
+
 # ----------------------------------------- full training-data pipeline
 
 _TDP_QUALITY_MIN = 0.6
@@ -2407,6 +2480,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "salted_skew_join": q_salted_join,
         "training_data_pipeline": q_training_data_pipeline,
+        "asof_join_checkpoint": q_asof_join,
+        "range_join_windows": q_range_join,
         "corpus_curation": q_corpus_curation,
         "text_repetition": q_text_repetition,
         "decontaminate_ngrams": q_decontaminate,
@@ -2467,6 +2542,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": _dedup_clusters_sql(),
         "salted_skew_join": _SALTED_JOIN_SQL,
         "training_data_pipeline": _training_data_pipeline_sql(),
+        "asof_join_checkpoint": _ASOF_SQL,
+        "range_join_windows": _RANGE_JOIN_SQL,
         "corpus_curation": _corpus_curation_sql(),
         "text_repetition": _TEXT_REPETITION_SQL,
         "decontaminate_ngrams": _decontaminate_sql(),

@@ -3,6 +3,7 @@ from .gapfill import gap_fill, time_spine
 from .unions import spread, union_by_name
 from .topk import latest_per_group
 from .skew import salted_join
+from .temporal import asof_join, range_join
 from .incremental import (
     CrossWaterYearError,
     resolve_window,
@@ -18,6 +19,8 @@ __all__ = [
     "union_by_name",
     "latest_per_group",
     "salted_join",
+    "asof_join",
+    "range_join",
     "CrossWaterYearError",
     "resolve_window",
     "high_watermark_date",

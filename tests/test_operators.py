@@ -187,3 +187,57 @@ def test_salted_join_matches_plain_join(spark):
     salted_l = salted_join(left, right, "k", n_salts=8, how="left").collect()
     keyl = lambda r: (r.k, r.v, r.name)
     assert sorted(map(keyl, salted_l)) == sorted(map(keyl, plain_l))
+
+
+def test_asof_join_matches_naive(spark):
+    import random
+    from pyspark.sql import Row
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.operators import asof_join
+
+    rng = random.Random(7)
+    left = spark.createDataFrame(
+        [Row(k=rng.randrange(3), t=rng.randrange(100), eid=i) for i in range(120)]
+    )
+    right = spark.createDataFrame(
+        [Row(k=k, t=t, px=k * 1000 + t) for k in range(3) for t in range(0, 100, 7)]
+    )
+    got = {
+        r.eid: r.px
+        for r in asof_join(left, right, "t", "k", ["px"]).collect()
+    }
+    rrows = [(r.k, r.t, r.px) for r in right.collect()]
+    for l in left.collect():
+        cands = [(t, px) for (k, t, px) in rrows if k == l.k and t <= l.t]
+        want = max(cands)[1] if cands else None
+        assert got[l.eid] == want, (l.k, l.t, got[l.eid], want)
+
+
+def test_range_join_matches_naive(spark):
+    import datetime as dt
+    import random
+    from pyspark.sql import Row
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.operators import range_join
+
+    rng = random.Random(11)
+    base = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [Row(ts=base + dt.timedelta(minutes=rng.randrange(0, 5000)), eid=i)
+         for i in range(150)]
+    )
+    right = spark.createDataFrame(
+        [Row(w_start=base + dt.timedelta(minutes=s),
+             w_end=base + dt.timedelta(minutes=s + rng.randrange(30, 300)),
+             wid=j)
+         for j, s in enumerate(range(0, 5000, 333))]
+    )
+    got = sorted(
+        (r.eid, r.wid)
+        for r in range_join(left, right, "ts", "w_start", "w_end",
+                            bucket="1 hours").collect()
+    )
+    want = sorted(
+        (l.eid, r.wid)
+        for l in left.collect() for r in right.collect()
+        if r.w_start <= l.ts < r.w_end
+    )
+    assert got == want and len(want) > 0
