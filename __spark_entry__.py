@@ -2276,6 +2276,48 @@ GROUP BY 1
 """
 
 
+def q_sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates beside their exact counterparts: HLL++ distinct
+    counts and quantile sketches are THE way to profile a 100 TB corpus
+    (exact distinct shuffles every key; a sketch is mergeable partial
+    state). Sketch internals differ per engine, so the contract checks
+    exact values plus engine-local accuracy FLAGS — each engine asserts
+    its own sketch lands within tolerance of its own exact value, and
+    the flags (true everywhere) hash-match."""
+    e = T(spark, sf_dir, "events")
+    agg = e.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_exact"),
+        F.approx_count_distinct("user_id").alias("ad"),
+        F.expr("percentile(value, 0.5D)").alias("p50_exact"),
+        F.expr("approx_percentile(value, 0.5D, 10000)").alias("ap"),
+    )
+    return agg.select(
+        "event_type",
+        "n_exact",
+        F.round(F.col("p50_exact"), 4).alias("p50_exact"),
+        (F.abs(F.col("ad") - F.col("n_exact")) / F.col("n_exact") <= 0.15).alias(
+            "distinct_ok"
+        ),
+        (
+            F.abs(F.col("ap") - F.col("p50_exact")) / F.abs(F.col("p50_exact"))
+            <= 0.05
+        ).alias("p50_ok"),
+    )
+
+
+_SKETCH_SQL = """
+SELECT event_type,
+       count(DISTINCT user_id) AS n_exact,
+       round(quantile_cont(value, 0.5), 4) AS p50_exact,
+       abs(approx_count_distinct(user_id) - count(DISTINCT user_id)) * 1.0
+         / count(DISTINCT user_id) <= 0.15 AS distinct_ok,
+       abs(approx_quantile(value, 0.5) - quantile_cont(value, 0.5))
+         / abs(quantile_cont(value, 0.5)) <= 0.05 AS p50_ok
+FROM events
+GROUP BY 1
+"""
+
+
 # ----------------------------------------- full training-data pipeline
 
 _TDP_QUALITY_MIN = 0.6
@@ -2482,6 +2524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_data_pipeline": q_training_data_pipeline,
         "asof_join_checkpoint": q_asof_join,
         "range_join_windows": q_range_join,
+        "sketch_accuracy": q_sketch_accuracy,
         "corpus_curation": q_corpus_curation,
         "text_repetition": q_text_repetition,
         "decontaminate_ngrams": q_decontaminate,
@@ -2544,6 +2587,7 @@ def oracle_sql() -> dict[str, str]:
         "training_data_pipeline": _training_data_pipeline_sql(),
         "asof_join_checkpoint": _ASOF_SQL,
         "range_join_windows": _RANGE_JOIN_SQL,
+        "sketch_accuracy": _SKETCH_SQL,
         "corpus_curation": _corpus_curation_sql(),
         "text_repetition": _TEXT_REPETITION_SQL,
         "decontaminate_ngrams": _decontaminate_sql(),
