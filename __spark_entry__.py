@@ -2276,6 +2276,39 @@ GROUP BY 1
 """
 
 
+_SPLIT_WEIGHTS = {"train": 0.9, "val": 0.05, "test": 0.05}
+_SPLIT_SEED = "sp1"
+
+
+def q_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 split assignment: contiguous hash bands, a
+    pure function of doc_id — rows never migrate between splits as the
+    corpus grows (the property randomSplit lacks). Map-only projection;
+    the oracle recomputes the same bands from the same md5 hash."""
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.curation import (
+        assign_splits,
+    )
+
+    d = T(spark, sf_dir, "documents")
+    return assign_splits(d, "doc_id", _SPLIT_WEIGHTS, seed=_SPLIT_SEED).select(
+        "doc_id", "lang", "split"
+    )
+
+
+def _split_sql() -> str:
+    h = hash_u32_sql("doc_id", _SPLIT_SEED)
+    hi = 0
+    cases = []
+    for label, w in _SPLIT_WEIGHTS.items():
+        lo, hi = hi, hi + int(w * HASH_SPACE)
+        cases.append(f"WHEN {h} >= {lo} AND {h} < {hi} THEN '{label}'")
+    return f"""
+SELECT doc_id, lang,
+       CASE {' '.join(cases)} ELSE NULL END AS split
+FROM documents
+"""
+
+
 def q_sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates beside their exact counterparts: HLL++ distinct
     counts and quantile sketches are THE way to profile a 100 TB corpus
@@ -2525,6 +2558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_checkpoint": q_asof_join,
         "range_join_windows": q_range_join,
         "sketch_accuracy": q_sketch_accuracy,
+        "train_val_test_split": q_train_val_test_split,
         "corpus_curation": q_corpus_curation,
         "text_repetition": q_text_repetition,
         "decontaminate_ngrams": q_decontaminate,
@@ -2588,6 +2622,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_join_checkpoint": _ASOF_SQL,
         "range_join_windows": _RANGE_JOIN_SQL,
         "sketch_accuracy": _SKETCH_SQL,
+        "train_val_test_split": _split_sql(),
         "corpus_curation": _corpus_curation_sql(),
         "text_repetition": _TEXT_REPETITION_SQL,
         "decontaminate_ngrams": _decontaminate_sql(),

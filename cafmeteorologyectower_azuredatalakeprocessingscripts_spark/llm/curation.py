@@ -132,6 +132,35 @@ def pack_chunks(
     )
 
 
+def assign_splits(
+    df: DataFrame,
+    key: str,
+    weights: dict[str, float],
+    seed: str = "s0",
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test split: the hash space is cut into
+    contiguous bands proportional to ``weights`` (which must sum to
+    ≤ 1.0; any remainder is an implicit drop band labeled null). A row's
+    split is a pure function of its key — stable under re-runs,
+    repartitioning, and corpus growth (new rows never move old rows
+    between splits), which is the property naive ``randomSplit`` lacks.
+    """
+    total = sum(weights.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError("split weights must sum to <= 1.0")
+    h = hash_u32(key, seed)
+    expr = F.lit(None).cast("string")
+    hi = 0
+    bands = []
+    for label, w in weights.items():
+        lo, hi = hi, hi + int(w * HASH_SPACE)
+        bands.append((label, lo, hi))
+    for label, lo, hi in reversed(bands):
+        expr = F.when((h >= lo) & (h < hi), F.lit(label)).otherwise(expr)
+    return df.withColumn(out_col, expr)
+
+
 # ------------------------------------------------------ repetition signals
 
 

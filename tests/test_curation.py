@@ -201,3 +201,26 @@ def test_hash_u32_matches_duckdb(spark):
     )
     assert got == want
     assert all(0 <= v < HASH_SPACE for v in got.values())
+
+
+def test_assign_splits_bands_and_stability(spark):
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.curation import (
+        assign_splits,
+    )
+
+    d = spark.range(0, 5000).withColumnRenamed("id", "doc_id")
+    out = assign_splits(d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, seed="t")
+    counts = {r.split: r.c for r in out.groupBy("split").agg(F.count("*").alias("c")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert abs(counts["train"] / 5000 - 0.8) < 0.03
+    assert abs(counts["val"] / 5000 - 0.1) < 0.02
+    # growth stability: the first 1000 rows keep their assignment when
+    # the corpus is 5x larger (hash bands are per-row, not rank-based)
+    small = assign_splits(
+        spark.range(0, 1000).withColumnRenamed("id", "doc_id"),
+        "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, seed="t")
+    joined = (out.filter(F.col("doc_id") < 1000).withColumnRenamed("split", "s_big")
+              .join(small, "doc_id"))
+    assert joined.filter(F.col("s_big") != F.col("split")).count() == 0
+    with pytest.raises(ValueError):
+        assign_splits(d, "doc_id", {"a": 0.9, "b": 0.2})
