@@ -205,10 +205,13 @@ def top_ngram_share(
     slots occupied by its single most frequent n-gram — near 1.0 for
     degenerate repeated-phrase documents.
 
-    Explode → count per (doc, gram) → max/total per doc. Both
-    aggregations partially aggregate map-side (a doc's grams sit in its
-    scan partition), so the exchanges carry doc-level rows only.
-    Documents with fewer than ``n`` tokens have no n-grams and report 0.
+    Repartition by doc → explode → count per (doc, gram) → max/total
+    per doc. The pre-explode repartition hash-partitions DOC rows once;
+    both aggregations' clustering requirements are then satisfied by
+    that partitioning (doc_id is a subset of (doc_id, g)), so the
+    exploded gram rows never cross the wire — shuffle bytes scale with
+    document count, not gram count. Documents with fewer than ``n``
+    tokens have no n-grams and report 0.
     """
     toks = F.split(norm_text(text_col), " ")
     arr = toks
@@ -219,7 +222,8 @@ def top_ngram_share(
             lambda x, y: F.concat(x, F.lit(" "), y),
         )
     grams = (
-        df.select(F.col(id_col), F.explode(arr).alias("g"))
+        df.repartition(F.col(id_col))
+        .select(F.col(id_col), F.explode(arr).alias("g"))
         .filter(F.col("g").isNotNull())
     )
     per_gram = grams.groupBy(id_col, "g").agg(F.count("*").alias("c"))
