@@ -899,9 +899,14 @@ WHERE round(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.1
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash LSH candidates verified with true Jaccard (the 100 TB
     fuzzy-dedup path: banding join generates candidates, Jaccard verifies)."""
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm import shingles
+
     d = T(spark, sf_dir, "documents")
-    cand = minhash_lsh_pairs(d, n=_SHINGLE_N_Q)
-    return jaccard_pairs(d, n=_SHINGLE_N_Q, threshold=0.0, candidates=cand)
+    sh = shingles(d, n=_SHINGLE_N_Q).cache()
+    cand = minhash_lsh_pairs(d, n=_SHINGLE_N_Q, shingles_df=sh)
+    return jaccard_pairs(
+        d, n=_SHINGLE_N_Q, threshold=0.0, candidates=cand, shingles_df=sh
+    )
 
 
 def _minhash_sql() -> str:
@@ -978,8 +983,13 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     keepers = kept0.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
     kept = kept0.join(keepers, ["fp", "doc_id"])
-    cand = _mlp(kept, n=_SHINGLE_N_Q)
-    ver = jaccard_pairs(kept, n=_SHINGLE_N_Q, threshold=0.1, candidates=cand)
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm import shingles
+
+    sh = shingles(kept, n=_SHINGLE_N_Q).cache()
+    cand = _mlp(kept, n=_SHINGLE_N_Q, shingles_df=sh)
+    ver = jaccard_pairs(
+        kept, n=_SHINGLE_N_Q, threshold=0.1, candidates=cand, shingles_df=sh
+    )
     drops = ver.select(F.col("id_b").alias("doc_id")).distinct()
     return kept.join(drops, "doc_id", "left_anti").select(
         "doc_id", "n_tokens", "quality"

@@ -114,6 +114,7 @@ def jaccard_pairs(
     threshold: float = 0.1,
     candidates: DataFrame | None = None,
     max_doc_freq: int | None = None,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """Document pairs with shingle-set Jaccard >= threshold.
 
@@ -131,8 +132,16 @@ def jaccard_pairs(
     undercount by at most the dropped shingles, making reported Jaccard
     a lower bound. Default None = exact semantics (and what the oracle
     checks); set it when running uncapped at scale.
+
+    ``shingles_df`` lets a caller that already built (and cached) the
+    shingle table share it — MinHash candidate generation + Jaccard
+    verification over the same corpus shingles once, not twice.
     """
-    sh = shingles(df, text_col, id_col, n).cache()
+    sh = (
+        shingles_df
+        if shingles_df is not None
+        else shingles(df, text_col, id_col, n).cache()
+    )
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     index = sh
     if candidates is None and max_doc_freq is not None:
@@ -185,10 +194,11 @@ def minhash_signatures(
     id_col: str = "doc_id",
     num_hashes: int = NUM_HASHES,
     n: int = SHINGLE_N,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """(id, mh_0..mh_{k-1}): min of each universal hash over the
     document's shingle set — one explode + one groupBy with k min aggs."""
-    sh = shingles(df, text_col, id_col, n)
+    sh = shingles_df if shingles_df is not None else shingles(df, text_col, id_col, n)
     x = (F.col("sh_h") % MINHASH_P).alias("x")
     hashed = sh.select("id", x)
     aggs = [
@@ -205,10 +215,11 @@ def minhash_lsh_pairs(
     bands: int = LSH_BANDS,
     rows: int = LSH_ROWS,
     n: int = SHINGLE_N,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate pairs from LSH banding of MinHash signatures:
     (id_a, id_b) sharing at least one band bucket."""
-    sig = minhash_signatures(df, text_col, id_col, bands * rows, n)
+    sig = minhash_signatures(df, text_col, id_col, bands * rows, n, shingles_df)
     band_cols = []
     for b in range(bands):
         members = [F.col(f"mh_{b * rows + r}") for r in range(rows)]
