@@ -155,3 +155,62 @@ def test_jaccard_matches_python_model(spark, texts):
                         inter / (len(sets[a] | sets[b])), 6
                     )
     assert got == want
+
+
+# ---- curation layout invariants (llm/curation.py) ----
+
+_keys = st.lists(
+    st.integers(min_value=0, max_value=10_000), min_size=1, max_size=60,
+    unique=True,
+)
+
+
+@settings(**_SETTINGS)
+@given(keys=_keys, n_shards=st.integers(min_value=1, max_value=6),
+       budget=st.integers(min_value=8, max_value=200))
+def test_prop_shard_pack_partition(spark, keys, n_shards, budget):
+    """Sharding partitions the input (every key in exactly one shard);
+    packing is the exact concat-and-chunk layout per shard."""
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.curation import (
+        assign_shards, pack_chunks,
+    )
+
+    df = spark.createDataFrame([(k, 1 + k % 17) for k in keys],
+                               "doc_id bigint, n_tok int")
+    out = pack_chunks(
+        assign_shards(df, "doc_id", n_shards, seed="p"), "n_tok", budget=budget
+    ).collect()
+    assert sorted(r.doc_id for r in out) == sorted(keys)   # partition
+    by_shard = {}
+    for r in out:
+        assert 0 <= r.shard < n_shards
+        by_shard.setdefault(r.shard, []).append(r)
+    for rows in by_shard.values():
+        rows.sort(key=lambda r: (r.shuffle_key, r.doc_id))
+        pos = 0
+        for r in rows:
+            assert r.offset == pos and r.chunk_id == pos // budget
+            pos += r.n_tok
+
+
+@settings(**_SETTINGS)
+@given(keys=_keys)
+def test_prop_splits_partition_and_stability(spark, keys):
+    """Split bands partition the key space; assignment of a key never
+    depends on what other keys are present."""
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.curation import (
+        assign_splits,
+    )
+
+    w = {"train": 0.7, "val": 0.2, "test": 0.1}
+    df = spark.createDataFrame([(k,) for k in keys], "doc_id bigint")
+    full = {r.doc_id: r.split
+            for r in assign_splits(df, "doc_id", w, seed="p").collect()}
+    assert all(v in ("train", "val", "test") for v in full.values())
+    half_keys = keys[: max(1, len(keys) // 2)]
+    half = {r.doc_id: r.split
+            for r in assign_splits(
+                spark.createDataFrame([(k,) for k in half_keys],
+                                      "doc_id bigint"),
+                "doc_id", w, seed="p").collect()}
+    assert all(full[k] == half[k] for k in half_keys)
