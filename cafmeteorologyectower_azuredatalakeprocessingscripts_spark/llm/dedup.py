@@ -268,9 +268,16 @@ def connected_components(
     edges = pairs.select(
         F.col(id_a).alias("src"), F.col(id_b).alias("dst")
     )
-    sym = edges.union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
+    sym = (
+        edges.union(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        # materialize the edge list ONCE: every propagation round joins
+        # against it, and without this each round re-executes the whole
+        # upstream pair-generation plan (minhash banding etc.)
+        .localCheckpoint()
+    )
     labels = (
         sym.select(F.col("src").alias("id")).distinct()
         .withColumn("label", F.col("id"))
