@@ -2518,6 +2518,57 @@ WINDOW w AS (PARTITION BY shard ORDER BY shuffle_key, doc_id
 """
 
 
+def q_stream_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming corpus curation: documents arrive as files, get
+    fingerprinted (md5 of normalized text) in-stream, and exact
+    duplicates are dropped within the watermark — the streaming form of
+    `dedup_exact` on the same generic ingest operator the event queries
+    use. Survivor = first arrival; the oracle's row_number replay
+    matches because the single-file source preserves doc_id order (and
+    the driver corpus has no exact dups, making survivorship moot)."""
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.streaming import (
+        stream_ingest_dedup,
+    )
+
+    schema = _read_parquet(
+        spark, os.path.join(sf_dir, "documents.parquet")
+    ).schema
+    tmp = tempfile.mkdtemp(prefix="caf_stream_docs_")
+    src = os.path.join(tmp, "src")
+    os.makedirs(src)
+    os.symlink(
+        os.path.join(sf_dir, "documents.parquet"),
+        os.path.join(src, "documents.parquet"),
+    )
+    out_dir = os.path.join(tmp, "out")
+    stream_ingest_dedup(
+        spark,
+        src,
+        schema,
+        out_dir,
+        os.path.join(tmp, "ckpt"),
+        ts_col="ingest_ts",
+        key_cols=("fp",),
+        transform=lambda df: df.withColumn(
+            "fp", fingerprint_md5(F.col("text"))
+        ).withColumn("ingest_ts", F.to_timestamp(F.lit("2024-01-01"))),
+    )
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+_STREAM_CORPUS_DEDUP_SQL = f"""
+WITH ranked AS (
+  SELECT lang,
+         row_number() OVER (PARTITION BY md5({_NORM_SQL}) ORDER BY doc_id) AS rn
+  FROM documents)
+SELECT lang, count(*) AS n_docs FROM ranked WHERE rn = 1 GROUP BY 1
+"""
+
+
 # ------------------------------------------------------------- contract
 
 
@@ -2587,6 +2638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_incremental_dedup": q_stream_dedup,
         "stream_windowed_agg": q_stream_windowed_agg,
         "stream_keep_richest_state": q_stream_keep_richest,
+        "stream_corpus_dedup": q_stream_corpus_dedup,
     }
 
 
@@ -2655,4 +2707,5 @@ def oracle_sql() -> dict[str, str]:
         "stream_incremental_dedup": _STREAM_DEDUP_SQL,
         "stream_windowed_agg": _STREAM_WINDOWED_SQL,
         "stream_keep_richest_state": _DEDUP_RICHEST_SQL,
+        "stream_corpus_dedup": _STREAM_CORPUS_DEDUP_SQL,
     }
