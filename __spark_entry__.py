@@ -1983,6 +1983,31 @@ FROM base b LEFT JOIN top USING (doc_id)
 """
 
 
+def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-entropy quality signal (the cheap perplexity proxy) —
+    order-free integral-micro-unit formulation so parallel aggregation
+    and the oracle agree bit-for-bit."""
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.curation import (
+        char_entropy,
+    )
+
+    return char_entropy(T(spark, sf_dir, "documents"))
+
+
+_TEXT_ENTROPY_SQL = f"""
+WITH chars AS (
+  SELECT doc_id, unnest(string_split({_NORM_SQL}, '')) AS ch FROM documents),
+fc AS (SELECT doc_id, ch, count(*) AS c FROM chars WHERE ch <> '' GROUP BY 1, 2),
+pd AS (SELECT doc_id,
+              CAST(sum(CAST(floor(c * ln(c) * 1e6) AS BIGINT)) AS BIGINT) AS s,
+              CAST(sum(c) AS BIGINT) AS n
+       FROM fc GROUP BY 1)
+SELECT d.doc_id,
+       coalesce(round(ln(n) - s / (n * 1e6), 6), 0.0) AS char_entropy
+FROM documents d LEFT JOIN pd USING (doc_id)
+"""
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: every 20th document plays the held-out
     test set; the rest of the corpus is scored for hashed 3-gram overlap
@@ -2622,6 +2647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_val_test_split": q_train_val_test_split,
         "corpus_curation": q_corpus_curation,
         "text_repetition": q_text_repetition,
+        "text_entropy": q_text_entropy,
         "decontaminate_ngrams": q_decontaminate,
         "sample_shard_pack": q_sample_shard_pack,
         "redact_pii": q_redact_pii,
@@ -2687,6 +2713,7 @@ def oracle_sql() -> dict[str, str]:
         "train_val_test_split": _split_sql(),
         "corpus_curation": _corpus_curation_sql(),
         "text_repetition": _TEXT_REPETITION_SQL,
+        "text_entropy": _TEXT_ENTROPY_SQL,
         "decontaminate_ngrams": _decontaminate_sql(),
         "sample_shard_pack": _sample_shard_pack_sql(),
         "redact_pii": _REDACT_SQL,

@@ -18,7 +18,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import __spark_entry__ as entrymod
 from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.session import get_spark
 
-N_RUNS = 2  # min-of-N per query (measured ±40% single-run noise on this box)
+# min-of-N per query: single-run noise on this box is ±40%, and a
+# 2-sample min still caught a 3x outlier (embed_neardup_blocked 8.1s vs
+# steady 2.6s) — three samples make the min a stable steady-state number
+N_RUNS = 3
 
 HEADLINE = [
     "flagship_tower_pipeline",

@@ -237,6 +237,42 @@ def top_ngram_share(
     )
 
 
+def char_entropy(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id_col, char_entropy): Shannon entropy (nats) of the normalized
+    text's character distribution — the cheap perplexity proxy (random
+    keyboard mash and single-char runs score low; natural text sits
+    near its language's ~2.5-3.2 nats).
+
+    Cross-engine determinism: entropy = ln(n) − Σ c·ln(c) / n is
+    computed with the Σ as an **integer** sum of floor(c·ln(c)·1e6)
+    micro-units — float addition is order-dependent under parallel
+    aggregation, integer addition is not, so the oracle matches
+    bit-for-bit (same recipe as the k-means integral means, D-13/D-21).
+    Same shuffle shape as ``top_ngram_share``: repartition docs, explode
+    chars, two doc-keyed aggs — char rows never cross the wire.
+    """
+    chars = (
+        df.repartition(F.col(id_col))
+        .select(F.col(id_col), F.explode(F.split(norm_text(text_col), "")).alias("ch"))
+        .filter(F.col("ch") != "")
+    )
+    per_char = chars.groupBy(id_col, "ch").agg(F.count("*").alias("c"))
+    term = F.floor(F.col("c") * F.log(F.col("c")) * 1e6).cast("bigint")
+    per_doc = per_char.groupBy(id_col).agg(
+        F.sum(term).alias("s"), F.sum("c").alias("n")
+    )
+    ent = F.round(
+        F.log(F.col("n").cast("double")) - F.col("s") / (F.col("n") * 1e6), 6
+    )
+    return df.select(id_col).join(per_doc, id_col, "left").select(
+        id_col, F.coalesce(ent, F.lit(0.0)).alias("char_entropy")
+    )
+
+
 # -------------------------------------------------------- decontamination
 
 

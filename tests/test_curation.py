@@ -224,3 +224,20 @@ def test_assign_splits_bands_and_stability(spark):
     assert joined.filter(F.col("s_big") != F.col("split")).count() == 0
     with pytest.raises(ValueError):
         assign_splits(d, "doc_id", {"a": 0.9, "b": 0.2})
+
+
+def test_char_entropy(spark):
+    import math
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.curation import (
+        char_entropy,
+    )
+
+    d = docs(spark, [
+        "aaaa",        # one symbol -> 0 nats
+        "ab",          # uniform over 2 -> ln 2
+        "abcd",        # uniform over 4 -> ln 4
+    ])
+    out = {r.doc_id: r.char_entropy for r in char_entropy(d).collect()}
+    assert out[0] == 0.0
+    assert out[1] == pytest.approx(math.log(2), abs=1e-5)
+    assert out[2] == pytest.approx(math.log(4), abs=1e-5)
