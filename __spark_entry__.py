@@ -2240,6 +2240,93 @@ FROM documents d LEFT JOIN lab ON lab.id = d.doc_id
 """
 
 
+def q_incremental_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus refresh: sources src15-19 arrive as the NEW
+    batch and are deduplicated against the existing src0-14 corpus —
+    exact fingerprint anti-join, then MinHash-LSH cross-candidates
+    (new×base bucket join only, no base self-join) verified with true
+    Jaccard. The shape of a daily 100 TB corpus update, where the base
+    side contributes one signature pass and never self-joins."""
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm import (
+        incremental_dedup,
+    )
+
+    d = T(spark, sf_dir, "documents")
+    src_num = F.substring("source", 4, 10).cast("int")
+    base = d.filter(src_num < 15)
+    new = d.filter(src_num >= 15)
+    surv = incremental_dedup(new, base, n=_SHINGLE_N_Q, threshold=0.1)
+    return surv.select("doc_id", "source")
+
+
+def _incremental_dedup_sql() -> str:
+    def sig_chain(pfx: str, sh: str) -> str:
+        mins = ", ".join(
+            f"min(({MINHASH_A[i]} * x + {MINHASH_B[i]}) % {MINHASH_P}) AS mh_{i}"
+            for i in range(LSH_BANDS * LSH_ROWS)
+        )
+        bands = ", ".join(
+            "md5("
+            + " || ',' || ".join(
+                f"CAST(mh_{b * LSH_ROWS + r} AS VARCHAR)" for r in range(LSH_ROWS)
+            )
+            + f") AS bucket_{b}"
+            for b in range(LSH_BANDS)
+        )
+        band_rows = " UNION ALL ".join(
+            f"SELECT id, {b} AS band, bucket_{b} AS bucket FROM {pfx}banded"
+            for b in range(LSH_BANDS)
+        )
+        return f"""
+{pfx}hashed AS (SELECT id, sh_h % {MINHASH_P} AS x FROM {sh}),
+{pfx}sig AS (SELECT id, {mins} FROM {pfx}hashed GROUP BY id),
+{pfx}banded AS (SELECT id, {bands} FROM {pfx}sig),
+{pfx}buckets AS ({band_rows})"""
+
+    def sh2(src: str, toks: str, sh: str) -> str:
+        k = _SHINGLE_N_Q - 1
+        return f"""
+{toks} AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM {src}),
+{sh} AS (
+  SELECT DISTINCT doc_id AS id,
+         CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS sh_h
+  FROM (SELECT doc_id,
+               unnest(list_transform(range(1, greatest(len(w) - {k}, 0) + 1),
+                                     i -> array_to_string(w[i:i+{k}], ' '))) AS shingle
+        FROM {toks}))"""
+
+    return f"""
+WITH newd AS (SELECT * FROM documents WHERE CAST(substr(source, 4) AS INT) >= 15),
+based AS (SELECT * FROM documents WHERE CAST(substr(source, 4) AS INT) < 15),
+bfp AS (SELECT DISTINCT md5({_NORM_SQL}) AS fp FROM based),
+ne AS (SELECT * FROM newd WHERE md5({_NORM_SQL}) NOT IN (SELECT fp FROM bfp)),
+{sh2("ne", "ntoks", "nsh").strip()},
+{sh2("based", "btoks", "bsh").strip()},
+{sig_chain("n", "nsh").strip()},
+{sig_chain("b", "bsh").strip()},
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM nbuckets a JOIN bbuckets b USING (band, bucket)
+),
+sizes AS (SELECT id, count(*) AS n_sh
+          FROM (SELECT * FROM nsh UNION ALL SELECT * FROM bsh) GROUP BY 1),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS n_inter
+  FROM cand c
+  JOIN nsh a ON a.id = c.id_a
+  JOIN bsh b ON b.id = c.id_b AND b.sh_h = a.sh_h
+  GROUP BY 1, 2
+),
+ver AS (
+  SELECT id_a FROM inter
+  JOIN sizes sa ON sa.id = id_a
+  JOIN sizes sb ON sb.id = id_b
+  WHERE round(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.1
+)
+SELECT doc_id, source FROM ne WHERE doc_id NOT IN (SELECT id_a FROM ver)
+"""
+
+
 # ----------------------------------------------------- temporal joins
 
 
@@ -2639,6 +2726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard_capped": q_jaccard_capped,
         "dedup_minhash_lsh": q_minhash_lsh,
         "dedup_clusters": q_dedup_clusters,
+        "incremental_corpus_dedup": q_incremental_corpus_dedup,
         "salted_skew_join": q_salted_join,
         "training_data_pipeline": q_training_data_pipeline,
         "asof_join_checkpoint": q_asof_join,
@@ -2705,6 +2793,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard_capped": _JACCARD_CAPPED_SQL,
         "dedup_minhash_lsh": _minhash_sql(),
         "dedup_clusters": _dedup_clusters_sql(),
+        "incremental_corpus_dedup": _incremental_dedup_sql(),
         "salted_skew_join": _SALTED_JOIN_SQL,
         "training_data_pipeline": _training_data_pipeline_sql(),
         "asof_join_checkpoint": _ASOF_SQL,

@@ -208,6 +208,26 @@ def minhash_signatures(
     return hashed.groupBy("id").agg(*aggs)
 
 
+def lsh_buckets(
+    sig: DataFrame, bands: int = LSH_BANDS, rows: int = LSH_ROWS
+) -> DataFrame:
+    """(id, band, bucket) membership rows from a MinHash signature
+    frame — the join key of every LSH candidate generation (self-join
+    for within-corpus dedup, cross-join-by-bucket for incremental)."""
+    band_cols = []
+    for b in range(bands):
+        members = [F.col(f"mh_{b * rows + r}") for r in range(rows)]
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws(",", *members)).alias("bucket"),
+            )
+        )
+    return sig.select(
+        "id", F.explode(F.array(*band_cols)).alias("bb")
+    ).select("id", "bb.band", "bb.bucket")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -220,18 +240,7 @@ def minhash_lsh_pairs(
     """Candidate pairs from LSH banding of MinHash signatures:
     (id_a, id_b) sharing at least one band bucket."""
     sig = minhash_signatures(df, text_col, id_col, bands * rows, n, shingles_df)
-    band_cols = []
-    for b in range(bands):
-        members = [F.col(f"mh_{b * rows + r}") for r in range(rows)]
-        band_cols.append(
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(F.concat_ws(",", *members)).alias("bucket"),
-            )
-        )
-    buckets = sig.select(
-        "id", F.explode(F.array(*band_cols)).alias("bb")
-    ).select("id", "bb.band", "bb.bucket")
+    buckets = lsh_buckets(sig, bands, rows)
     a = buckets.select(F.col("id").alias("id_a"), "band", "bucket")
     b = buckets.select(F.col("id").alias("id_b"), "band", "bucket")
     return (
@@ -240,6 +249,69 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
+
+
+def incremental_dedup(
+    new_df: DataFrame,
+    base_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = SHINGLE_N,
+    bands: int = LSH_BANDS,
+    rows: int = LSH_ROWS,
+    threshold: float = 0.1,
+) -> DataFrame:
+    """Surviving NEW documents after deduplicating against an existing
+    corpus — the daily-refresh shape at 100 TB, where base ≫ new and a
+    base self-join is unaffordable (and unnecessary: base is already
+    deduped).
+
+    Two stages, both generating only new×base work:
+    1. exact: anti-join new fingerprints against the base fingerprint
+       set (one hash join keyed by md5).
+    2. near-dup: MinHash-LSH buckets for each side, candidates from the
+       cross bucket join only (no self-pairs), verified with true
+       Jaccard over the union shingle table; new docs with any verified
+       match ≥ ``threshold`` drop.
+
+    New-vs-new duplicates are deliberately untouched (run the
+    within-corpus operators for that); ids must be unique across both
+    inputs.
+    """
+    base_fps = base_df.select(
+        fingerprint_md5(text_col).alias("__fp")
+    ).distinct()
+    new_exact = (
+        new_df.withColumn("__fp", fingerprint_md5(text_col))
+        .join(base_fps, "__fp", "left_anti")
+        .drop("__fp")
+    )
+    sh_new = shingles(new_exact, text_col, id_col, n).cache()
+    sh_base = shingles(base_df, text_col, id_col, n).cache()
+    sig_new = minhash_signatures(
+        new_exact, text_col, id_col, bands * rows, n, sh_new
+    )
+    sig_base = minhash_signatures(
+        base_df, text_col, id_col, bands * rows, n, sh_base
+    )
+    bn = lsh_buckets(sig_new, bands, rows).select(
+        F.col("id").alias("id_a"), "band", "bucket"
+    )
+    bb = lsh_buckets(sig_base, bands, rows).select(
+        F.col("id").alias("id_b"), "band", "bucket"
+    )
+    cand = bn.join(bb, ["band", "bucket"]).select("id_a", "id_b").distinct()
+    ver = jaccard_pairs(
+        None,
+        text_col,
+        id_col,
+        n,
+        threshold=threshold,
+        candidates=cand,
+        shingles_df=sh_new.union(sh_base),
+    )
+    drops = ver.select(F.col("id_a").alias(id_col)).distinct()
+    return new_exact.join(drops, id_col, "left_anti")
 
 
 def connected_components(

@@ -298,3 +298,24 @@ def test_bpe_ish_token_count(spark):
     # Hello , world ! x 2 y -> 7
     assert got[0] == 7
     assert got[1] == 0
+
+
+def test_incremental_dedup_vs_base(spark):
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm import (
+        incremental_dedup,
+    )
+
+    base = docs(spark, [
+        "alpha beta gamma delta epsilon zeta",
+        "one two three four five six seven",
+    ])
+    new = spark.createDataFrame([
+        Row(doc_id=100, text="alpha  beta gamma DELTA epsilon zeta"),  # exact dup after norm
+        Row(doc_id=101, text="one two three four five six EIGHT"),     # near dup of base 1
+        Row(doc_id=102, text="totally unrelated fresh content here"),  # survives
+    ])
+    surv = sorted(
+        r.doc_id
+        for r in incremental_dedup(new, base, n=2, threshold=0.3).collect()
+    )
+    assert surv == [102]
