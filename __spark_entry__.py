@@ -1627,6 +1627,52 @@ SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.45
 """
 
 
+def q_embed_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup clusters: the SRP-blocked pair graph fed
+    through connected components — semantic dedup's keep/drop decision
+    (one keeper per cluster of mutually-similar embeddings). Same
+    label-propagation operator as the MinHash clusters; the oracle
+    wraps the blocked-pair SQL in a recursive reachability CTE."""
+    emb = T(spark, sf_dir, "embeddings")
+    pairs = embed_neardup_pairs(
+        emb,
+        threshold=0.45,
+        block=True,
+        dim=_EMB_DIM,
+        planes=_NEARDUP_PLANES,
+        tables=_NEARDUP_TABLES,
+    )
+    labels = connected_components(pairs).withColumnRenamed("id", "vec_id")
+    cl = F.coalesce("cluster", F.col("vec_id"))
+    return emb.select("vec_id").join(labels, "vec_id", "left").select(
+        "vec_id", cl.alias("cluster"), (cl == F.col("vec_id")).alias("is_keeper")
+    )
+
+
+def _embed_neardup_clusters_sql() -> str:
+    inner = _embed_neardup_blocked_sql().strip()
+    head, _ = inner.split("\nSELECT id_a, id_b, cosine FROM scored", 1)
+    return (
+        "WITH RECURSIVE "
+        + head[len("WITH "):]
+        + """,
+pairs AS (SELECT id_a, id_b FROM scored WHERE cosine >= 0.45),
+sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+reach(src, label) AS (
+  SELECT src, src FROM sym
+  UNION
+  SELECT s.src, r.label FROM sym s JOIN reach r ON r.src = s.dst
+),
+lab AS (SELECT src AS id, min(label) AS cluster FROM reach GROUP BY 1)
+SELECT e.vec_id,
+       coalesce(lab.cluster, e.vec_id) AS cluster,
+       coalesce(lab.cluster, e.vec_id) = e.vec_id AS is_keeper
+FROM embeddings e LEFT JOIN lab ON lab.id = e.vec_id
+"""
+    )
+
+
 def _ann_lsh_sql() -> str:
     vals = _srp_values_sql(4, 1, _EMB_DIM)
     proj = _DOT_VW.format(dim=_EMB_DIM, a="vec", b="wv")
@@ -2744,6 +2790,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_cosine_topk": q_cosine_topk,
         "embed_neardup": q_embed_neardup,
         "embed_neardup_blocked": q_embed_neardup_blocked,
+        "embed_neardup_clusters": q_embed_neardup_clusters,
         "multimodal_features": q_multimodal,
         "multimodal_frames": q_multimodal_frames,
         "ann_lsh_topk": q_ann_lsh,
@@ -2811,6 +2858,7 @@ def oracle_sql() -> dict[str, str]:
         "embed_cosine_topk": _COSINE_TOPK_SQL,
         "embed_neardup": _EMBED_NEARDUP_SQL,
         "embed_neardup_blocked": _embed_neardup_blocked_sql(),
+        "embed_neardup_clusters": _embed_neardup_clusters_sql(),
         "multimodal_features": _MULTIMODAL_SQL,
         "multimodal_frames": _MULTIMODAL_FRAMES_SQL,
         # the approximate ops ARE oracle-checkable: SRP hyperplanes and
