@@ -60,8 +60,8 @@ def main() -> None:
         lambda it: it, "id long"
     ).write.format("noop").mode("overwrite").save()
 
-    # two timed runs per query, report the min — the second run amortizes
-    # codegen/JIT so numbers reflect steady-state throughput, and min-of-2
+    # N timed runs per query, report the min — later runs amortize
+    # codegen/JIT so numbers reflect steady-state throughput, and the min
     # suppresses machine-load noise between rounds
     times: dict[str, float] = {}
     for name in HEADLINE:
