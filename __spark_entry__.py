@@ -1117,26 +1117,46 @@ SELECT id, ({recombine}) AS simhash FROM sig
 """
 
 
+_SIMHASH_MAX_HAMMING_Q = 6
+
+
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: prefix-bucket blocking + exact Hamming
-    filter via bit_count(xor) — the bounded pair join over signatures."""
+    """SimHash near-dup pairs: pigeonhole multi-block blocking (any pair
+    within Hamming distance h agrees exactly on >=1 of h+1 disjoint bit
+    blocks — recall 1.0 by construction) + exact Hamming filter via
+    bit_count(xor)."""
     from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.dedup import (
         simhash_pairs,
     )
 
     d = T(spark, sf_dir, "documents")
-    return simhash_pairs(d, max_hamming=16, bucket_bits=4)
+    return simhash_pairs(d, max_hamming=_SIMHASH_MAX_HAMMING_Q)
 
 
 def _simhash_pairs_sql() -> str:
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.dedup import (
+        pigeonhole_blocks,
+    )
+
     sig = _simhash_sql().strip().rstrip()
+    h = _SIMHASH_MAX_HAMMING_Q
+    tagged = "\n  UNION ALL ".join(
+        f"SELECT id, simhash, {j} AS blk, (simhash >> {s}) & {(1 << w) - 1} AS val FROM sig"
+        for j, (s, w) in enumerate(pigeonhole_blocks(SIMHASH_BITS, h + 1))
+    )
     return f"""
 WITH sig AS ({sig}),
-b AS (SELECT id, simhash, simhash >> {SIMHASH_BITS - 4} AS bucket FROM sig)
-SELECT a.id AS id_a, b2.id AS id_b,
-       bit_count(xor(a.simhash, b2.simhash)) AS hamming
-FROM b a JOIN b b2 USING (bucket)
-WHERE a.id < b2.id AND bit_count(xor(a.simhash, b2.simhash)) <= 16
+tagged AS (
+  {tagged}
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+         a.simhash AS sh_a, b.simhash AS sh_b
+  FROM tagged a JOIN tagged b USING (blk, val)
+  WHERE a.id < b.id
+)
+SELECT id_a, id_b, bit_count(xor(sh_a, sh_b)) AS hamming
+FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= {h}
 """
 
 

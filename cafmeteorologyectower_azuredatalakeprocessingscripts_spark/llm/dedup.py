@@ -428,25 +428,70 @@ def simhash(
     return sig.select("id", out.alias("simhash"))
 
 
+def pigeonhole_blocks(bits: int, n_blocks: int) -> list[tuple[int, int]]:
+    """(start_bit, width) for ``n_blocks`` disjoint ranges covering
+    [0, bits). Shared by the Spark operator and the SQL oracle builder so
+    both replay the identical block layout."""
+    base, extra = divmod(bits, n_blocks)
+    out: list[tuple[int, int]] = []
+    start = 0
+    for i in range(n_blocks):
+        width = base + (1 if i < extra else 0)
+        out.append((start, width))
+        start += width
+    return out
+
+
 def simhash_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     bits: int = SIMHASH_BITS,
     max_hamming: int = 6,
-    bucket_bits: int = 8,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: block on the top ``bucket_bits`` of the
-    signature (bounded self-join), then exact Hamming-distance filter via
-    bit_count(xor)."""
+    """Near-dup pairs by SimHash with pigeonhole blocking: split the
+    signature into ``max_hamming + 1`` disjoint bit blocks. Any pair
+    within Hamming distance ``max_hamming`` differs in at most
+    ``max_hamming`` bit positions, so at least one block is identical on
+    both sides (pigeonhole) — the union of per-block equi-joins therefore
+    has recall 1.0, unlike single-prefix bucketing. Candidates are
+    deduped, then exact-filtered via ``bit_count(xor)``.
+
+    Scale: each block join is an equi-join keyed (block_idx, block_val);
+    candidate volume is Σ_blocks Σ_values m², never n². With 32-bit
+    signatures block values span only 4-5 bits — at corpus scale use
+    64-bit signatures (``bits=64``) so blocks widen to 9-10 bits and
+    collision-driven fanout drops ~32×."""
     sig = simhash(df, text_col, id_col, bits)
-    bucket = F.shiftright(F.col("simhash"), bits - bucket_bits)
-    sig = sig.withColumn("bucket", bucket)
-    a = sig.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"), "bucket")
-    b = sig.select(F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"), "bucket")
+    blocks = pigeonhole_blocks(bits, max_hamming + 1)
+    tagged = sig.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("blk"),
+                        F.shiftright(F.col("simhash"), s)
+                        .bitwiseAND(F.lit((1 << w) - 1))
+                        .alias("val"),
+                    )
+                    for j, (s, w) in enumerate(blocks)
+                ]
+            )
+        ).alias("b"),
+    ).select("id", "simhash", F.col("b.blk").alias("blk"), F.col("b.val").alias("val"))
+    a = tagged.select(
+        F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"), "blk", "val"
+    )
+    b = tagged.select(
+        F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"), "blk", "val"
+    )
     return (
-        a.join(b, "bucket")
+        a.join(b, ["blk", "val"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
         .withColumn(
             "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
         )
