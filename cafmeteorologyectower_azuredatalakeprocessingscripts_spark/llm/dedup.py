@@ -405,7 +405,14 @@ def simhash(
     to ONE 32-long vote row per document before the exchange — shuffle
     bytes scale with document count, not token count. (A fully row-local
     higher-order ``aggregate`` avoids even that, but hash expressions in
-    lambda position run interpreted and measure ~60% slower.)"""
+    lambda position run interpreted and measure ~60% slower.)
+
+    ``bits`` is capped at 59: token hashes come from :func:`md5_int`
+    (60 bits of entropy) and both the ``2**bits`` modulus and the
+    ``2**(bits-1)`` recombine weight must stay inside signed BIGINT —
+    ``bits=64`` would overflow both."""
+    if not 1 <= bits <= 59:
+        raise ValueError(f"bits must be in [1, 59], got {bits}")
     toks = F.split(norm_text(text_col), " ")
     tok = (
         df.repartition(F.col(id_col))
@@ -431,7 +438,14 @@ def simhash(
 def pigeonhole_blocks(bits: int, n_blocks: int) -> list[tuple[int, int]]:
     """(start_bit, width) for ``n_blocks`` disjoint ranges covering
     [0, bits). Shared by the Spark operator and the SQL oracle builder so
-    both replay the identical block layout."""
+    both replay the identical block layout.
+
+    ``n_blocks`` is clamped to ``bits``: more blocks than bits would emit
+    width-0 blocks whose mask is 0, putting every row in one (blk, 0)
+    bucket and degenerating the blocked join into an n² cross join.
+    Recall is unaffected — with ``bits`` 1-bit blocks, any pair at
+    Hamming distance < bits still agrees on at least one block."""
+    n_blocks = max(1, min(bits, n_blocks))
     base, extra = divmod(bits, n_blocks)
     out: list[tuple[int, int]] = []
     start = 0
@@ -460,8 +474,9 @@ def simhash_pairs(
     Scale: each block join is an equi-join keyed (block_idx, block_val);
     candidate volume is Σ_blocks Σ_values m², never n². With 32-bit
     signatures block values span only 4-5 bits — at corpus scale use
-    64-bit signatures (``bits=64``) so blocks widen to 9-10 bits and
-    collision-driven fanout drops ~32×."""
+    wider signatures (``bits=48``, the widest that keeps ~uniform token
+    hashes under :func:`simhash`'s 59-bit BIGINT-safety cap) so blocks
+    widen to ~7 bits and collision-driven fanout drops ~8×."""
     sig = simhash(df, text_col, id_col, bits)
     blocks = pigeonhole_blocks(bits, max_hamming + 1)
     tagged = sig.select(

@@ -82,11 +82,11 @@ def range_join(
     1/bucket) is what the shuffle hashes on — both bounded, no
     nested-loop.
     """
-    slot = F.unix_micros(F.col(ts))
+    slot = _epoch_us(ts)
     width = F.lit(_interval_micros(bucket))
     lhs = left.withColumn("__slot", F.floor(slot / width))
-    s0 = F.floor(F.unix_micros(F.col(start)) / width)
-    s1 = F.floor((F.unix_micros(F.col(end)) - 1) / width)
+    s0 = F.floor(_epoch_us(start) / width)
+    s1 = F.floor((_epoch_us(end) - 1) / width)
     rhs = right.withColumn(
         "__slot", F.explode(F.sequence(s0.cast("bigint"), s1.cast("bigint")))
     )
@@ -95,6 +95,13 @@ def range_join(
         .filter((F.col(ts) >= F.col(start)) & (F.col(ts) < F.col(end)))
         .drop("__slot")
     )
+
+
+def _epoch_us(col: str):
+    # unix_micros rejects TIMESTAMP_NTZ; the cast is a no-op on TIMESTAMP
+    # and a wall-clock identity on NTZ under a UTC session zone. Interval
+    # math here is shift-invariant either way (both sides move together).
+    return F.unix_micros(F.col(col).cast("timestamp"))
 
 
 def _interval_micros(spec: str) -> int:
