@@ -40,6 +40,40 @@ def last_date_of_water_year(wy: int) -> datetime.date:
     return datetime.date(wy, 9, 30)
 
 
+def ts_normalizer(schema, col: str = "ts"):
+    """THE single source of truth for normalizing an event-time column to
+    session-UTC TIMESTAMP, whatever physical type the parquet shipped:
+
+    - ``bigint`` — TIMESTAMP(NANOS) read via the ``nanosAsLong`` legacy
+      conf: raw nano longs, truncated to micros (like DuckDB does).
+    - ``timestamp_ntz`` — isAdjustedToUTC=false micros: cast to
+      TIMESTAMP, a wall-clock identity under a UTC session zone (which
+      :mod:`..session` and the entry module both force). ``unix_micros``
+      / ``unix_timestamp`` / ``withWatermark`` all reject NTZ, so the
+      cast is mandatory before any epoch math.
+    - ``timestamp`` — already normalized.
+
+    Returns a DataFrame transform, or None when the column is absent or
+    already TIMESTAMP so callers (especially streaming, where an extra
+    projection breaks schema-on-read laziness) can skip it entirely.
+    """
+    t = {f.name: f.dataType.simpleString() for f in schema.fields}.get(col)
+    if t == "bigint":
+        return lambda df: df.withColumn(
+            col, F.timestamp_micros(F.expr(f"`{col}` div 1000"))
+        )
+    if t == "timestamp_ntz":
+        return lambda df: df.withColumn(col, F.col(col).cast("timestamp"))
+    return None
+
+
+def normalize_ts(df, col: str = "ts"):
+    """Apply :func:`ts_normalizer` to a DataFrame (no-op when already
+    TIMESTAMP or the column is absent)."""
+    tr = ts_normalizer(df.schema, col)
+    return tr(df) if tr is not None else df
+
+
 def day_floor(c: Column | str) -> Column:
     c = F.col(c) if isinstance(c, str) else c
     return F.date_trunc("DAY", c)

@@ -440,12 +440,17 @@ def pigeonhole_blocks(bits: int, n_blocks: int) -> list[tuple[int, int]]:
     [0, bits). Shared by the Spark operator and the SQL oracle builder so
     both replay the identical block layout.
 
-    ``n_blocks`` is clamped to ``bits``: more blocks than bits would emit
+    ``n_blocks`` must be in [1, bits]: more blocks than bits would emit
     width-0 blocks whose mask is 0, putting every row in one (blk, 0)
-    bucket and degenerating the blocked join into an n² cross join.
-    Recall is unaffected — with ``bits`` 1-bit blocks, any pair at
-    Hamming distance < bits still agrees on at least one block."""
-    n_blocks = max(1, min(bits, n_blocks))
+    bucket and degenerating the blocked join into an n² cross join —
+    and the pigeonhole recall guarantee (``max_hamming = n_blocks - 1``
+    < bits) no longer holds there, so fail fast instead of silently
+    clamping a degenerate parameterization."""
+    if not 1 <= n_blocks <= bits:
+        raise ValueError(
+            f"n_blocks must be in [1, bits={bits}], got {n_blocks}: "
+            "max_hamming >= bits voids the pigeonhole recall guarantee"
+        )
     base, extra = divmod(bits, n_blocks)
     out: list[tuple[int, int]] = []
     start = 0
@@ -477,6 +482,12 @@ def simhash_pairs(
     wider signatures (``bits=48``, the widest that keeps ~uniform token
     hashes under :func:`simhash`'s 59-bit BIGINT-safety cap) so blocks
     widen to ~7 bits and collision-driven fanout drops ~8×."""
+    if max_hamming >= bits:
+        raise ValueError(
+            f"max_hamming ({max_hamming}) must be < bits ({bits}): a pair "
+            "differing in every bit would be within max_hamming yet agree "
+            "on no block, so pigeonhole recall 1.0 would not hold"
+        )
     sig = simhash(df, text_col, id_col, bits)
     blocks = pigeonhole_blocks(bits, max_hamming + 1)
     tagged = sig.select(

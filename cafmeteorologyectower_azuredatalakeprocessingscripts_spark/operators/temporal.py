@@ -90,17 +90,27 @@ def range_join(
     rhs = right.withColumn(
         "__slot", F.explode(F.sequence(s0.cast("bigint"), s1.cast("bigint")))
     )
+    # residual filter on the SAME cast expressions the buckets were
+    # computed from: under a non-UTC session zone with DST the
+    # NTZ->TIMESTAMP cast is non-linear near transitions, so comparing
+    # the raw columns here while bucketing on cast values could disagree
+    # and silently drop matching pairs near a DST boundary.
     return (
         lhs.join(rhs, "__slot", "inner")
-        .filter((F.col(ts) >= F.col(start)) & (F.col(ts) < F.col(end)))
+        .filter(
+            (_epoch_us(ts) >= _epoch_us(start))
+            & (_epoch_us(ts) < _epoch_us(end))
+        )
         .drop("__slot")
     )
 
 
 def _epoch_us(col: str):
     # unix_micros rejects TIMESTAMP_NTZ; the cast is a no-op on TIMESTAMP
-    # and a wall-clock identity on NTZ under a UTC session zone. Interval
-    # math here is shift-invariant either way (both sides move together).
+    # and a wall-clock identity on NTZ under a UTC session zone (the
+    # shared rule — functions/time.py:ts_normalizer). Interval math is
+    # shift-invariant either way, and range_join compares bucketing and
+    # residual on these same cast values so they can never disagree.
     return F.unix_micros(F.col(col).cast("timestamp"))
 
 

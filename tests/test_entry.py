@@ -7,6 +7,7 @@ import sys
 
 import duckdb
 import pytest
+from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -62,6 +63,55 @@ def test_reads_nanos_parquet_on_foreign_session(spark):
         "ts"
     ] == "timestamp"
     assert df.limit(5).count() == 5
+
+
+def test_ts_normalizer_covers_all_historical_physical_types(spark, tmp_path):
+    """The driver's events.parquet has shipped `ts` as TIMESTAMP micros,
+    TIMESTAMP(NANOS) (surfacing as bigint under nanosAsLong), and
+    isAdjustedToUTC=false micros (surfacing as TIMESTAMP_NTZ — the r3
+    regression). One shared rule (functions/time.py:ts_normalizer) must
+    map all three to the same session-UTC TIMESTAMP values."""
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.functions import (
+        normalize_ts,
+        ts_normalizer,
+    )
+
+    wall = ["2024-03-01 12:00:00", "2024-07-04 23:59:59", "2020-01-01 00:00:00"]
+    base = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(wall)], "id int, w string"
+    )
+    variants = {
+        "micros": base.select(
+            "id", F.to_timestamp("w").alias("ts")
+        ),
+        "nanos_as_long": base.select(
+            "id",
+            (F.unix_micros(F.to_timestamp("w")) * 1000).alias("ts"),
+        ),
+        "ntz": base.select(
+            "id", F.to_timestamp("w").cast("timestamp_ntz").alias("ts")
+        ),
+    }
+    collected = {}
+    for label, df in variants.items():
+        p = str(tmp_path / label)
+        df.write.parquet(p)
+        out = normalize_ts(spark.read.parquet(p))
+        assert (
+            dict((f.name, f.dataType.simpleString()) for f in out.schema.fields)[
+                "ts"
+            ]
+            == "timestamp"
+        ), label
+        collected[label] = {
+            r["id"]: r["ts"] for r in out.select("id", "ts").collect()
+        }
+    assert collected["micros"] == collected["nanos_as_long"] == collected["ntz"]
+    # already-TIMESTAMP: normalizer signals "skip the projection"
+    ts_df = spark.read.parquet(str(tmp_path / "micros"))
+    assert ts_normalizer(ts_df.schema) is None
+    # absent column: no-op, not an error
+    assert ts_normalizer(base.schema) is None
 
 
 @pytest.mark.parametrize("name", SAMPLE)

@@ -241,3 +241,55 @@ def test_range_join_matches_naive(spark):
         if r.w_start <= l.ts < r.w_end
     )
     assert got == want and len(want) > 0
+
+
+def test_range_join_ntz_consistent_across_dst(spark):
+    """Bucketing and the residual filter must use the SAME cast
+    expressions: for TIMESTAMP_NTZ inputs under a DST session zone the
+    NTZ->TIMESTAMP cast is non-linear near the spring-forward gap, and a
+    residual computed on the raw columns could disagree with the slot
+    assignment and silently drop matching pairs (ADVICE r4). Events every
+    10 min across the US 2024-03-10 02:00 transition, 1-hour buckets.
+    Wall times inside the nonexistent [02:00, 03:00) gap are excluded so
+    the wall-clock oracle and instant semantics provably agree; what the
+    test pins down is that slot assignment and residual cannot disagree
+    with EACH OTHER across the offset change."""
+    import datetime as dt
+    from pyspark.sql import functions as F
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.operators import range_join
+
+    la = spark.newSession()
+    la.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    base = dt.datetime(2024, 3, 10, 0, 0)  # wall-clock
+    gap = lambda t: dt.time(2, 0) <= t.time() < dt.time(3, 0)
+    ev = [base + dt.timedelta(minutes=10 * i) for i in range(42)]
+    ev = [t for t in ev if not gap(t)]
+    left = la.createDataFrame(
+        [(str(t), i) for i, t in enumerate(ev)], "w string, eid int"
+    ).select(F.to_timestamp_ntz("w").alias("ts"), "eid")
+    wins = [
+        (base + dt.timedelta(minutes=90 * j),
+         base + dt.timedelta(minutes=90 * j + 120), j)
+        for j in range(5)
+        if not gap(base + dt.timedelta(minutes=90 * j))
+        and not gap(base + dt.timedelta(minutes=90 * j + 120))
+    ]
+    right = la.createDataFrame(
+        [(str(s), str(e), j) for s, e, j in wins], "s string, e string, wid int"
+    ).select(
+        F.to_timestamp_ntz("s").alias("w_start"),
+        F.to_timestamp_ntz("e").alias("w_end"),
+        "wid",
+    )
+    got = sorted(
+        (r.eid, r.wid)
+        for r in range_join(left, right, "ts", "w_start", "w_end",
+                            bucket="1 hours").collect()
+    )
+    want = sorted(
+        (i, j)
+        for i, t in enumerate(ev)
+        for s, e, j in wins
+        if s <= t < e
+    )
+    assert got == want and len(want) > 0
