@@ -23,6 +23,7 @@ Here the same contract becomes a typed driver-side object:
 
 from __future__ import annotations
 
+import datetime
 from dataclasses import dataclass, field
 from typing import Any, Mapping
 
@@ -129,6 +130,37 @@ def abfss_url(cfg: SiteConfig, *segments: str) -> str:
     base = f"abfss://{cfg.file_system}@{cfg.storage_account}.dfs.core.windows.net"
     parts = [s.strip("/") for s in segments if s]
     return "/".join([base, *parts])
+
+
+def month_globs(
+    base: str,
+    start: datetime.date,
+    end: datetime.date,
+    pattern: str = "*.dat",
+) -> list[str]:
+    """One glob per month folder ``{base}/{yyyy}/{mm}/{pattern}``
+    covering [start, end] — plan-time partition pruning over the lake's
+    month-partitioned raw zone (SURVEY.md §2.1 S3), replacing the
+    reference's month-folder download loop
+    (src/AzureDataLakeAccess.py:149-188: first-of-start-month through
+    end, one ``get_paths`` listing per month). Compose ``base`` from
+    :func:`abfss_url` for the lake, or any ``file://`` root — the same
+    job runs on either. Selection finer than a month is the
+    filename-date predicate (``sources/files.py``) or the scan-time
+    range filter in ``run_tower_job``, both of which the reference also
+    applies after its month listing."""
+    if end < start:
+        raise ValueError(f"end {end} precedes start {start}")
+    out = []
+    cursor = datetime.date(start.year, start.month, 1)
+    while cursor <= end:
+        out.append(f"{base.rstrip('/')}/{cursor.year:04d}/{cursor.month:02d}/{pattern}")
+        cursor = (
+            datetime.date(cursor.year + 1, 1, 1)
+            if cursor.month == 12
+            else datetime.date(cursor.year, cursor.month + 1, 1)
+        )
+    return out
 
 
 def abfss_oauth_conf(cfg: SiteConfig) -> dict[str, str]:

@@ -26,7 +26,10 @@ _COLS = [
 ]
 
 
-def _toa5(path: str, day: int, start_rec: int, ticks: int) -> None:
+def _toa5(
+    path: str, day: int, start_rec: int, ticks: int,
+    year: int = 2022, month: int = 1,
+) -> None:
     lines = [
         '"TOA5","CookEast","CR6","1","CR6.Std","CPU:flux","1","Flux"',
         ",".join(f'"{c}"' for c in _COLS),
@@ -34,7 +37,7 @@ def _toa5(path: str, day: int, start_rec: int, ticks: int) -> None:
         ",".join('""' if c == "TIMESTAMP" else '"Avg"' for c in _COLS),
     ]
     for i in range(ticks):
-        ts = dt.datetime(2022, 1, day) + dt.timedelta(minutes=30 * (i + 1))
+        ts = dt.datetime(year, month, day) + dt.timedelta(minutes=30 * (i + 1))
         vals = {c: "1.0" for c in _COLS}
         vals.update(
             TIMESTAMP=f'"{ts:%Y-%m-%d %H:%M:%S}"',
@@ -114,6 +117,62 @@ def test_run_tower_jobs_tolerates_site_failure(spark, tmp_path, rawdir):
     )
     assert results[("CookEast", "Flux")].count() == 2 * 48 + 1
     assert isinstance(results[("BoydNorth", "Flux")], Exception)
+
+
+def test_run_tower_job_on_fake_lake_layout(spark, tmp_path):
+    """file://-backed fake of the ADLS month-partitioned layout: the SAME
+    month_globs the job would aim at abfss:// (via config.abfss_url),
+    rooted at a local directory — proving S3's plan-time pruning and the
+    whole job composition need no SDK download loop. A month folder
+    OUTSIDE the glob window and a corrupt .dat INSIDE it prove pruning
+    and scan tolerance respectively."""
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.config import (
+        abfss_url,
+        month_globs,
+    )
+
+    cfg = SiteConfig(site="CookEast", storage_account="acct", file_system="rawzone")
+    # the lake URL form of the same globs (string-level check only — no
+    # network in this container)
+    url = abfss_url(cfg, "CookEast", "Flux")
+    assert url == "abfss://rawzone@acct.dfs.core.windows.net/CookEast/Flux"
+    assert month_globs(url, dt.date(2021, 12, 31), dt.date(2022, 1, 31)) == [
+        f"{url}/2021/12/*.dat",
+        f"{url}/2022/01/*.dat",
+    ]
+
+    # identical layout on local disk; December→January crosses the
+    # calendar-year folder rollover inside one water year
+    base = tmp_path / "lake" / "rawzone" / "CookEast" / "Flux"
+    for sub in ("2021/12", "2022/01", "2022/02"):
+        (base / sub).mkdir(parents=True)
+    _toa5(str(base / "2021/12/CookEast_Flux_2021_12_31_0000.dat"),
+          31, 500, 48, year=2021, month=12)
+    _toa5(str(base / "2022/01/CookEast_Flux_2022_01_01_0000.dat"), 1, 1000, 48)
+    # outside the glob window — must be pruned at plan time
+    _toa5(str(base / "2022/02/CookEast_Flux_2022_02_01_0000.dat"),
+          1, 2000, 48, month=2)
+    # corrupt file inside the window — scan drops its rows
+    (base / "2022/01/CookEast_Flux_junk.dat").write_text("not,a,toa5\n1,2,3\n")
+
+    globs = month_globs(f"file://{base}", dt.date(2021, 12, 31), dt.date(2022, 1, 31))
+    out_path = str(tmp_path / "out")
+    df = run_tower_job(
+        spark, cfg, "Flux", globs, out_path,
+        start_date=dt.date(2021, 12, 31), end_date=dt.date(2022, 1, 31),
+    )
+    # spine: Dec 31 00:00 → Jan 2 00:00 boundary = 2 days × 48 + 1
+    assert df.count() == 2 * 48 + 1
+    recs = {r["RECORD"] for r in df.select("RECORD").collect()}
+    assert 500 in recs and 1000 in recs   # both month folders scanned
+    assert 2000 not in recs               # February pruned by the glob
+    assert df.filter(F.month("TIMESTAMP") == 2).count() == 0
+    # single water year spans the calendar rollover; sink partition there
+    assert {r["wateryear"] for r in df.select("wateryear").collect()} == {2022}
+    back = spark.read.parquet(out_path)
+    assert back.filter(
+        (F.col("site") == "CookEast") & (F.col("wateryear") == 2022)
+    ).count() == 2 * 48 + 1
 
 
 _MET_COLS = [
