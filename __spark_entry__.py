@@ -1191,6 +1191,88 @@ FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= {h}
 """
 
 
+def q_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full 64-bit SimHash as two 32-bit halves (md5 hex slices 1-8 and
+    9-16) — the production signature width, kept BIGINT-safe per half
+    (llm/dedup.py:simhash64)."""
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm import simhash64
+
+    return simhash64(T(spark, sf_dir, "documents"))
+
+
+def _simhash64_sql() -> str:
+    votes = ", ".join(
+        f"SUM(CASE WHEN ((h_{side} >> {i}) & 1) = 1 THEN w ELSE -w END) "
+        f"AS v_{side}_{i}"
+        for side in ("lo", "hi")
+        for i in range(32)
+    )
+    rec = {
+        side: " + ".join(
+            f"CASE WHEN v_{side}_{i} > 0 THEN CAST({2 ** i} AS BIGINT) ELSE 0 END"
+            for i in range(32)
+        )
+        for side in ("lo", "hi")
+    }
+    return f"""
+WITH toks AS (
+  SELECT doc_id AS id, unnest(string_split({_NORM_SQL}, ' ')) AS tok FROM documents
+),
+counted AS (SELECT id, tok, count(*) AS w FROM toks GROUP BY 1, 2),
+hashed AS (
+  SELECT id, w,
+         CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h_lo,
+         CAST(('0x' || substr(md5(tok), 9, 8)) AS BIGINT) AS h_hi
+  FROM counted
+),
+sig AS (SELECT id, {votes} FROM hashed GROUP BY id)
+SELECT id, ({rec['hi']}) AS simhash_hi, ({rec['lo']}) AS simhash_lo FROM sig
+"""
+
+
+def q_simhash64_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash near-dup pairs: pigeonhole blocks balanced across
+    the two halves (recall 1.0 — disjointness alone gives the pigeonhole
+    guarantee), exact Hamming = sum of per-half bit_count(xor)."""
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm import (
+        simhash64_pairs,
+    )
+
+    d = T(spark, sf_dir, "documents")
+    return simhash64_pairs(d, max_hamming=_SIMHASH_MAX_HAMMING_Q)
+
+
+def _simhash64_pairs_sql() -> str:
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.dedup import (
+        simhash64_blocks,
+    )
+
+    sig = _simhash64_sql().strip()
+    h = _SIMHASH_MAX_HAMMING_Q
+    tagged = "\n  UNION ALL ".join(
+        f"SELECT id, simhash_hi, simhash_lo, {j} AS blk, "
+        f"({col} >> {s}) & {(1 << w) - 1} AS val FROM sig"
+        for j, (col, s, w) in enumerate(simhash64_blocks(h))
+    )
+    return f"""
+WITH sig AS ({sig}),
+tagged AS (
+  {tagged}
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+         a.simhash_hi AS hi_a, a.simhash_lo AS lo_a,
+         b.simhash_hi AS hi_b, b.simhash_lo AS lo_b
+  FROM tagged a JOIN tagged b USING (blk, val)
+  WHERE a.id < b.id
+)
+SELECT id_a, id_b,
+       bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) AS hamming
+FROM cand
+WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) <= {h}
+"""
+
+
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = T(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
@@ -2779,11 +2861,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate evaluates at most ~50
     # entries per round (r2 and r3 both stopped at exactly 50), so the
     # rotation policy is: no query goes more than 2 rounds without a
-    # driver row. r5 rotation: the 13 entries past the cap in r4 (last
-    # driver row r3) run FIRST; the tail past position 50 is exactly the
-    # 13 embed/ANN/multimodal/stream entries driver-greened in r4, which
-    # must rotate back in before r7.
+    # driver row. r5 rotation (65 entries): the 2 new simhash64 queries
+    # and the 13 entries past the cap in r4 (last driver row r3) run
+    # FIRST; the tail past position 50 is the 13 embed/ANN/multimodal/
+    # stream entries plus dedup_clusters + incremental_corpus_dedup — all
+    # driver-greened in r4 — which must rotate back in before r7.
     return {
+        # -- NEW in r5 (never driver-checked)
+        "dedup_simhash64": q_simhash64,
+        "dedup_simhash64_pairs": q_simhash64_pairs,
         # -- past the cap in r4 (last driver-green row: r3)
         "salted_skew_join": q_salted_join,
         "training_data_pipeline": q_training_data_pipeline,
@@ -2860,6 +2946,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     # Same order as queries() — see the cap note there.
     return {
+        "dedup_simhash64": _simhash64_sql(),
+        "dedup_simhash64_pairs": _simhash64_pairs_sql(),
         "salted_skew_join": _SALTED_JOIN_SQL,
         "training_data_pipeline": _training_data_pipeline_sql(),
         "asof_join_checkpoint": _ASOF_SQL,

@@ -435,6 +435,153 @@ def simhash(
     return sig.select("id", out.alias("simhash"))
 
 
+def simhash64(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, simhash_hi, simhash_lo): full 64-bit SimHash — the signature
+    width production dedup systems standardize on — as TWO 32-bit halves
+    so every modulus and recombine weight stays far inside signed BIGINT
+    (the single-column :func:`simhash` caps at 59 bits for that reason;
+    VERDICT r4 stretch item).
+
+    Each SimHash bit is an independent per-bit majority vote over one
+    hash bit of each token, so 64 bits built from two disjoint 32-bit
+    md5 slices (hex chars 1-8 → lo, 9-16 → hi) are exactly as valid a
+    64-bit SimHash family as one 64-bit hash — and both halves come from
+    the ONE md5 the projection already computes.
+
+    Same execution shape as :func:`simhash`: explode → codegen md5
+    projection → one hash aggregation with 64 conditional sums that
+    map-side-collapses to one row per document before the exchange."""
+    toks = F.split(norm_text(text_col), " ")
+    tok = (
+        df.repartition(F.col(id_col))
+        .select(F.col(id_col).alias("id"), F.explode(toks).alias("tok"))
+        .select(
+            "id",
+            F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10)
+            .cast("bigint")
+            .alias("h_lo"),
+            F.conv(F.substring(F.md5(F.col("tok")), 9, 8), 16, 10)
+            .cast("bigint")
+            .alias("h_hi"),
+        )
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col(h), i).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"v_{side}_{i}")
+        for side, h in (("lo", "h_lo"), ("hi", "h_hi"))
+        for i in range(32)
+    ]
+    sig = tok.groupBy("id").agg(*votes)
+    outs = {}
+    for side in ("lo", "hi"):
+        acc = F.lit(0).cast("bigint")
+        for i in range(32):
+            acc = acc + F.when(
+                F.col(f"v_{side}_{i}") > 0, F.lit(2 ** i).cast("bigint")
+            ).otherwise(F.lit(0).cast("bigint"))
+        outs[side] = acc
+    return sig.select(
+        "id", outs["hi"].alias("simhash_hi"), outs["lo"].alias("simhash_lo")
+    )
+
+
+def simhash64_blocks(max_hamming: int) -> list[tuple[str, int, int]]:
+    """(half_column, start_bit, width) layout of the ``max_hamming + 1``
+    pigeonhole blocks over the two-half 64-bit signature — blocks are
+    balanced across the halves (widths ~64/n) and never straddle the
+    32-bit seam. Shared by :func:`simhash64_pairs` and the SQL oracle
+    builder so both replay the identical buckets."""
+    n = max_hamming + 1
+    if not 1 <= n <= 64:
+        raise ValueError(
+            f"max_hamming must be in [0, 63] for 64-bit signatures, got "
+            f"{max_hamming}"
+        )
+    n_lo = (n + 1) // 2
+    n_hi = n - n_lo
+    blocks = [("simhash_lo", s, w) for s, w in pigeonhole_blocks(32, n_lo)]
+    if n_hi:
+        blocks += [("simhash_hi", s, w) for s, w in pigeonhole_blocks(32, n_hi)]
+    return blocks
+
+
+def simhash64_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 6,
+) -> DataFrame:
+    """Near-dup pairs on the 64-bit two-half signature with pigeonhole
+    blocking. ``max_hamming + 1`` disjoint bit blocks are distributed
+    across the halves (never straddling the 32-bit seam); the pigeonhole
+    argument needs only DISJOINT blocks — a pair differing in at most
+    ``max_hamming`` bits leaves at least one of the ``max_hamming + 1``
+    blocks untouched — so recall is 1.0 exactly as in
+    :func:`simhash_pairs`, while 64-bit blocks are ~9 bits wide at
+    h=6 (vs ~4-5 for 32-bit signatures): each bucket is ~16-32× more
+    selective, which is the whole point of the wider signature at corpus
+    scale. Exact Hamming is the sum of the two halves' bit_count(xor)."""
+    blocks = simhash64_blocks(max_hamming)
+    sig = simhash64(df, text_col, id_col)
+    tagged = sig.select(
+        "id",
+        "simhash_hi",
+        "simhash_lo",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("blk"),
+                        F.shiftright(F.col(col), s)
+                        .bitwiseAND(F.lit((1 << w) - 1))
+                        .alias("val"),
+                    )
+                    for j, (col, s, w) in enumerate(blocks)
+                ]
+            )
+        ).alias("b"),
+    ).select(
+        "id",
+        "simhash_hi",
+        "simhash_lo",
+        F.col("b.blk").alias("blk"),
+        F.col("b.val").alias("val"),
+    )
+    a = tagged.select(
+        F.col("id").alias("id_a"),
+        F.col("simhash_hi").alias("hi_a"),
+        F.col("simhash_lo").alias("lo_a"),
+        "blk",
+        "val",
+    )
+    b = tagged.select(
+        F.col("id").alias("id_b"),
+        F.col("simhash_hi").alias("hi_b"),
+        F.col("simhash_lo").alias("lo_b"),
+        "blk",
+        "val",
+    )
+    return (
+        a.join(b, ["blk", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "hi_a", "lo_a", "hi_b", "lo_b")
+        .distinct()
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+            + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b"))),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def pigeonhole_blocks(bits: int, n_blocks: int) -> list[tuple[int, int]]:
     """(start_bit, width) for ``n_blocks`` disjoint ranges covering
     [0, bits). Shared by the Spark operator and the SQL oracle builder so

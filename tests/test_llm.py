@@ -79,6 +79,49 @@ def test_simhash_near_for_similar_docs(spark):
     assert all(0 <= s < 2 ** 32 for s in sigs.values())
 
 
+def test_simhash64_pairs_exact_recall_vs_brute(spark):
+    """64-bit two-half SimHash: pigeonhole blocking must return EXACTLY
+    the brute-force all-pairs Hamming result (recall 1.0 by disjoint
+    blocks), including max_hamming=0 (blocks only cover the lo half —
+    disjointness, not coverage, is what the pigeonhole argument needs)."""
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm import (
+        simhash64,
+        simhash64_pairs,
+    )
+
+    base = " ".join(
+        w for w in "alpha beta gamma delta epsilon zeta".split() for _ in range(5)
+    )
+    d = docs(spark, [base, base + " lambda", base, "x y z w v u t s r q"])
+    sig = simhash64(d)
+    rows = {r.id: (r.simhash_hi, r.simhash_lo) for r in sig.collect()}
+    assert all(0 <= hi < 2 ** 32 and 0 <= lo < 2 ** 32 for hi, lo in rows.values())
+    # docs 0 and 2 are identical → identical signatures
+    assert rows[0] == rows[2]
+
+    def brute(h):
+        out = set()
+        ids = sorted(rows)
+        for i in ids:
+            for j in ids:
+                if i < j:
+                    ham = bin(rows[i][0] ^ rows[j][0]).count("1") + bin(
+                        rows[i][1] ^ rows[j][1]
+                    ).count("1")
+                    if ham <= h:
+                        out.add((i, j))
+        return out
+
+    for h in (0, 6, 12):
+        got = {
+            (r.id_a, r.id_b) for r in simhash64_pairs(d, max_hamming=h).collect()
+        }
+        assert got == brute(h), h
+    assert (0, 2) in brute(0)  # the exact-dup pair survives h=0
+    with pytest.raises(ValueError, match="max_hamming"):
+        simhash64_pairs(d, max_hamming=64)
+
+
 def test_simhash_pairs_rejects_degenerate_params(spark):
     """max_hamming >= bits voids the pigeonhole recall guarantee — the
     operator must fail fast, not silently clamp (ADVICE r4)."""
