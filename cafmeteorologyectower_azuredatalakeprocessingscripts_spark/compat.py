@@ -15,6 +15,7 @@ the import, keep the call sites, then move to the first-class API
 | ``get_datetime_from_filename`` / ``get_latest_file`` (:291-312) | same names |
 | ``Grade_cs(data, access)`` (:532-615) | :func:`Grade_cs` |
 | ``METQC(Data, col)`` (:619-635) | :func:`METQC` |
+| ``AccessAzure(Sites, col, Time, access, CEF, ...)`` (:334-418) | :func:`AccessAzure` |
 """
 
 from __future__ import annotations
@@ -133,3 +134,66 @@ def METQC(Data: DataFrame, col: str = "Flux") -> DataFrame:
     Flux- or Met-table column naming."""
     mapping = MET_FLUX_MAPPING if col == "Flux" else MET_MET_MAPPING
     return met_qaqc(Data, mapping)
+
+
+def _parse_date(s: str | datetime.date | None) -> datetime.date | None:
+    """The reference accepts loose date strings via dateutil
+    (src/AzureDataLakeAccess.py:355, :371); cover its documented formats
+    without the dependency."""
+    if s is None or isinstance(s, datetime.date):
+        return s
+    for fmt in ("%Y-%m-%d", "%m/%d/%Y", "%Y%m%d", "%m-%d-%Y"):
+        try:
+            return datetime.datetime.strptime(s, fmt).date()
+        except ValueError:
+            continue
+    raise ValueError(f"unparseable date string {s!r}")
+
+
+def AccessAzure(
+    Sites: str,
+    col: str,
+    Time: str | int,
+    access: Mapping | SiteConfig,
+    CEF: str | None = None,
+    save: bool = True,
+    QC: bool = True,
+    startDate: str | datetime.date | None = None,
+    endDate: str | datetime.date | None = None,
+    spark: SparkSession | None = None,
+    raw_glob: str | list[str] | None = None,
+    out_path: str | None = None,
+    previous_aggregate: DataFrame | None = None,
+) -> DataFrame:
+    """Reference main driver function (src/AzureDataLakeAccess.py:334-
+    418): download window resolution → read → aggregate → QC → save,
+    one call per (site, table). Same positional call shape; the download
+    loop disappears — ``raw_glob`` (or ``CEF``/``local_dir`` + ``*.dat``)
+    is read directly, lake URLs included (compose
+    :func:`config.month_globs` over :func:`config.abfss_url`). The
+    4-case start/end/watermark resolution, 1-day reprocess overlap, and
+    cross-water-year rejection are preserved via ``run_tower_job``.
+    ``save=True`` writes the water-year-partitioned aggregate to
+    ``out_path`` (or the config's UPLOAD path)."""
+    from .plans.driver import run_tower_job
+
+    spark = spark or SparkSession.active()
+    cfg = (
+        access
+        if isinstance(access, SiteConfig)
+        else SiteConfig.from_mapping(Sites, access)
+    )
+    glob = raw_glob or os.path.join(CEF or cfg.local_dir or ".", "*.dat")
+    dest = out_path or (cfg.upload_path if save else None)
+    return run_tower_job(
+        spark,
+        cfg,
+        col,
+        glob,
+        out_path=dest if save else None,
+        previous_aggregate=previous_aggregate,
+        start_date=_parse_date(startDate),
+        end_date=_parse_date(endDate),
+        qc=QC,
+        freq_minutes=_freq_minutes(Time),
+    )

@@ -101,23 +101,125 @@ class SiteConfig:
         )
 
 
+_XLSX_NS = {
+    "m": "http://schemas.openxmlformats.org/spreadsheetml/2006/main",
+    "r": "http://schemas.openxmlformats.org/officeDocument/2006/relationships",
+    "p": "http://schemas.openxmlformats.org/package/2006/relationships",
+}
+
+
+def _xlsx_cell_value(cell, strings: list[str]) -> Any:
+    """Typed value of one <c> element (shared string, inline string,
+    boolean, or number — ints come back as int, like pandas)."""
+    t = cell.get("t", "n")
+    v = cell.find("m:v", _XLSX_NS)
+    if t == "inlineStr":
+        node = cell.find("m:is/m:t", _XLSX_NS)
+        return node.text if node is not None else None
+    if v is None or v.text is None:
+        return None
+    if t == "s":
+        return strings[int(v.text)]
+    if t == "str":
+        return v.text
+    if t == "b":
+        return v.text == "1"
+    num = float(v.text)
+    return int(num) if num.is_integer() else num
+
+
+def _col_index(ref: str) -> int:
+    """0-based column from an A1-style cell reference."""
+    n = 0
+    for ch in ref:
+        if ch.isalpha():
+            n = n * 26 + (ord(ch.upper()) - ord("A") + 1)
+        else:
+            break
+    return n - 1
+
+
+def read_xlsx_sheet(
+    path: str, sheet_name: str, index_col: str = "Variable"
+) -> dict[str, dict[str, Any]]:
+    """Minimal stdlib .xlsx reader (``zipfile`` + ``ElementTree`` — the
+    format is just zipped XML) for the config-workbook shape: returns
+    ``{column: {Variable: value}}``, the same nested dict
+    ``pd.read_excel(path, sheet_name=site, index_col='Variable')
+    .to_dict()`` produces at src/LTARCAFTowerReport.py:61. No Excel
+    engine required; handles shared, inline, and formula-cached strings,
+    booleans, and numbers. Not a general spreadsheet engine — no
+    formula evaluation (the reference workbook is plain values)."""
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    with zipfile.ZipFile(path) as z:
+        wb = ET.fromstring(z.read("xl/workbook.xml"))
+        rid = None
+        for sh in wb.find("m:sheets", _XLSX_NS):
+            if sh.get("name") == sheet_name:
+                rid = sh.get(f"{{{_XLSX_NS['r']}}}id")
+        if rid is None:
+            raise KeyError(f"sheet {sheet_name!r} not in workbook")
+        rels = ET.fromstring(z.read("xl/_rels/workbook.xml.rels"))
+        target = next(
+            r.get("Target")
+            for r in rels.findall("p:Relationship", _XLSX_NS)
+            if r.get("Id") == rid
+        )
+        strings: list[str] = []
+        if "xl/sharedStrings.xml" in z.namelist():
+            ss = ET.fromstring(z.read("xl/sharedStrings.xml"))
+            for si in ss.findall("m:si", _XLSX_NS):
+                strings.append("".join(t.text or "" for t in si.iter(f"{{{_XLSX_NS['m']}}}t")))
+        sheet = ET.fromstring(z.read("xl/" + target.lstrip("/").removeprefix("xl/")))
+        rows: list[dict[int, Any]] = []
+        for row in sheet.find("m:sheetData", _XLSX_NS):
+            cells = {}
+            for i, c in enumerate(row.findall("m:c", _XLSX_NS)):
+                ref = c.get("r")
+                cells[_col_index(ref) if ref else i] = _xlsx_cell_value(c, strings)
+            rows.append(cells)
+    if not rows:
+        raise ValueError(f"sheet {sheet_name!r} is empty")
+    header = rows[0]
+    idx_col = next(i for i, name in header.items() if name == index_col)
+    out: dict[str, dict[str, Any]] = {
+        name: {} for i, name in header.items() if i != idx_col and name is not None
+    }
+    for cells in rows[1:]:
+        var = cells.get(idx_col)
+        if var is None:
+            continue
+        for i, name in header.items():
+            if i != idx_col and name is not None:
+                out[name][var] = cells.get(i)
+    return out
+
+
 def load_workbook(path: str, sites: list[str]) -> dict[str, SiteConfig]:
     """Read the reference workbook directly (one sheet per site,
-    ``index_col='Variable'`` — src/LTARCAFTowerReport.py:61). Requires an
-    Excel engine (openpyxl); gated because this container ships none."""
+    ``index_col='Variable'`` — src/LTARCAFTowerReport.py:61). Uses
+    pandas+openpyxl when installed; otherwise the stdlib
+    :func:`read_xlsx_sheet` parser, so the workbook path works in any
+    environment."""
     try:
         import pandas as pd
 
-        out = {}
-        for site in sites:
-            sheet = pd.read_excel(path, sheet_name=site, index_col="Variable")
-            out[site] = SiteConfig.from_mapping(site, sheet.to_dict())
-        return out
-    except ImportError as exc:  # pragma: no cover - env-dependent
-        raise ImportError(
-            "reading .xlsx config requires an Excel engine (openpyxl); "
-            "build the nested dict yourself and use SiteConfig.from_mapping"
-        ) from exc
+        reader = lambda site: pd.read_excel(
+            path, sheet_name=site, index_col="Variable"
+        ).to_dict()
+    except ImportError:  # pragma: no cover - env-dependent
+        reader = lambda site: read_xlsx_sheet(path, site)
+    out = {}
+    for site in sites:
+        try:
+            mapping = reader(site)
+        except ImportError:
+            # pandas present but no Excel engine — stdlib fallback
+            mapping = read_xlsx_sheet(path, site)
+        out[site] = SiteConfig.from_mapping(site, mapping)
+    return out
 
 
 def abfss_url(cfg: SiteConfig, *segments: str) -> str:

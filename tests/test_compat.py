@@ -79,3 +79,36 @@ def test_metqc_met_naming(spark):
     out = compat.METQC(df, col="Met")
     assert "Tair_Hard_Limit" in out.columns
     assert "MSLP" in out.columns
+
+
+def test_access_azure_reference_call_shape(spark, tmp_path):
+    """The reference driver's main call (src/LTARCAFTowerReport.py:82:
+    ``ADLA.AccessAzure(Sites[k], col, Time, access, CEF, QC=False)``)
+    works verbatim against a local raw dir — download loop replaced by a
+    direct glob read, window/QC/save semantics via run_tower_job."""
+    import os
+
+    d = tmp_path / "raw"
+    os.makedirs(d)
+    _toa5(str(d / "CookEast_Flux_2022_01_01_0000.dat"), 1, 1000, 48)
+    access = {
+        "Flux": {"grade": 7, "LE_B": -150, "H_B": -150, "F_B": -60,
+                 "ustar": 0, "Ver": "V40826", "UPLOAD": str(tmp_path / "up")},
+        "Met": {"LE_B": 1000, "H_B": 1000, "F_B": 20},
+        "Val_3": {}, "Val_4": {},
+    }
+    df = compat.AccessAzure(
+        "CookEast", "Flux", "30min", access, str(d), QC=False,
+        startDate="2022-01-01", endDate="1/31/2022",
+        spark=spark, save=False,
+    )
+    assert df.count() == 48 + 1  # day spine + midnight tick
+    assert "H_Flags" not in df.columns  # QC=False honored
+    qc = compat.AccessAzure(
+        "CookEast", "Flux", "30min", access, str(d),
+        startDate=dt.date(2022, 1, 1), endDate=dt.date(2022, 1, 31),
+        spark=spark, save=True, out_path=str(tmp_path / "out"),
+    )
+    assert qc.filter(F.col("RECORD") == 1000).first()["H_Flags"] is not None
+    back = spark.read.parquet(str(tmp_path / "out"))
+    assert back.count() == 48 + 1

@@ -170,3 +170,169 @@ def test_v2_schema_and_canonical_rename(spark):
     assert row["LE_Flags"] is not None
     # V40826 passthrough is a no-op
     assert to_canonical(df, "Flux", "V40826") is df
+
+
+def _write_xlsx(path, sheets):
+    """Minimal real .xlsx (zipped SpreadsheetML, inline strings) — what
+    the reference's DataLakeDownload workbook is, written with stdlib
+    only so the test needs no Excel engine either."""
+    import zipfile
+
+    def cell(ref, v):
+        if isinstance(v, str):
+            return f'<c r="{ref}" t="inlineStr"><is><t>{v}</t></is></c>'
+        return f'<c r="{ref}"><v>{v}</v></c>'
+
+    def sheet_xml(rows):
+        out = ['<?xml version="1.0"?><worksheet xmlns='
+               '"http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+               '<sheetData>']
+        for ri, row in enumerate(rows, start=1):
+            cells = "".join(
+                cell(f"{chr(ord('A') + ci)}{ri}", v)
+                for ci, v in enumerate(row)
+                if v is not None
+            )
+            out.append(f'<row r="{ri}">{cells}</row>')
+        out.append("</sheetData></worksheet>")
+        return "".join(out)
+
+    names = list(sheets)
+    wb_sheets = "".join(
+        f'<sheet name="{n}" sheetId="{i + 1}" r:id="rId{i + 1}"/>'
+        for i, n in enumerate(names)
+    )
+    rels = "".join(
+        f'<Relationship Id="rId{i + 1}" Type="http://schemas.openxmlformats.org'
+        f'/officeDocument/2006/relationships/worksheet" '
+        f'Target="worksheets/sheet{i + 1}.xml"/>'
+        for i in range(len(names))
+    )
+    overrides = "".join(
+        f'<Override PartName="/xl/worksheets/sheet{i + 1}.xml" ContentType='
+        '"application/vnd.openxmlformats-officedocument.spreadsheetml'
+        '.worksheet+xml"/>'
+        for i in range(len(names))
+    )
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr(
+            "[Content_Types].xml",
+            '<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats'
+            '.org/package/2006/content-types">'
+            '<Default Extension="xml" ContentType="application/xml"/>'
+            '<Default Extension="rels" ContentType="application/vnd'
+            '.openxmlformats-package.relationships+xml"/>'
+            '<Override PartName="/xl/workbook.xml" ContentType="application/'
+            'vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+            f"{overrides}</Types>",
+        )
+        z.writestr(
+            "_rels/.rels",
+            '<?xml version="1.0"?><Relationships xmlns="http://schemas'
+            '.openxmlformats.org/package/2006/relationships">'
+            '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/'
+            'officeDocument/2006/relationships/officeDocument" '
+            'Target="xl/workbook.xml"/></Relationships>',
+        )
+        z.writestr(
+            "xl/workbook.xml",
+            '<?xml version="1.0"?><workbook xmlns="http://schemas'
+            '.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://'
+            'schemas.openxmlformats.org/officeDocument/2006/relationships">'
+            f"<sheets>{wb_sheets}</sheets></workbook>",
+        )
+        z.writestr(
+            "xl/_rels/workbook.xml.rels",
+            '<?xml version="1.0"?><Relationships xmlns="http://schemas'
+            '.openxmlformats.org/package/2006/relationships">'
+            f"{rels}</Relationships>",
+        )
+        for i, n in enumerate(names):
+            z.writestr(f"xl/worksheets/sheet{i + 1}.xml", sheet_xml(sheets[n]))
+
+
+def test_load_workbook_via_stdlib_xlsx_reader(tmp_path):
+    """S7 un-gated: the reference DataLakeDownload workbook read without
+    any Excel engine — stdlib zipfile+ElementTree parse, same nested
+    dict pd.read_excel(..., index_col='Variable').to_dict() yields."""
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.config import (
+        load_workbook,
+        read_xlsx_sheet,
+    )
+
+    rows = [
+        ["Variable", "Flux", "Met", "Val_3", "Val_4"],
+        ["storageaccountname", "acct", None, None, None],
+        ["file_system", "rawzone", None, None, None],
+        ["path", "CookEast/Flux/", None, None, None],
+        ["grade", 6, None, None, None],
+        ["LE_B", -120, 900, None, None],
+        ["H_B", -110, 800, None, None],
+        ["F_B", -50, 15, None, None],
+        ["ustar", 0, None, None, None],
+        ["gg", "H_qc_grade", "LE_qc_grade", "Fc_qc_grade", None],
+        ["cls", "H", "LE", "Fc_molar", None],
+        ["back", 2, None, None, None],
+        ["Ver", "V40826", None, None, None],
+    ]
+    path = str(tmp_path / "DataLakeDownload.xlsx")
+    _write_xlsx(path, {"CookEast": rows, "BoydNorth": rows})
+
+    nested = read_xlsx_sheet(path, "CookEast")
+    assert nested["Flux"]["grade"] == 6
+    assert nested["Met"]["LE_B"] == 900
+    assert nested["Flux"]["cls"] == "H" and nested["Val_3"]["cls"] == "Fc_molar"
+
+    cfgs = load_workbook(path, ["CookEast", "BoydNorth"])
+    cfg = cfgs["CookEast"]
+    assert cfg.storage_account == "acct" and cfg.file_system == "rawzone"
+    assert cfg.qc.grade == 6
+    assert cfg.qc.le_bounds == (-120.0, 900.0)
+    assert cfg.qc.h_bounds == (-110.0, 800.0)
+    assert cfg.qc.fc_bounds == (-50.0, 15.0)
+    assert cfg.lookback_months == 2
+    assert cfgs["BoydNorth"].site == "BoydNorth"
+    with pytest.raises(KeyError):
+        read_xlsx_sheet(path, "NoSuchSite")
+
+
+def test_render_pdf_stdlib_vector(tmp_path):
+    """S8 un-gated: a real multi-page PDF from the stdlib vector
+    renderer — correct xref offsets, one page per non-empty group,
+    per-station polylines and labels in the content streams."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.report import (
+        VARIABLE_GROUPS,
+        render_pdf,
+    )
+
+    idx = pd.date_range(dt.datetime(2022, 1, 1), periods=48, freq="30min")
+    frames = {
+        "CookEast": pd.DataFrame(
+            {"H": range(48), "LE": [v * 0.5 for v in range(48)],
+             "TA_1_1_1": [5.0] * 48},
+            index=idx,
+        ),
+        "BoydNorth": pd.DataFrame({"H": [10.0] * 48}, index=idx),
+    }
+    out = str(tmp_path / "report.pdf")
+    assert render_pdf(frames, out) == out
+    raw = open(out, "rb").read()
+    assert raw.startswith(b"%PDF-1.4") and raw.rstrip().endswith(b"%%EOF")
+    # groups with data: Heat+Energy (H, LE) and Temperature (TA_1_1_1)
+    assert raw.count(b"/Type /Page ") == 2
+    assert b"(Heat and Energy Fluxes)" in raw
+    assert b"(TA_1_1_1)" in raw
+    assert b"(CookEast)" in raw and b"(BoydNorth)" in raw
+    # xref offsets must point at their objects
+    xref_at = int(raw.rsplit(b"startxref", 1)[1].split()[0])
+    lines = raw[xref_at:].split(b"\n")
+    n = int(lines[1].split()[1])
+    for i, ln in enumerate(lines[3 : 2 + n], start=1):
+        off = int(ln.split()[0])
+        assert raw[off:].startswith(b"%d 0 obj" % i), i
+    # polyline ops present (m ... l ... S)
+    assert b" m " in raw and b" l" in raw
