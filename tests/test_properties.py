@@ -214,3 +214,75 @@ def test_prop_splits_partition_and_stability(spark, keys):
                                       "doc_id bigint"),
                 "doc_id", w, seed="p").collect()}
     assert all(full[k] == half[k] for k in half_keys)
+
+
+@given(
+    bits=st.integers(min_value=1, max_value=59),
+    n=st.integers(min_value=1, max_value=59),
+)
+@settings(max_examples=60, deadline=None)
+def test_prop_pigeonhole_blocks_partition_bits(bits, n):
+    """Valid layouts are exact partitions of [0, bits): disjoint,
+    covering, every width >= 1 (degenerate params must raise)."""
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.dedup import (
+        pigeonhole_blocks,
+    )
+
+    if n > bits:
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            pigeonhole_blocks(bits, n)
+        return
+    blocks = pigeonhole_blocks(bits, n)
+    assert len(blocks) == n
+    covered = []
+    for s, w in blocks:
+        assert w >= 1
+        covered += range(s, s + w)
+    assert covered == list(range(bits))
+
+
+@given(h=st.integers(min_value=0, max_value=63))
+@settings(max_examples=30, deadline=None)
+def test_prop_simhash64_blocks_disjoint(h):
+    """64-bit layouts: max_hamming+1 blocks, disjoint within each half,
+    widths >= 1 — the exact precondition of the pigeonhole recall
+    argument."""
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.dedup import (
+        simhash64_blocks,
+    )
+
+    blocks = simhash64_blocks(h)
+    assert len(blocks) == h + 1
+    for half in ("simhash_lo", "simhash_hi"):
+        spans = sorted(
+            (s, s + w) for col, s, w in blocks if col == half
+        )
+        for (a0, a1), (b0, b1) in zip(spans, spans[1:]):
+            assert a1 <= b0  # disjoint
+        assert all(0 <= a0 < a1 <= 32 for a0, a1 in spans)
+
+
+@given(
+    start=st.dates(
+        min_value=datetime.date(2015, 1, 1), max_value=datetime.date(2030, 12, 31)
+    ),
+    span=st.integers(min_value=0, max_value=900),
+)
+@settings(max_examples=60, deadline=None)
+def test_prop_month_globs_cover_window(start, span):
+    """One glob per calendar month intersecting [start, end], in order,
+    each shaped base/yyyy/mm/pattern."""
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.config import (
+        month_globs,
+    )
+
+    end = start + datetime.timedelta(days=span)
+    globs = month_globs("abfss://c@a.dfs.core.windows.net/p", start, end)
+    months = {(start + datetime.timedelta(days=i)).strftime("%Y/%m")
+              for i in range(span + 1)}
+    assert [g.rsplit("/", 3)[1] + "/" + g.rsplit("/", 3)[2] for g in globs] == sorted(
+        months
+    )
+    assert all(g.endswith("/*.dat") for g in globs)
