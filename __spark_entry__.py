@@ -2863,9 +2863,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rotation policy is: no query goes more than 2 rounds without a
     # driver row. r5 rotation (65 entries): the 2 new simhash64 queries
     # and the 13 entries past the cap in r4 (last driver row r3) run
-    # FIRST; the tail past position 50 is the 13 embed/ANN/multimodal/
-    # stream entries plus dedup_clusters + incremental_corpus_dedup — all
-    # driver-greened in r4 — which must rotate back in before r7.
+    # FIRST; the tail past position 50 (see the marker comment below) is
+    # the 13 embed/ANN/multimodal/stream entries plus dedup_clusters +
+    # incremental_corpus_dedup — all driver-greened in r4 — which must
+    # rotate back in before r7.
     return {
         # -- NEW in r5 (never driver-checked)
         "dedup_simhash64": q_simhash64,
@@ -2923,10 +2924,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_jaccard_pairs,
         "dedup_ngram_jaccard_capped": q_jaccard_capped,
         "dedup_minhash_lsh": q_minhash_lsh,
-        "dedup_clusters": q_dedup_clusters,
-        "incremental_corpus_dedup": q_incremental_corpus_dedup,
         # ---- position 51+ (past the driver cap): driver-green r4,
         #      rotate back into the top 50 in r6
+        "dedup_clusters": q_dedup_clusters,
+        "incremental_corpus_dedup": q_incremental_corpus_dedup,
         "embed_cosine_topk": q_cosine_topk,
         "embed_neardup": q_embed_neardup,
         "embed_neardup_blocked": q_embed_neardup_blocked,

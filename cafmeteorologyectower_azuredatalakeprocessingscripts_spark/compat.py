@@ -184,13 +184,20 @@ def AccessAzure(
         else SiteConfig.from_mapping(Sites, access)
     )
     glob = raw_glob or os.path.join(CEF or cfg.local_dir or ".", "*.dat")
-    dest = out_path or (cfg.upload_path if save else None)
+    dest = (out_path or cfg.upload_path) if save else None
+    if save and dest is None:
+        # the reference KeyErrors on a missing UPLOAD variable — don't
+        # silently skip the write a migrating user expects
+        raise ValueError(
+            "save=True but no destination: pass out_path= or set the "
+            "config's UPLOAD path"
+        )
     return run_tower_job(
         spark,
         cfg,
         col,
         glob,
-        out_path=dest if save else None,
+        out_path=dest,
         previous_aggregate=previous_aggregate,
         start_date=_parse_date(startDate),
         end_date=_parse_date(endDate),

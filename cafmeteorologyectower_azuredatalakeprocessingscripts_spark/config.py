@@ -163,10 +163,18 @@ def read_xlsx_sheet(
             raise KeyError(f"sheet {sheet_name!r} not in workbook")
         rels = ET.fromstring(z.read("xl/_rels/workbook.xml.rels"))
         target = next(
-            r.get("Target")
-            for r in rels.findall("p:Relationship", _XLSX_NS)
-            if r.get("Id") == rid
+            (
+                r.get("Target")
+                for r in rels.findall("p:Relationship", _XLSX_NS)
+                if r.get("Id") == rid
+            ),
+            None,
         )
+        if target is None:
+            raise ValueError(
+                f"workbook relationship {rid!r} for sheet {sheet_name!r} "
+                "missing from xl/_rels/workbook.xml.rels"
+            )
         strings: list[str] = []
         if "xl/sharedStrings.xml" in z.namelist():
             ss = ET.fromstring(z.read("xl/sharedStrings.xml"))
@@ -183,7 +191,14 @@ def read_xlsx_sheet(
     if not rows:
         raise ValueError(f"sheet {sheet_name!r} is empty")
     header = rows[0]
-    idx_col = next(i for i, name in header.items() if name == index_col)
+    idx_col = next(
+        (i for i, name in header.items() if name == index_col), None
+    )
+    if idx_col is None:
+        raise ValueError(
+            f"sheet {sheet_name!r} header row has no {index_col!r} column "
+            f"(found: {sorted(v for v in header.values() if v is not None)})"
+        )
     out: dict[str, dict[str, Any]] = {
         name: {} for i, name in header.items() if i != idx_col and name is not None
     }

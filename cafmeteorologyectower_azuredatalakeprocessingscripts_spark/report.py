@@ -225,6 +225,12 @@ def render_pdf_vector(frames, out_path: str, groups=None) -> str:
             for pdf in frames.values()
         )
     ]
+    if not pages:
+        # a zero-page /Pages tree is invalid PDF — fail loudly rather
+        # than writing a file most viewers reject
+        raise ValueError(
+            "no variable group has plottable data — nothing to render"
+        )
     objs: list[bytes] = []  # 1-indexed PDF objects, in order
 
     def add(body: str | bytes) -> int:

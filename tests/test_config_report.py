@@ -306,7 +306,7 @@ def test_render_pdf_stdlib_vector(tmp_path):
 
     from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.report import (
         VARIABLE_GROUPS,
-        render_pdf,
+        render_pdf_vector,
     )
 
     idx = pd.date_range(dt.datetime(2022, 1, 1), periods=48, freq="30min")
@@ -319,7 +319,9 @@ def test_render_pdf_stdlib_vector(tmp_path):
         "BoydNorth": pd.DataFrame({"H": [10.0] * 48}, index=idx),
     }
     out = str(tmp_path / "report.pdf")
-    assert render_pdf(frames, out) == out
+    # the vector backend directly: render_pdf dispatches to matplotlib
+    # when installed, whose compressed streams these byte checks can't see
+    assert render_pdf_vector(frames, out) == out
     raw = open(out, "rb").read()
     assert raw.startswith(b"%PDF-1.4") and raw.rstrip().endswith(b"%%EOF")
     # groups with data: Heat+Energy (H, LE) and Temperature (TA_1_1_1)
@@ -336,3 +338,46 @@ def test_render_pdf_stdlib_vector(tmp_path):
         assert raw[off:].startswith(b"%d 0 obj" % i), i
     # polyline ops present (m ... l ... S)
     assert b" m " in raw and b" l" in raw
+
+
+def test_render_pdf_vector_rejects_empty_and_xlsx_errors_name_problem(tmp_path):
+    import pandas as pd
+
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.report import (
+        render_pdf_vector,
+    )
+
+    with pytest.raises(ValueError, match="plottable"):
+        render_pdf_vector(
+            {"CookEast": pd.DataFrame({"NOT_A_GROUP_VAR": [1.0]})},
+            str(tmp_path / "empty.pdf"),
+        )
+
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.config import (
+        read_xlsx_sheet,
+    )
+
+    rows = [["NotVariable", "Flux"], ["grade", 7]]
+    path = str(tmp_path / "bad.xlsx")
+    _write_xlsx(path, {"CookEast": rows})
+    with pytest.raises(ValueError, match="Variable"):
+        read_xlsx_sheet(path, "CookEast")
+
+
+def test_access_azure_save_requires_destination(spark, tmp_path):
+    import os
+
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark import compat
+
+    from tests.test_driver_job import _toa5
+
+    d = tmp_path / "raw"
+    os.makedirs(d)
+    _toa5(str(d / "CookEast_Flux_2022_01_01_0000.dat"), 1, 1000, 4)
+    access = {"Flux": {"Ver": "V40826"}, "Met": {}, "Val_3": {}, "Val_4": {}}
+    with pytest.raises(ValueError, match="save=True"):
+        compat.AccessAzure(
+            "CookEast", "Flux", "30min", access, str(d),
+            startDate="2022-01-01", endDate="2022-01-31",
+            spark=spark, save=True,
+        )
