@@ -104,7 +104,7 @@ def _ensure_nanos_readable(spark: SparkSession) -> None:
         tz = spark.conf.get("spark.sql.session.timeZone")
     except Exception:
         tz = None
-    if tz != "UTC":
+    if tz not in ("UTC", "Etc/UTC", "Etc/Universal", "GMT", "Z", "+00:00"):
         warnings.warn(
             f"session.timeZone is {tz!r}, not UTC: TIMESTAMP_NTZ "
             "normalization will not be a wall-clock identity and NTZ "
@@ -1305,7 +1305,9 @@ SELECT query_id, vec_id, cosine, rank FROM (
 
 def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = T(spark, sf_dir, "embeddings")
-    return embed_neardup_pairs(emb, threshold=0.45)
+    # block=False: the labeled brute-force oracle baseline (sf-test
+    # scale only); the library default is the SRP-blocked scale path
+    return embed_neardup_pairs(emb, threshold=0.45, block=False)
 
 
 _EMBED_NEARDUP_SQL = """

@@ -140,6 +140,10 @@ def _parse_date(s: str | datetime.date | None) -> datetime.date | None:
     """The reference accepts loose date strings via dateutil
     (src/AzureDataLakeAccess.py:355, :371); cover its documented formats
     without the dependency."""
+    if isinstance(s, datetime.datetime):
+        # datetime subclasses date: normalize so the date-only window
+        # logic in run_tower_job never mixes date and datetime
+        return s.date()
     if s is None or isinstance(s, datetime.date):
         return s
     for fmt in ("%Y-%m-%d", "%m/%d/%Y", "%Y%m%d", "%m-%d-%Y"):

@@ -191,6 +191,15 @@ def read_xlsx_sheet(
     if not rows:
         raise ValueError(f"sheet {sheet_name!r} is empty")
     header = rows[0]
+    names = [n for n in header.values() if n is not None]
+    dupes = sorted({n for n in names if names.count(n) > 1})
+    if dupes:
+        # a malformed workbook would otherwise silently lose a column
+        # (last duplicate wins in the dict build below)
+        raise ValueError(
+            f"sheet {sheet_name!r} header row has duplicate column "
+            f"names: {dupes}"
+        )
     idx_col = next(
         (i for i, name in header.items() if name == index_col), None
     )

@@ -234,6 +234,13 @@ def kmeans_centroids(
     loses all members disappears (k shrinks) — identically in any engine.
 
     ``iters=0`` returns the training-free first-N quantizer.
+
+    Seeding caveat: init takes the first ``n_centroids`` vectors by id
+    (TakeOrderedAndProject — not a global sort), so init quality is
+    data-layout dependent; this is deliberate (k-means++ would break
+    bit-exact oracle replay). Production users who care about cell
+    balance should set ``train_iters>0`` in :func:`ivf_ann_topk` —
+    Lloyd iterations recover balance without changing the dataflow.
     """
     v = corpus.select(
         F.col(id_col).alias("__kid"), _as_double(F.col(vec_col)).alias("__kv")
@@ -337,15 +344,18 @@ def embed_neardup_pairs(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    block: bool = False,
+    block: bool = True,
     dim: int | None = None,
     planes: int = 4,
     tables: int = 8,
 ) -> DataFrame:
     """Embedding near-duplicate pairs (cosine >= threshold).
 
-    ``block=False``: brute-force all-pairs — exact, O(n²); the oracle
-    baseline at test scale, a scale-killer on a real corpus.
+    ``block=True`` (the default — the scale path; requires ``dim``):
+    SRP-LSH blocking, never an all-pairs join. ``block=False`` is the
+    brute-force O(n²) cross join: exact, the oracle baseline at test
+    scale, a scale-killer on a real corpus — opt in explicitly only for
+    small frames or oracle replay.
 
     ``block=True``: multi-table SRP-LSH blocking — each vector is hashed
     into ``tables`` independent sign-random-projection buckets (disjoint

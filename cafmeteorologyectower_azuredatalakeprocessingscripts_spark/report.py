@@ -147,6 +147,10 @@ _PDF_COLORS = [
 
 
 def _pdf_escape(s: str) -> str:
+    """Escape text for a PDF literal string. The Helvetica stream is
+    latin-1; non-encodable chars degrade to '?' predictably instead of
+    UTF-8 bytes rendering as mojibake."""
+    s = s.encode("latin-1", errors="replace").decode("latin-1")
     return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
 
 
@@ -241,7 +245,7 @@ def render_pdf_vector(frames, out_path: str, groups=None) -> str:
     kids = []
     pages_obj_num = 2 + 2 * len(pages)  # font + per-page (content, page)
     for label, vs in pages:
-        content = _page_content(label, vs, frames).encode()
+        content = _page_content(label, vs, frames).encode("latin-1")
         c = add(b"<< /Length %d >>\nstream\n%s\nendstream" % (len(content), content))
         p = add(
             f"<< /Type /Page /Parent {pages_obj_num} 0 R "

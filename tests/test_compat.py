@@ -112,3 +112,12 @@ def test_access_azure_reference_call_shape(spark, tmp_path):
     assert qc.filter(F.col("RECORD") == 1000).first()["H_Flags"] is not None
     back = spark.read.parquet(str(tmp_path / "out"))
     assert back.count() == 48 + 1
+
+
+def test_parse_date_normalizes_datetime_to_date():
+    """ADVICE r5: a datetime startDate must not flow into the date-only
+    window logic (datetime subclasses date → TypeError on comparison)."""
+    assert compat._parse_date(dt.datetime(2022, 1, 2, 3, 4)) == dt.date(2022, 1, 2)
+    assert compat._parse_date(dt.date(2022, 1, 2)) == dt.date(2022, 1, 2)
+    assert compat._parse_date("2022-01-02") == dt.date(2022, 1, 2)
+    assert compat._parse_date(None) is None

@@ -381,3 +381,42 @@ def test_access_azure_save_requires_destination(spark, tmp_path):
             startDate="2022-01-01", endDate="2022-01-31",
             spark=spark, save=True,
         )
+
+
+def test_xlsx_duplicate_header_raises(tmp_path):
+    """ADVICE r5: a malformed workbook with duplicate header names must
+    error instead of silently dropping a column (last-wins dict build)."""
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.config import (
+        read_xlsx_sheet,
+    )
+
+    rows = [["Variable", "Flux", "Flux"], ["grade", 6, 7]]
+    path = str(tmp_path / "dup.xlsx")
+    _write_xlsx(path, {"CookEast": rows})
+    with pytest.raises(ValueError, match="duplicate"):
+        read_xlsx_sheet(path, "CookEast")
+
+
+def test_pdf_vector_non_ascii_degrades_to_latin1(tmp_path):
+    """ADVICE r5: the stdlib renderer writes a latin-1 Helvetica stream;
+    é must come out as the single latin-1 byte (not UTF-8 mojibake) and
+    non-latin-1 chars degrade predictably to '?'."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.report import (
+        render_pdf_vector,
+    )
+
+    idx = pd.date_range(dt.datetime(2022, 1, 1), periods=4, freq="30min")
+    frames = {
+        "Café": pd.DataFrame({"H": [1.0, 2.0, 3.0, 4.0]}, index=idx),
+        "站北": pd.DataFrame({"H": [5.0] * 4}, index=idx),
+    }
+    out = str(tmp_path / "latin1.pdf")
+    render_pdf_vector(frames, out)
+    raw = open(out, "rb").read()
+    assert b"(Caf\xe9)" in raw          # latin-1 single byte
+    assert b"Caf\xc3\xa9" not in raw     # no UTF-8 double byte
+    assert b"(??)" in raw                # CJK degrades to '?'

@@ -122,3 +122,31 @@ def test_query_matches_oracle(spark, duck, name):
     ocols, orows = frame_to_rows(odf)
     assert scols == ocols
     assert srows == orows
+
+
+def test_utc_alias_sessions_do_not_warn():
+    """ADVICE r5: equivalent-UTC zones ('Etc/UTC', 'GMT', ...) on a
+    foreign session must not raise the false divergence warning; a
+    genuinely non-UTC zone still must."""
+    import warnings
+
+    class _Conf:
+        def __init__(self, tz):
+            self._tz = tz
+
+        def set(self, k, v):
+            raise RuntimeError("immutable conf on this build")
+
+        def get(self, k):
+            return self._tz
+
+    class _Spark:
+        def __init__(self, tz):
+            self.conf = _Conf(tz)
+
+    for alias in ("UTC", "Etc/UTC", "GMT", "Z", "+00:00"):
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            entrymod._ensure_nanos_readable(_Spark(alias))
+    with pytest.warns(RuntimeWarning, match="timeZone"):
+        entrymod._ensure_nanos_readable(_Spark("America/Los_Angeles"))

@@ -236,7 +236,7 @@ def test_embed_neardup_blocked_recall(spark):
     emb = spark.createDataFrame(rows)
     brute = {
         (r.id_a, r.id_b): r.cosine
-        for r in embed_neardup_pairs(emb, threshold=0.95).collect()
+        for r in embed_neardup_pairs(emb, threshold=0.95, block=False).collect()
     }
     blocked = {
         (r.id_a, r.id_b): r.cosine
@@ -490,3 +490,30 @@ def test_incremental_dedup_vs_base(spark):
         for r in incremental_dedup(new, base, n=2, threshold=0.3).collect()
     )
     assert surv == [102]
+
+
+def test_embed_neardup_default_path_never_cross_joins(spark):
+    """VERDICT r5 item 2: the library DEFAULT must be the SRP-blocked
+    scale path — no BroadcastNestedLoopJoin / CartesianProduct in the
+    plan — and the brute-force O(n²) baseline only behind an explicit
+    block=False opt-in (which also must stay available for the oracle)."""
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm import (
+        embed_neardup_pairs,
+    )
+
+    emb = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(i), 1.0, 0.5, 0.25]) for i in range(8)]
+    )
+    # default call (dim is the only required hint) → blocked equi-join
+    pairs = embed_neardup_pairs(emb, threshold=0.9, dim=4)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # the blocked default without dim fails fast instead of silently
+    # degrading to an all-pairs join
+    with pytest.raises(ValueError, match="dim"):
+        embed_neardup_pairs(emb, threshold=0.9)
+    # explicit brute opt-in still works (oracle baseline)
+    brute = embed_neardup_pairs(emb, threshold=0.9, block=False)
+    bplan = brute._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in bplan or "CartesianProduct" in bplan
