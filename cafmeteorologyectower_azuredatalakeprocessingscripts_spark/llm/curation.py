@@ -237,6 +237,90 @@ def top_ngram_share(
     )
 
 
+def repetition_signals(
+    df: DataFrame,
+    top_ns: tuple[int, ...] = (2, 3, 4),
+    dup_ns: tuple[int, ...] = (5, 6, 7, 8, 9, 10),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The published Gopher repetition-filter family (Rae et al. 2021,
+    table A1) in ONE pass: ``top_{n}gram_share`` for n=2-4 (fraction of
+    a document's n-gram slots held by its single most frequent n-gram)
+    and ``dup_{n}gram_frac`` for n=5-10 (fraction of n-gram slots held
+    by n-grams occurring more than once). Share is measured in gram
+    slots, not characters — the deterministic simplification used
+    throughout this module.
+
+    Scale shape: all nine gram lengths ride a SINGLE explode — each
+    n-gram array is tagged with a literal ``n`` and flattened before
+    the explode, so the corpus text is scanned once. The pre-explode
+    repartition by doc hash-partitions DOC rows once; both downstream
+    aggregations' clustering keys start with ``id_col``, so the
+    exploded gram rows never cross the wire (same argument as
+    :func:`top_ngram_share`). The final widen is a conditional agg on
+    the (doc, n) rows — 9 rows/doc, no pivot pass. Documents shorter
+    than ``n`` tokens report 0 for that n.
+    """
+    all_ns = sorted(set(top_ns) | set(dup_ns))
+    toks = F.split(norm_text(text_col), " ")
+    arrays: dict[int, Column] = {}
+    arr = toks
+    for k in range(2, max(all_ns) + 1):
+        arr = F.zip_with(
+            arr,
+            F.slice(toks, k, F.size(toks)),
+            lambda x, y: F.concat(x, F.lit(" "), y),
+        )
+        if k in all_ns:
+            arrays[k] = arr
+    def _tag(nn: int):
+        # NB: a one-arg lambda only — a second (defaulted) parameter
+        # would make F.transform pass the array INDEX into it
+        return lambda g: F.struct(F.lit(nn).alias("n"), g.alias("g"))
+
+    tagged = F.flatten(F.array(*[F.transform(arrays[n], _tag(n)) for n in all_ns]))
+    grams = (
+        df.repartition(F.col(id_col))
+        .select(F.col(id_col), F.explode(tagged).alias("ng"))
+        .select(id_col, F.col("ng.n").alias("n"), F.col("ng.g").alias("g"))
+        .filter(F.col("g").isNotNull())
+    )
+    per_gram = grams.groupBy(id_col, "n", "g").agg(F.count("*").alias("c"))
+    per_doc_n = per_gram.groupBy(id_col, "n").agg(
+        F.max("c").alias("mx"),
+        F.sum("c").alias("total"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0))).alias(
+            "dupc"
+        ),
+    )
+    wide = per_doc_n.groupBy(id_col).agg(
+        *[
+            F.max(
+                F.when(
+                    F.col("n") == n, F.round(F.col("mx") / F.col("total"), 6)
+                )
+            ).alias(f"top_{n}gram_share")
+            for n in top_ns
+        ],
+        *[
+            F.max(
+                F.when(
+                    F.col("n") == n, F.round(F.col("dupc") / F.col("total"), 6)
+                )
+            ).alias(f"dup_{n}gram_frac")
+            for n in dup_ns
+        ],
+    )
+    out_cols = [f"top_{n}gram_share" for n in top_ns] + [
+        f"dup_{n}gram_frac" for n in dup_ns
+    ]
+    return df.select(id_col).join(wide, id_col, "left").select(
+        id_col,
+        *[F.coalesce(F.col(c), F.lit(0.0)).alias(c) for c in out_cols],
+    )
+
+
 def char_entropy(
     df: DataFrame,
     text_col: str = "text",

@@ -241,3 +241,50 @@ def test_char_entropy(spark):
     assert out[0] == 0.0
     assert out[1] == pytest.approx(math.log(2), abs=1e-5)
     assert out[2] == pytest.approx(math.log(4), abs=1e-5)
+
+
+def test_repetition_signals_family_vs_brute(spark):
+    """Gopher family (top-share n=2-4, dup-frac n=5-10) in one explode
+    pass must equal a per-doc brute-force computation, including the
+    short-doc (no n-gram) zero and the empty-doc row."""
+    import re
+    from collections import Counter
+
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.curation import (
+        repetition_signals,
+    )
+
+    texts = [
+        "spam spam spam spam spam spam spam spam",          # degenerate
+        "the quick brown fox jumps over the lazy dog and "
+        "the quick brown fox jumps over the lazy dog again",  # long repeat
+        "one two three four five six seven eight nine ten",   # no repeats
+        "tiny doc",                                           # < 5 tokens
+        "",                                                   # empty
+    ]
+    d = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in enumerate(texts)])
+    got = {r.doc_id: r.asDict() for r in repetition_signals(d).collect()}
+
+    def norm(t):
+        return re.sub(r"\s+", " ", t).strip().lower()
+
+    for i, t in enumerate(texts):
+        w = norm(t).split(" ") if norm(t) else [""]
+        for n in range(2, 11):
+            grams = [" ".join(w[j : j + n]) for j in range(len(w) - n + 1)]
+            c = Counter(grams)
+            if grams:
+                top = round(max(c.values()) / len(grams), 6)
+                dup = round(
+                    sum(v for v in c.values() if v > 1) / len(grams), 6
+                )
+            else:
+                top = dup = 0.0
+            if n in (2, 3, 4):
+                assert got[i][f"top_{n}gram_share"] == pytest.approx(
+                    top, abs=1e-9
+                ), (i, n)
+            else:
+                assert got[i][f"dup_{n}gram_frac"] == pytest.approx(
+                    dup, abs=1e-9
+                ), (i, n)
