@@ -128,6 +128,22 @@ def stream_dedup_keep_richest(
             if rows
             else pd.DataFrame(columns=ordered)
         )
+        # arbitrary stateful ops get NO automatic late-row filtering
+        # (unlike aggregations/dropDuplicates — verified empirically):
+        # enforce the T2 bound ourselves. An event strictly before the
+        # current watermark is dropped — it can never displace an
+        # already-emitted row, exactly like the reference's fixed 1-day
+        # reprocess overlap ignores anything older.
+        wm = state.getCurrentWatermarkMs()
+        if len(batch) and wm > 0:
+            ts_vals = pd.to_datetime(batch[ts_col])
+            batch = batch[
+                ts_vals.isna() | (ts_vals >= pd.Timestamp(wm, unit="ms"))
+            ]
+        if not len(batch):
+            # nothing new survived the watermark: state (if any) is
+            # unchanged — emit nothing rather than re-emitting the best
+            return
         if state.exists:
             prev = pd.DataFrame([list(state.get)], columns=ordered)
             batch = pd.concat([prev, batch], ignore_index=True)

@@ -130,3 +130,54 @@ def test_stream_ingest_checkpoint_idempotent(spark, tmp_path):
         spark, src + "/*", schema, out, ckpt, key_cols=("TIMESTAMP", "RECORD")
     )
     assert spark.read.parquet(out).count() == n1 + 1
+
+
+def test_stream_keep_richest_drops_beyond_watermark_event(spark, tmp_path):
+    """T2 late-data bound: once the watermark has advanced past a key's
+    event time, (a) its state is evicted (event-time timeout) and (b) a
+    later-arriving duplicate beyond the watermark is DROPPED — it must
+    never displace the already-emitted row, exactly like the reference's
+    fixed 1-day reprocess overlap ignores older data."""
+    t1 = datetime.datetime(2022, 1, 1, 0, 0)
+    # a fresh event 2.5 days later: after batch 1 the 1-day watermark
+    # sits at t_adv - 1 day = 2022-01-02 12:00, well past t1
+    t_adv = datetime.datetime(2022, 1, 3, 12, 0)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _write_file(spark, os.path.join(src, "f0.parquet"),
+                [(t1, 9051, 10.0, None), (t_adv, 3, 12.0, 61.0)])
+    # batch 2: a "richer" duplicate of t1 arriving beyond the watermark
+    _write_file(spark, os.path.join(src, "f1.parquet"),
+                [(t1, 1051, 12.0, 55.0)])
+
+    stream = (
+        spark.readStream.schema(_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    out = stream_dedup_keep_richest(
+        stream,
+        keys=("TIMESTAMP",),
+        record_col="RECORD",
+        value_cols=("Tair", "RH"),
+    )
+    batches: list[pd.DataFrame] = []
+    q = (
+        out.writeStream.outputMode("update")
+        .foreachBatch(lambda df, bid: batches.append(df.toPandas()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    all_updates = pd.concat(
+        [b for b in batches if len(b)], ignore_index=True
+    )
+    t1_updates = all_updates[all_updates["TIMESTAMP"] == t1]
+    # the beyond-watermark duplicate never surfaces: t1's only emission
+    # is the original batch-1 row, RH stays null
+    assert set(t1_updates["RECORD"]) == {9051}
+    assert t1_updates["RH"].isna().all()
+    # contrast row passes through
+    assert 3 in set(all_updates["RECORD"])
