@@ -71,6 +71,7 @@ from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.curation imp
     dup_token_fraction,
     hash_u32_sql,
     pack_chunks,
+    dup_paragraph_fraction,
     redact_pii,
     repetition_signals,
     sample_stratified,
@@ -2158,9 +2159,14 @@ def q_text_repetition_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full published Gopher repetition family (Rae et al. 2021,
     table A1): top-n-gram share for n=2-4 + duplicate-n-gram fraction
     for n=5-10, all nine gram lengths in a single explode pass
-    (llm/curation.py repetition_signals). North-star surface — the
-    reference has no analogue."""
-    return repetition_signals(T(spark, sf_dir, "documents"))
+    (llm/curation.py repetition_signals), plus the dup-paragraph
+    fraction (pure projection). North-star surface — the reference has
+    no analogue."""
+    d = T(spark, sf_dir, "documents")
+    paras = d.select(
+        "doc_id", dup_paragraph_fraction("text").alias("dup_para_frac")
+    )
+    return repetition_signals(d).join(paras, "doc_id")
 
 
 def _repetition_family_sql() -> str:
@@ -2195,7 +2201,13 @@ wide AS (
   SELECT doc_id,
        {top_cols},
        {dup_cols}
-  FROM per_n GROUP BY 1)
+  FROM per_n GROUP BY 1),
+paras AS (
+  SELECT doc_id,
+         list_filter(list_transform(regexp_split_to_array(text, '\\n\\s*\\n'),
+                                    x -> trim(x)),
+                     x -> length(x) > 0) AS ps
+  FROM documents)
 SELECT d.doc_id,
        coalesce(top_2gram_share, 0.0) AS top_2gram_share,
        coalesce(top_3gram_share, 0.0) AS top_3gram_share,
@@ -2205,8 +2217,11 @@ SELECT d.doc_id,
        coalesce(dup_7gram_frac, 0.0) AS dup_7gram_frac,
        coalesce(dup_8gram_frac, 0.0) AS dup_8gram_frac,
        coalesce(dup_9gram_frac, 0.0) AS dup_9gram_frac,
-       coalesce(dup_10gram_frac, 0.0) AS dup_10gram_frac
-FROM documents d LEFT JOIN wide USING (doc_id)
+       coalesce(dup_10gram_frac, 0.0) AS dup_10gram_frac,
+       round(CASE WHEN len(ps) > 0
+                  THEN (len(ps) - len(list_distinct(ps))) * 1.0 / len(ps)
+                  ELSE 0 END, 6) AS dup_para_frac
+FROM documents d LEFT JOIN wide USING (doc_id) JOIN paras USING (doc_id)
 """
 
 

@@ -62,16 +62,27 @@ def main() -> None:
 
     # N timed runs per query, report the min — later runs amortize
     # codegen/JIT so numbers reflect steady-state throughput, and the min
-    # suppresses machine-load noise between rounds
+    # suppresses machine-load noise between rounds. The per-query
+    # [min, median, max] spread is emitted alongside so an environmental
+    # blip (±30% load drift documented in DECISIONS round-5) is
+    # self-diagnosing: a high max with a steady min = machine load, a
+    # shifted min = a real plan change.
     times: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     for name in HEADLINE:
-        best = float("inf")
+        samples: list[float] = []
         for _ in range(N_RUNS):
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        times[name] = round(best, 3)
+            samples.append(time.perf_counter() - t0)
+        samples.sort()
+        times[name] = round(samples[0], 3)
+        spread[name] = [
+            round(samples[0], 3),
+            round(samples[len(samples) // 2], 3),
+            round(samples[-1], 3),
+        ]
     total = round(sum(times.values()), 3)
     print(
         json.dumps(
@@ -80,6 +91,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "spread": spread,
                 "sf": sf,
                 "n": N_RUNS,
             }

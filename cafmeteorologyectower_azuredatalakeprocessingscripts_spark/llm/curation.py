@@ -182,6 +182,24 @@ def dup_line_fraction(c: Column | str) -> Column:
     )
 
 
+def dup_paragraph_fraction(c: Column | str) -> Column:
+    """Fraction of non-empty paragraphs (blank-line separated) that are
+    repeats of an earlier paragraph — the Gopher dup-paragraph signal
+    (boilerplate blocks, templated pages). Pure Column projection."""
+    c = F.col(c) if isinstance(c, str) else c
+    paras = F.filter(
+        F.transform(F.split(c, "\n\\s*\n"), lambda x: F.trim(x)),
+        lambda x: F.length(x) > 0,
+    )
+    n = F.size(paras).cast("double")
+    return F.round(
+        F.when(n > 0, (n - F.size(F.array_distinct(paras))) / n).otherwise(
+            F.lit(0.0)
+        ),
+        6,
+    )
+
+
 def dup_token_fraction(c: Column | str) -> Column:
     """Fraction of tokens that are repeats of an earlier token — high
     values mean keyword stuffing / low lexical diversity."""

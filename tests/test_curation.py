@@ -288,3 +288,29 @@ def test_repetition_signals_family_vs_brute(spark):
                 assert got[i][f"dup_{n}gram_frac"] == pytest.approx(
                     dup, abs=1e-9
                 ), (i, n)
+
+
+def test_dup_paragraph_fraction(spark):
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.curation import (
+        dup_paragraph_fraction,
+    )
+
+    texts = [
+        "para one\n\npara two\n\npara one",        # 1 of 3 repeated
+        "a\n\n  \n\na",                            # blank-ish separator, dup
+        "only one paragraph\nwith two lines",      # no dup
+        "",                                        # empty
+    ]
+    d = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+    out = {
+        r.doc_id: r.f
+        for r in d.select(
+            "doc_id", dup_paragraph_fraction("text").alias("f")
+        ).collect()
+    }
+    assert out[0] == pytest.approx(round(1 / 3, 6))
+    assert out[1] == pytest.approx(0.5)
+    assert out[2] == 0.0
+    assert out[3] == 0.0
