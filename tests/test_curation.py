@@ -314,3 +314,34 @@ def test_dup_paragraph_fraction(spark):
     assert out[1] == pytest.approx(0.5)
     assert out[2] == 0.0
     assert out[3] == 0.0
+
+
+def test_repetition_family_consistent_with_single_n(spark):
+    """The one-pass family must agree column-for-column with the
+    standalone per-n top_ngram_share operator (same normalization, same
+    slot-share definition) — guards against the tagged-explode refactor
+    drifting from the long-standing single-n path."""
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.curation import (
+        repetition_signals,
+        top_ngram_share,
+    )
+
+    texts = [
+        "to be or not to be that is the question to be or not",
+        "alpha beta alpha beta alpha beta gamma",
+        "one",
+        "",
+    ]
+    d = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+    fam = {r.doc_id: r.asDict() for r in repetition_signals(d).collect()}
+    for n in (2, 3, 4):
+        single = {
+            r.doc_id: r[f"top_{n}gram_share"]
+            for r in top_ngram_share(d, n).collect()
+        }
+        for i in fam:
+            assert fam[i][f"top_{n}gram_share"] == pytest.approx(
+                single[i], abs=1e-9
+            ), (i, n)

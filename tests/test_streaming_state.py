@@ -149,6 +149,14 @@ def test_stream_keep_richest_drops_beyond_watermark_event(spark, tmp_path):
     # batch 2: a "richer" duplicate of t1 arriving beyond the watermark
     _write_file(spark, os.path.join(src, "f1.parquet"),
                 [(t1, 1051, 12.0, 55.0)])
+    # the file source orders micro-batches by modification time: force
+    # f1 strictly after f0 so "arrives later" is deterministic
+    import time as _time
+
+    future = _time.time() + 10
+    for root, _, files in os.walk(os.path.join(src, "f1.parquet")):
+        for fn in files:
+            os.utime(os.path.join(root, fn), (future, future))
 
     stream = (
         spark.readStream.schema(_SCHEMA)
