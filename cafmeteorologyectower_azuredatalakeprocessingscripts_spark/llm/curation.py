@@ -255,6 +255,51 @@ def top_ngram_share(
     )
 
 
+def c4_line_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words_per_line: int = 5,
+    min_lines: int = 3,
+) -> DataFrame:
+    """The published C4 cleaning heuristics (Raffel et al. 2020 §2.2)
+    as one pure-Column projection — no shuffle, no UDF:
+
+    - line level: keep only lines that end in a terminal punctuation
+      mark (``. ! ? "``), contain at least ``min_words_per_line`` words,
+      and do not mention "javascript";
+    - page level: ``kept`` is false for documents with fewer than
+      ``min_lines`` retained lines (the paper's 3-sentence rule, with
+      retained line standing in for sentence), containing "lorem ipsum",
+      or containing a ``{`` (code marker).
+
+    Returns (id, kept, n_lines_kept, clean_text) where ``clean_text``
+    is the retained lines re-joined. Embarrassingly parallel: scales as
+    a map-only pass at any corpus size.
+    """
+    c = F.col(text_col)
+    kept_lines = F.filter(
+        F.transform(F.split(c, "\n"), lambda x: F.trim(x)),
+        lambda l: (F.length(l) > 0)
+        & l.rlike('[.!?"]$')
+        & (F.size(F.split(l, "\\s+")) >= min_words_per_line)
+        & ~F.lower(l).contains("javascript"),
+    )
+    page_ok = (
+        (F.size(kept_lines) >= min_lines)
+        & ~F.lower(c).contains("lorem ipsum")
+        & ~c.contains("{")
+    )
+    return df.select(
+        F.col(id_col),
+        F.coalesce(page_ok, F.lit(False)).alias("kept"),
+        F.coalesce(F.size(kept_lines), F.lit(0)).alias("n_lines_kept"),
+        F.coalesce(F.array_join(kept_lines, "\n"), F.lit("")).alias(
+            "clean_text"
+        ),
+    )
+
+
 def repetition_signals(
     df: DataFrame,
     top_ns: tuple[int, ...] = (2, 3, 4),

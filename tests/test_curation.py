@@ -345,3 +345,38 @@ def test_repetition_family_consistent_with_single_n(spark):
             assert fam[i][f"top_{n}gram_share"] == pytest.approx(
                 single[i], abs=1e-9
             ), (i, n)
+
+
+def test_c4_line_filter(spark):
+    """Published C4 heuristics: terminal punctuation, min words,
+    javascript lines, page-level lorem-ipsum / brace / min-line rules."""
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.curation import (
+        c4_line_filter,
+    )
+
+    good = (
+        "This is a perfectly normal first sentence.\n"
+        "Here is another full sentence with enough words!\n"
+        'A third line ends with a quote."\n'
+        "short line.\n"                      # < 5 words -> dropped
+        "Enable javascript to view this content please.\n"  # js -> dropped
+        "No terminal punctuation here at all"                # -> dropped
+    )
+    texts = [
+        good,                                            # kept
+        "One sentence only appears right here today.",   # < 3 lines
+        good + "\nlorem ipsum dolor sit amet filler.",   # lorem ipsum
+        good.replace("another", "an{other"),             # brace
+        "",                                              # empty
+    ]
+    d = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+    out = {r.doc_id: r.asDict() for r in c4_line_filter(d).collect()}
+    assert out[0]["kept"] and out[0]["n_lines_kept"] == 3
+    assert out[0]["clean_text"].count("\n") == 2
+    assert "javascript" not in out[0]["clean_text"]
+    assert not out[1]["kept"] and out[1]["n_lines_kept"] == 1
+    assert not out[2]["kept"]   # lorem ipsum page flag
+    assert not out[3]["kept"]   # brace page flag
+    assert not out[4]["kept"] and out[4]["clean_text"] == ""
