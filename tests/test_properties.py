@@ -286,3 +286,51 @@ def test_prop_month_globs_cover_window(start, span):
         months
     )
     assert all(g.endswith("/*.dat") for g in globs)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(texts=_docs)
+def test_prop_span_fraction_bounds_and_corpus_duplication(spark, texts):
+    """cross_doc_span_fraction ∈ [0, 1]; after duplicating the whole
+    corpus every document with at least one span scores exactly 1.0
+    (its spans all occur in its twin), and sub-n-token docs stay 0."""
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.dedup import (
+        cross_doc_span_fraction,
+    )
+
+    n = 2
+    base = [(i, t) for i, t in enumerate(texts)]
+    twin = [(1000 + i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(base, "doc_id long, text string")
+    out = {r.doc_id: r.dup_span_frac
+           for r in cross_doc_span_fraction(df, n=n).collect()}
+    assert all(0.0 <= v <= 1.0 for v in out.values())
+    dup = spark.createDataFrame(base + twin, "doc_id long, text string")
+    out2 = {r.doc_id: r.dup_span_frac
+            for r in cross_doc_span_fraction(dup, n=n).collect()}
+    for i, t in base:
+        has_span = len(t.split()) >= n and t.strip() != ""
+        assert out2[i] == (1.0 if has_span else 0.0), (i, t)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(texts=_docs)
+def test_prop_repetition_whitespace_invariant(spark, texts):
+    """repetition_signals is invariant under whitespace inflation (the
+    norm_text collapse is the contract all text operators share)."""
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.curation import (
+        repetition_signals,
+    )
+
+    a = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    b = spark.createDataFrame(
+        [(i, t.replace(" ", "   ")) for i, t in enumerate(texts)],
+        "doc_id long, text string",
+    )
+    ra = sorted(map(tuple, repetition_signals(a).collect()))
+    rb = sorted(map(tuple, repetition_signals(b).collect()))
+    assert ra == rb
