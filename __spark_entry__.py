@@ -2225,6 +2225,34 @@ FROM documents d LEFT JOIN wide USING (doc_id) JOIN paras USING (doc_id)
 """
 
 
+def q_vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary builder (llm/text.vocab_top_terms): top-100
+    tokens by total occurrences with doc frequency and deterministic
+    lexical tiebreak — the tokenizer-prep heavy-hitter list. Map-side
+    combined explode, term-keyed agg, TakeOrderedAndProject top-k."""
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.text import (
+        vocab_top_terms,
+    )
+
+    return vocab_top_terms(T(spark, sf_dir, "documents"), k=100)
+
+
+_VOCAB_SQL = f"""
+WITH t AS (
+  SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS term
+  FROM documents),
+pd AS (SELECT doc_id, term, count(*) AS c FROM t WHERE term <> '' GROUP BY 1, 2),
+totals AS (
+  SELECT term, CAST(sum(c) AS BIGINT) AS n_occurrences, count(*) AS n_docs
+  FROM pd GROUP BY 1)
+SELECT term, n_occurrences, n_docs,
+       row_number() OVER (ORDER BY n_occurrences DESC, term ASC) AS rank
+FROM totals
+ORDER BY n_occurrences DESC, term ASC
+LIMIT 100
+"""
+
+
 def q_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The published C4 cleaning heuristics (Raffel et al. 2020 §2.2):
     terminal-punctuation + min-words + javascript line filters, page
@@ -3006,17 +3034,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate evaluates at most ~50
     # entries per round (r2 and r3 both stopped at exactly 50), so the
     # rotation policy is: no query goes more than 2 rounds without a
-    # driver row. r6 rotation (68 entries): the three new r6 queries
+    # driver row. r6 rotation (69 entries): the four new r6 queries
     # and the 15 entries past the cap in r5 (last driver row r4) run
     # FIRST; the NTZ trio and the reference-parity core stay in the
     # checked set; the tail past position 50 (marker comment below) is
-    # 18 stable entries, every one driver-green in r5 — they must
+    # 19 stable entries, every one driver-green in r5 — they must
     # rotate back in before r8.
     return {
         # -- NEW in r6 (never driver-checked)
         "text_repetition_family": q_text_repetition_family,
         "dedup_span_corpus": q_dedup_span_corpus,
         "c4_line_filter": q_c4_filter,
+        "vocab_top_terms": q_vocab_top_terms,
         # -- past the cap in r5 (last driver-green row: r4); also
         #    embed_neardup* cover this round's block=True default flip
         "dedup_clusters": q_dedup_clusters,
@@ -3068,11 +3097,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": q_lang_id,
         "text_fingerprint": q_fingerprint,
         "text_tfidf_topk": q_tfidf,
-        "dedup_ngram_jaccard": q_jaccard_pairs,
         # ---- position 51+ (past the driver cap): all driver-green in
         #      r5 (most also r3), code untouched in r6 and re-verified
         #      locally via tools/check_correctness.py; rotate back into
         #      the top 50 in r7
+        "dedup_ngram_jaccard": q_jaccard_pairs,
         "dedup_ngram_jaccard_capped": q_jaccard_capped,
         "dedup_minhash_lsh": q_minhash_lsh,
         "dedup_exact": q_dedup_exact,
@@ -3100,6 +3129,7 @@ def oracle_sql() -> dict[str, str]:
         "text_repetition_family": _repetition_family_sql(),
         "dedup_span_corpus": _span_corpus_sql(),
         "c4_line_filter": _C4_FILTER_SQL,
+        "vocab_top_terms": _VOCAB_SQL,
         "dedup_clusters": _dedup_clusters_sql(),
         "incremental_corpus_dedup": _incremental_dedup_sql(),
         # the approximate ops ARE oracle-checkable: SRP hyperplanes and
@@ -3150,8 +3180,8 @@ def oracle_sql() -> dict[str, str]:
         "text_lang_id": _lang_id_sql(),
         "text_fingerprint": _FINGERPRINT_SQL,
         "text_tfidf_topk": _TFIDF_SQL,
-        "dedup_ngram_jaccard": _JACCARD_SQL,
         # ---- position 51+ tail: see the queries() marker
+        "dedup_ngram_jaccard": _JACCARD_SQL,
         "dedup_ngram_jaccard_capped": _JACCARD_CAPPED_SQL,
         "dedup_minhash_lsh": _minhash_sql(),
         "dedup_exact": _DEDUP_EXACT_SQL,

@@ -146,3 +146,43 @@ def bpe_ish_token_count(c: Column | str) -> Column:
             _c(c), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0
         )
     )
+
+
+def vocab_top_terms(
+    df,
+    k: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Corpus-level vocabulary builder (tokenizer prep): the ``k`` most
+    frequent normalized tokens with total count, document frequency,
+    and rank — ties broken lexically so any engine emits the same list.
+
+    Shape: one explode → per-(doc, token) counts collapse map-side
+    inside the doc partitioning (shuffle ∝ docs·distinct-terms, not
+    token occurrences) → one term-keyed aggregation (shuffle keys are
+    the distinct terms only) → global top-k via TakeOrderedAndProject
+    (no full sort). The heavy-hitter list a 100 TB corpus feeds to BPE
+    training or stopword discovery.
+    """
+    from pyspark.sql import Window
+
+    t = df.repartition(F.col(id_col)).select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(norm_text(text_col), " ")).alias("term"),
+    ).filter(F.col("term") != "")
+    per_doc = t.groupBy("id", "term").agg(F.count(F.lit(1)).alias("c"))
+    totals = per_doc.groupBy("term").agg(
+        F.sum("c").alias("n_occurrences"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    # top-k FIRST via orderBy+limit (compiles to TakeOrderedAndProject —
+    # distributed partial top-k, never a global sort or single-partition
+    # window); the rank window then runs over only the k survivors
+    top = totals.orderBy(
+        F.col("n_occurrences").desc(), F.col("term").asc()
+    ).limit(k)
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("term").asc())
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "term", "n_occurrences", "n_docs", "rank"
+    )

@@ -563,3 +563,28 @@ def test_cross_doc_span_fraction_vs_brute(spark):
     assert got[0] == 1.0 and got[1] == 1.0
     assert 0.0 < got[2] < 1.0
     assert got[3] == 0.0 and got[4] == 0.0
+
+
+def test_vocab_top_terms(spark):
+    """Corpus vocab builder: counts, doc frequency, deterministic
+    count-then-lexical ranking, k cutoff, and a TakeOrdered (not global
+    sort/single-partition window) physical plan."""
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.text import (
+        vocab_top_terms,
+    )
+
+    d = docs(spark, [
+        "apple banana apple cherry",
+        "banana apple banana",
+        "cherry date",
+    ])
+    out = vocab_top_terms(d, k=3)
+    rows = {r.term: (r.n_occurrences, r.n_docs, r.rank) for r in out.collect()}
+    # apple 3x/2docs, banana 3x/2docs, cherry 2x/2docs; apple < banana
+    assert rows == {
+        "apple": (3, 2, 1),
+        "banana": (3, 2, 2),
+        "cherry": (2, 2, 3),
+    }
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
