@@ -23,6 +23,15 @@ from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.session import g
 # steady 2.6s) — three samples make the min a stable steady-state number
 N_RUNS = 3
 
+# new-in-r6 queries timed separately so the HEADLINE total stays
+# comparable across rounds; reported under "extra" in the JSON line
+EXTRA_QUERIES = [
+    "text_repetition_family",
+    "dedup_span_corpus",
+    "c4_line_filter",
+    "vocab_top_terms",
+]
+
 HEADLINE = [
     "flagship_tower_pipeline",
     "flagship_partitioned",
@@ -84,6 +93,15 @@ def main() -> None:
             round(samples[-1], 3),
         ]
     total = round(sum(times.values()), 3)
+    extra: dict[str, float] = {}
+    for name in EXTRA_QUERIES:
+        best = float("inf")
+        for _ in range(N_RUNS):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        extra[name] = round(best, 3)
     print(
         json.dumps(
             {
@@ -92,6 +110,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "spread": spread,
+                "extra": extra,
                 "sf": sf,
                 "n": N_RUNS,
             }

@@ -1,0 +1,77 @@
+"""Physical-plan regression guards for the audited headline plans
+(PLANS.md): the properties that make these queries scale — pushdown
+reaching the parquet scan, bounded exchange counts, no accidental
+cross joins — asserted so a refactor cannot silently regress them.
+
+Counts are upper bounds (AQE may coalesce but never adds exchanges);
+substring checks target the stable operator names in executedPlan().
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    df = entrymod.queries()[name](spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pricing_summary_pushdown_and_single_exchange(spark):
+    plan = _plan(spark, "pricing_summary")
+    # the date predicate must reach the parquet reader
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split("PushedFilters", 1)[1][:200]
+    assert plan.count("Exchange") <= 2  # one agg shuffle (+ AQE read)
+    assert "CartesianProduct" not in plan
+
+
+def test_flag_strings_zero_exchange_projection(spark):
+    # QC is one projection: the reference's index-aligned joins must
+    # stay eliminated — no Exchange, no Join of any kind
+    plan = _plan(spark, "flag_strings")
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_top_revenue_broadcasts_dims(spark):
+    plan = _plan(spark, "top_revenue")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_repetition_family_single_generate(spark):
+    # all nine gram lengths ride ONE explode; doc repartition satisfies
+    # both aggregations so gram rows never reshuffle
+    plan = _plan(spark, "text_repetition_family")
+    assert plan.count("Generate explode") == 1
+    assert "REPARTITION_BY_COL" in plan
+
+
+def test_span_corpus_single_generate_no_self_join(spark):
+    # the window-count form: one explode, no join between span rows
+    plan = _plan(spark, "dedup_span_corpus")
+    assert plan.count("Generate explode") == 1
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_c4_filter_map_only(spark):
+    plan = _plan(spark, "c4_line_filter")
+    assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_vocab_top_k_is_take_ordered(spark):
+    plan = _plan(spark, "vocab_top_terms")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_blocked_neardup_no_nested_loop(spark):
+    # the scale path must stay an equi-join on (table, bucket)
+    plan = _plan(spark, "embed_neardup_blocked")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
