@@ -2324,6 +2324,256 @@ FROM documents d LEFT JOIN frac USING (doc_id)
 """
 
 
+# ------------------------------------------------ round-6 second wave
+
+_CHUNK_SIZE, _CHUNK_STRIDE = 64, 48
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG chunking (llm/chunking.py): overlapping 64-token windows at
+    stride 48 over the normalized text — map-only posexplode over the
+    chunk-start sequence, zero shuffles. North-star surface; no
+    reference analogue (the reference has fixed-schema sensor rows)."""
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.chunking import (
+        chunk_tokens,
+    )
+
+    return chunk_tokens(
+        T(spark, sf_dir, "documents"),
+        chunk_size=_CHUNK_SIZE,
+        stride=_CHUNK_STRIDE,
+    )
+
+
+_CHUNK_SQL = f"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split({_NORM_SQL}, ' '), t -> t <> '') AS w
+  FROM documents),
+s AS (SELECT doc_id, w, len(w) AS n FROM w),
+c AS (SELECT doc_id, w, n,
+             unnest(range(1, greatest(n, 1) + 1, {_CHUNK_STRIDE})) AS start_tok
+      FROM s)
+SELECT doc_id,
+       CAST((start_tok - 1) / {_CHUNK_STRIDE} AS INT) AS chunk_idx,
+       CAST(start_tok AS INT) AS start_tok,
+       CAST(least({_CHUNK_SIZE}, n - start_tok + 1) AS INT) AS n_tok,
+       array_to_string(w[start_tok:start_tok + {_CHUNK_SIZE - 1}], ' ')
+         AS chunk_text
+FROM c WHERE start_tok <= n
+"""
+
+
+def q_charlm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality proxy (llm/curation.charlm_score): a
+    corpus-trained character-bigram model scores each doc by average
+    negative log P(c2|c1), Laplace-smoothed. The model tables broadcast
+    (~alphabet² rows at any corpus size); scores are order-free integer
+    micro-unit sums. North-star quality-scoring surface."""
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.curation import (
+        charlm_score,
+    )
+
+    return charlm_score(T(spark, sf_dir, "documents"))
+
+
+_CHARLM_SQL = f"""
+WITH cs AS (
+  SELECT doc_id, list_filter(string_split({_NORM_SQL}, ''), c -> c <> '') AS cs
+  FROM documents),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(cs)), i -> cs[i] || cs[i + 1])) AS bg
+  FROM cs WHERE len(cs) >= 2),
+pd AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2),
+mb AS (SELECT bg, CAST(sum(c) AS BIGINT) AS cb FROM pd GROUP BY 1),
+mu AS (SELECT substr(bg, 1, 1) AS c1, CAST(sum(cb) AS BIGINT) AS cu
+       FROM mb GROUP BY 1),
+-- corpus alphabet: distinct chars over ALL docs (1-char docs included)
+v AS (SELECT count(DISTINCT ch) AS v
+      FROM (SELECT unnest(cs) AS ch FROM cs)),
+sc AS (
+  SELECT doc_id,
+         CAST(sum(CAST(floor(c * ln(CAST(cb + 1 AS DOUBLE)
+                                    / CAST(cu + v AS DOUBLE)) * 1e6)
+                       AS BIGINT)) AS BIGINT) AS s,
+         CAST(sum(c) AS BIGINT) AS n
+  FROM pd
+  JOIN mb USING (bg)
+  JOIN mu ON substr(pd.bg, 1, 1) = mu.c1
+  CROSS JOIN v
+  GROUP BY 1)
+SELECT d.doc_id,
+       coalesce(n, 0) AS n_bigrams,
+       coalesce(round(-s / (n * 1e6), 6), 0.0) AS avg_neglogprob
+FROM documents d LEFT JOIN sc USING (doc_id)
+"""
+
+_OOV_VOCAB_K = 256
+
+
+def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-coverage check (llm/text.oov_rate): per-doc OOV token
+    fraction against the corpus top-256 vocabulary (vocab_top_terms) —
+    the vocab side broadcasts, the corpus side is one explode + one
+    doc-keyed agg. Composes two operators in one lazy plan."""
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.text import (
+        oov_rate,
+        vocab_top_terms,
+    )
+
+    d = T(spark, sf_dir, "documents")
+    return oov_rate(d, vocab_top_terms(d, k=_OOV_VOCAB_K))
+
+
+_OOV_SQL = f"""
+WITH tt AS (
+  SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS term
+  FROM documents),
+t AS (SELECT doc_id, term FROM tt WHERE term <> ''),
+pd AS (SELECT doc_id, term, count(*) AS c FROM t GROUP BY 1, 2),
+totals AS (SELECT term, CAST(sum(c) AS BIGINT) AS n_occ FROM pd GROUP BY 1),
+vocab AS (SELECT term FROM totals
+          ORDER BY n_occ DESC, term ASC LIMIT {_OOV_VOCAB_K}),
+agg AS (
+  SELECT doc_id, count(*) AS n_tok,
+         CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_oov
+  FROM t LEFT JOIN vocab v USING (term) GROUP BY 1)
+SELECT d.doc_id,
+       coalesce(n_tok, 0) AS n_tok,
+       coalesce(n_oov, 0) AS n_oov,
+       round(coalesce(n_oov / CAST(n_tok AS DOUBLE), 0.0), 6) AS oov_rate
+FROM documents d LEFT JOIN agg USING (doc_id)
+"""
+
+_LEV_PREFIX, _LEV_PROBE, _LEV_MAX = 16, 120, 20
+
+
+def q_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level near-dup pairs (llm/dedup.levenshtein_blocked_pairs):
+    16-char-prefix blocking → banded-threshold edit distance on a
+    120-char probe. Complements the token-set dedup families with an
+    in-place-edit detector; candidates are an equi-join, never a cross
+    join, and the threshold arg keeps the DP at O(len·dist)."""
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.dedup import (
+        levenshtein_blocked_pairs,
+    )
+
+    return levenshtein_blocked_pairs(
+        T(spark, sf_dir, "documents"),
+        prefix_len=_LEV_PREFIX,
+        probe_len=_LEV_PROBE,
+        max_dist=_LEV_MAX,
+    )
+
+
+_LEV_SQL = f"""
+WITH p AS (
+  SELECT doc_id AS id,
+         substr({_NORM_SQL}, 1, {_LEV_PREFIX}) AS bk,
+         substr({_NORM_SQL}, 1, {_LEV_PROBE}) AS probe
+  FROM documents)
+SELECT a.id AS doc_a, b.id AS doc_b,
+       CAST(levenshtein(a.probe, b.probe) AS INT) AS dist
+FROM p a JOIN p b ON a.bk = b.bk AND a.id < b.id
+WHERE levenshtein(a.probe, b.probe) <= {_LEV_MAX}
+"""
+
+
+def q_corpus_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine extension (SURVEY §2.4 note): CUBE over (lang, source) —
+    all four grouping levels in ONE shuffle (Spark expands the grouping
+    sets before the exchange, so the scan runs once), with an explicit
+    grouping-level id and decimal-exact averages."""
+    d = T(spark, sf_dir, "documents")
+    return (
+        d.cube("lang", "source")
+        .agg(
+            # grouping() is only resolvable INSIDE the cube's agg list —
+            # after the Aggregate the grouping context is gone
+            (F.grouping("lang") * 2 + F.grouping("source"))
+            .cast("int")
+            .alias("lvl"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.round(_dsum(F.col("n_chars")) / F.count(F.lit(1)), 6).alias(
+                "avg_chars"
+            ),
+        )
+        .select(
+            F.coalesce(F.col("lang"), F.lit("ALL")).alias("lang"),
+            F.coalesce(F.col("source"), F.lit("ALL")).alias("source"),
+            "lvl",
+            "n_docs",
+            "total_chars",
+            "avg_chars",
+        )
+    )
+
+
+_CUBE_SQL = """
+SELECT coalesce(lang, 'ALL') AS lang,
+       coalesce(source, 'ALL') AS source,
+       CAST(GROUPING(lang) * 2 + GROUPING(source) AS INT) AS lvl,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       round(CAST(sum(CAST(n_chars AS DECIMAL(38,6))) AS DOUBLE) / count(*), 6)
+         AS avg_chars
+FROM documents GROUP BY CUBE (lang, source)
+"""
+
+_ROLL_LOOKBACK_S, _ROLL_MIN_PRIOR = 3600, 3
+
+
+def q_rolling_despike(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing event-time range-frame QC (operators/rolling.py): per
+    user, context from the previous hour of readings (current timestamp
+    excluded) flags values escaping [0.5·min, 2·max]. Generalizes the
+    reference's lag-1 spike test (src/AzureDataLakeAccess.py:618-644)
+    to gap-aware rolling windows; extrema keep the flag bit-stable
+    where rolling mean/stddev would be order-dependent at the
+    threshold."""
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.operators import (
+        rolling_extrema_flags,
+    )
+
+    e = T(spark, sf_dir, "events")
+    return rolling_extrema_flags(
+        e,
+        lookback_s=_ROLL_LOOKBACK_S,
+        min_prior=_ROLL_MIN_PRIOR,
+    ).select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "value",
+        "prev_n",
+        "prev_min",
+        "prev_max",
+        "spike",
+    )
+
+
+_ROLLING_SQL = f"""
+WITH r AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us, value,
+         count(value) OVER w AS prev_n,
+         min(value) OVER w AS prev_min,
+         max(value) OVER w AS prev_max
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+               RANGE BETWEEN {_ROLL_LOOKBACK_S * 1000000} PRECEDING
+                         AND 1 PRECEDING))
+SELECT event_id, user_id, ts_us, value, prev_n, prev_min, prev_max,
+       coalesce(prev_n >= {_ROLL_MIN_PRIOR}
+                AND (value > CAST(2.0 AS DOUBLE) * prev_max
+                     OR value < CAST(0.5 AS DOUBLE) * prev_min),
+                FALSE) AS spike
+FROM r
+"""
+
+
 def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-entropy quality signal (the cheap perplexity proxy) —
     order-free integral-micro-unit formulation so parallel aggregation
@@ -3042,6 +3292,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rotate back in before r8.
     return {
         # -- NEW in r6 (never driver-checked)
+        "chunk_documents": q_chunk_documents,
+        "charlm_quality": q_charlm_quality,
+        "oov_rate": q_oov_rate,
+        "dedup_levenshtein_pairs": q_levenshtein_pairs,
+        "corpus_cube_stats": q_corpus_cube,
+        "rolling_despike": q_rolling_despike,
         "text_repetition_family": q_text_repetition_family,
         "dedup_span_corpus": q_dedup_span_corpus,
         "c4_line_filter": q_c4_filter,
@@ -3126,6 +3382,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     # Same order as queries() — see the cap note there.
     return {
+        "chunk_documents": _CHUNK_SQL,
+        "charlm_quality": _CHARLM_SQL,
+        "oov_rate": _OOV_SQL,
+        "dedup_levenshtein_pairs": _LEV_SQL,
+        "corpus_cube_stats": _CUBE_SQL,
+        "rolling_despike": _ROLLING_SQL,
         "text_repetition_family": _repetition_family_sql(),
         "dedup_span_corpus": _span_corpus_sql(),
         "c4_line_filter": _C4_FILTER_SQL,

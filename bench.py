@@ -30,6 +30,12 @@ EXTRA_QUERIES = [
     "dedup_span_corpus",
     "c4_line_filter",
     "vocab_top_terms",
+    "chunk_documents",
+    "charlm_quality",
+    "oov_rate",
+    "dedup_levenshtein_pairs",
+    "corpus_cube_stats",
+    "rolling_despike",
 ]
 
 HEADLINE = [

@@ -737,3 +737,60 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def levenshtein_blocked_pairs(
+    df: DataFrame,
+    prefix_len: int = 16,
+    probe_len: int = 120,
+    max_dist: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_a, doc_b, dist): edit-distance near-duplicate pairs, blocked
+    by a shared normalized-text prefix — the classic record-linkage
+    shape (prefix blocking + bounded pairwise compare), complementing
+    the token-set families (Jaccard/MinHash) with a CHARACTER-level
+    similarity that catches small in-place edits token sets miss.
+
+    Scale levers, each explicit:
+    - **blocking**: candidates come from an equi-join on
+      ``substr(norm, 1, prefix_len)`` — never an all-pairs cross join;
+      pair count is Σ block²/2, bounded by how often prefixes collide.
+    - **bounded DP**: the compare runs on a ``probe_len`` prefix and
+      passes ``max_dist`` as Spark's levenshtein *threshold*, which
+      switches the JVM implementation to the banded O(len·dist)
+      algorithm and returns -1 early once the band is exceeded —
+      per-pair cost is probe_len·max_dist, not probe_len².
+    - the id-ordering predicate lives in the join condition, so each
+      unordered pair is produced once.
+
+    The ``threshold`` early-exit returns -1 above ``max_dist``; kept
+    rows carry the exact distance, so a no-threshold oracle filtered to
+    ``dist <= max_dist`` replays it bit-for-bit.
+    """
+    if prefix_len < 1 or probe_len < prefix_len:
+        raise ValueError(
+            f"need probe_len >= prefix_len >= 1, got {prefix_len}/{probe_len}"
+        )
+    n = norm_text(text_col)
+    probes = df.select(
+        F.col(id_col).alias("id"),
+        F.substring(n, 1, prefix_len).alias("bk"),
+        F.substring(n, 1, probe_len).alias("probe"),
+    )
+    a = probes.alias("a")
+    b = probes.alias("b")
+    dist = F.levenshtein(F.col("a.probe"), F.col("b.probe"), max_dist)
+    return (
+        a.join(
+            b,
+            (F.col("a.bk") == F.col("b.bk")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("doc_a"),
+            F.col("b.id").alias("doc_b"),
+            dist.alias("dist"),
+        )
+        .filter(F.col("dist") >= 0)
+    )

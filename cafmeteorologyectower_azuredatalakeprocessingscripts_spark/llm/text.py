@@ -186,3 +186,52 @@ def vocab_top_terms(
     return top.withColumn("rank", F.row_number().over(w)).select(
         "term", "n_occurrences", "n_docs", "rank"
     )
+
+
+def oov_rate(
+    df,
+    vocab,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """(id_col, n_tok, n_oov, oov_rate): per-document out-of-vocabulary
+    token fraction against a vocabulary DataFrame (one ``term`` column,
+    e.g. :func:`vocab_top_terms`'s output) — the tokenizer-coverage
+    check run before committing a vocab to a training run.
+
+    Scale shape: the vocabulary is small by construction (top-k heavy
+    hitters), so it BROADCASTS; the corpus side is one explode plus one
+    doc-keyed agg that collapses map-side inside the doc partitioning —
+    shuffle bytes ∝ documents, never token occurrences. Empty docs
+    report 0/0 with rate 0.
+    """
+    from pyspark.sql import functions as F
+
+    toks = (
+        df.repartition(F.col(id_col))
+        .select(
+            F.col(id_col),
+            F.explode(F.split(norm_text(text_col), " ")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    marked = toks.join(
+        F.broadcast(vocab.select("term").withColumn("in_v", F.lit(1))),
+        "term",
+        "left",
+    )
+    per_doc = marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tok"),
+        F.sum(F.when(F.col("in_v").isNull(), 1).otherwise(0)).alias("n_oov"),
+    )
+    return df.select(id_col).join(per_doc, id_col, "left").select(
+        id_col,
+        F.coalesce("n_tok", F.lit(0)).cast("bigint").alias("n_tok"),
+        F.coalesce("n_oov", F.lit(0)).cast("bigint").alias("n_oov"),
+        F.round(
+            F.coalesce(
+                F.col("n_oov") / F.col("n_tok").cast("double"), F.lit(0.0)
+            ),
+            6,
+        ).alias("oov_rate"),
+    )

@@ -4,6 +4,7 @@ from .unions import spread, union_by_name
 from .topk import latest_per_group
 from .skew import salted_join
 from .temporal import asof_join, range_join
+from .rolling import rolling_extrema_flags
 from .incremental import (
     CrossWaterYearError,
     resolve_window,
@@ -21,6 +22,7 @@ __all__ = [
     "salted_join",
     "asof_join",
     "range_join",
+    "rolling_extrema_flags",
     "CrossWaterYearError",
     "resolve_window",
     "high_watermark_date",

@@ -1,0 +1,75 @@
+"""Trailing event-time range-frame windows: the rolling-context QC the
+reference approximates with its fixed lag-1 spike test
+(src/AzureDataLakeAccess.py:618-644 compares each sample to its single
+predecessor). A range frame generalizes that to "all samples in the
+previous N seconds", which is the standard meteorological despike
+window — and, unlike a ROWS frame, is correct under irregular sampling
+and data gaps.
+
+Determinism note (why extrema, not z-scores): rolling mean/stddev
+spike tests compare a float to an order-dependent float reduction —
+two engines (or two partitionings) can disagree at the threshold
+boundary. min/max/count are exact selections, and the flag compares
+IEEE-exact products (factor · extremum), so the output is bit-stable
+across engines and cluster sizes. The frame excludes the current
+timestamp entirely (bound ends at 1 µs preceding), so simultaneous
+readings never vote on each other and peer-row order cannot matter.
+
+Scale shape: one shuffle keyed by the series id, then a
+partition-local sort feeding a single WindowExec computing all three
+aggregates over one shared frame; no joins, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+US_PER_S = 1_000_000
+
+
+def rolling_extrema_flags(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+    lookback_s: int = 3600,
+    min_prior: int = 3,
+    hi_factor: float = 2.0,
+    lo_factor: float = 0.5,
+) -> DataFrame:
+    """Adds (prev_n, prev_min, prev_max, spike) per row: context from
+    the trailing ``lookback_s`` event-time window (current-timestamp
+    rows excluded), and a despike flag raised when at least
+    ``min_prior`` prior readings exist and the value escapes
+    ``[lo_factor·prev_min, hi_factor·prev_max]``.
+
+    The frame is event-time (``rangeBetween`` over epoch microseconds),
+    so gaps in the series shrink the context instead of silently
+    reaching further back the way a ROWS frame would.
+    """
+    if lookback_s < 1 or min_prior < 1:
+        raise ValueError(
+            f"need lookback_s >= 1 and min_prior >= 1, got "
+            f"{lookback_s}/{min_prior}"
+        )
+    us = F.unix_micros(F.col(ts_col))
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(us)
+        .rangeBetween(-lookback_s * US_PER_S, -1)
+    )
+    v = F.col(value_col)
+    prev_n = F.count(v).over(w)
+    prev_min = F.min(v).over(w)
+    prev_max = F.max(v).over(w)
+    spike = (prev_n >= F.lit(min_prior)) & (
+        (v > F.lit(hi_factor) * prev_max) | (v < F.lit(lo_factor) * prev_min)
+    )
+    return df.select(
+        "*",
+        prev_n.alias("prev_n"),
+        prev_min.alias("prev_min"),
+        prev_max.alias("prev_max"),
+        F.coalesce(spike, F.lit(False)).alias("spike"),
+    )

@@ -75,3 +75,49 @@ def test_blocked_neardup_no_nested_loop(spark):
     plan = _plan(spark, "embed_neardup_blocked")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_chunk_documents_map_only(spark):
+    # RAG chunking must stay a pure projection: split -> posexplode ->
+    # slice with no shuffle anywhere
+    plan = _plan(spark, "chunk_documents")
+    assert "Exchange" not in plan
+    assert plan.count("Generate") == 1
+
+
+def test_charlm_single_bigram_generate(spark):
+    # D-28: model counts ride as windows, not agg + join-back — the
+    # corpus bigram explode must execute ONCE (plus the one-row
+    # alphabet explode), never once per model table
+    plan = _plan(spark, "charlm_quality")
+    assert plan.count("Generate") <= 2
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_levenshtein_pairs_equi_join_only(spark):
+    # prefix blocking must compile to an equi-join on the block key —
+    # an all-pairs comparison would show up as a nested-loop/cartesian
+    plan = _plan(spark, "dedup_levenshtein_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_oov_rate_vocab_broadcasts(spark):
+    plan = _plan(spark, "oov_rate")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_corpus_cube_single_exchange(spark):
+    # CUBE expands grouping sets BEFORE the shuffle: one scan, one agg
+    # exchange for all four levels
+    plan = _plan(spark, "corpus_cube_stats")
+    assert plan.count("FileScan") == 1
+    assert plan.count("Exchange") <= 2  # agg shuffle (+ AQE read)
+
+
+def test_rolling_despike_one_shuffle_one_window(spark):
+    plan = _plan(spark, "rolling_despike")
+    assert plan.count("Exchange") <= 2
+    assert "Join" not in plan
