@@ -2367,9 +2367,10 @@ FROM c WHERE start_tok <= n
 def q_charlm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM quality proxy (llm/curation.charlm_score): a
     corpus-trained character-bigram model scores each doc by average
-    negative log P(c2|c1), Laplace-smoothed. The model tables broadcast
-    (~alphabet² rows at any corpus size); scores are order-free integer
-    micro-unit sums. North-star quality-scoring surface."""
+    negative log P(c2|c1), Laplace-smoothed. Model counts ride as
+    partitionBy windows (D-28 — one bigram explode, no join-back
+    re-scan); scores are order-free integer micro-unit sums.
+    North-star quality-scoring surface."""
     from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.curation import (
         charlm_score,
     )
@@ -2571,6 +2572,355 @@ SELECT event_id, user_id, ts_us, value, prev_n, prev_min, prev_max,
                      OR value < CAST(0.5 AS DOUBLE) * prev_min),
                 FALSE) AS spike
 FROM r
+"""
+
+#: BM25 demo query: three common terms + one rare ('dup', ~26 corpus
+#: occurrences) so idf actually differentiates.
+_BM25_TERMS = ["spark", "join", "window", "dup"]
+_BM25_K = 20
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical retrieval baseline (llm/retrieval.bm25_topk): BM25
+    top-20 for a literal 4-term query. No inverted index needed at
+    query time — per-term tf are array expressions in one map-only
+    pass, corpus stats are a 1-row broadcast, ranking is
+    TakeOrderedAndProject. Integer micro-unit ranking key."""
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.retrieval import (
+        bm25_topk,
+    )
+
+    return bm25_topk(
+        T(spark, sf_dir, "documents"), _BM25_TERMS, k=_BM25_K
+    )
+
+
+def _bm25_sql() -> str:
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.retrieval import (
+        BM25_B,
+        BM25_K1,
+    )
+
+    m = len(_BM25_TERMS)
+    tf_cols = ",\n              ".join(
+        f"len(list_filter(w, x -> x = '{t}')) AS tf_{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    df_cols = ",\n              ".join(
+        f"CAST(sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_{i}"
+        for i in range(m)
+    )
+    # expression order mirrors llm/retrieval.py exactly: left-assoc
+    # ((idf * tf) * (k1+1)) / (tf + k1*((1-b) + b*dl/(total/n)))
+    k1p1 = repr(BM25_K1 + 1.0)
+    one_minus_b = repr(1.0 - BM25_B)
+
+    def ts(i: int) -> str:
+        return (
+            f"(CASE WHEN tf_{i} > 0 THEN CAST(floor("
+            f"ln(1.0 + (CAST(n_docs AS DOUBLE)"
+            f" - CAST(df_{i} AS DOUBLE) + 0.5) / (CAST(df_{i} AS DOUBLE) + 0.5))"
+            f" * CAST(tf_{i} AS DOUBLE) * {k1p1}"
+            f" / (CAST(tf_{i} AS DOUBLE) + {BM25_K1!r} * ({one_minus_b}"
+            f" + {BM25_B!r} * CAST(dl AS DOUBLE)"
+            f" / (CAST(total_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))"
+            f" * 1e6) AS BIGINT) ELSE 0 END)"
+        )
+
+    micro = " + ".join(ts(i) for i in range(m))
+    hits = " + ".join(
+        f"(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END)" for i in range(m)
+    )
+    return f"""
+WITH w AS (
+  SELECT doc_id, list_filter(string_split({_NORM_SQL}, ' '), t -> t <> '') AS w
+  FROM documents),
+pd AS (SELECT doc_id, len(w) AS dl,
+              {tf_cols}
+       FROM w),
+st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_dl,
+              {df_cols}
+       FROM pd),
+sc AS (SELECT doc_id,
+              CAST({hits} AS INT) AS n_hit_terms,
+              CAST({micro} AS BIGINT) AS score_micro
+       FROM pd CROSS JOIN st)
+SELECT doc_id, n_hit_terms, score_micro,
+       round(score_micro / 1e6, 6) AS score
+FROM sc WHERE n_hit_terms > 0
+ORDER BY score_micro DESC, doc_id ASC LIMIT {_BM25_K}
+"""
+
+
+_SLIDE_DUR_S, _SLIDE_STEP_S = 1800, 900
+
+
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native sliding event-time windows (F.window duration 30 min,
+    slide 15 min): every event lands in exactly 2 overlapping windows.
+    Spark expands the window list BEFORE the shuffle (one scan, one
+    exchange keyed by window x type); epoch-aligned starts match the
+    oracle's integer arithmetic exactly."""
+    e = T(spark, sf_dir, "events")
+    win = F.window(
+        "ts", f"{_SLIDE_DUR_S} seconds", f"{_SLIDE_STEP_S} seconds"
+    )
+    return (
+        e.groupBy(win, "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(_dsum(F.col("value")), 6).alias("sum_value"),
+        )
+        .select(
+            F.unix_micros("window.start").alias("win_start_us"),
+            F.unix_micros("window.end").alias("win_end_us"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+_SLIDING_SQL = f"""
+WITH e AS (
+  SELECT event_type, value, epoch_us(ts) AS us FROM events),
+x AS (
+  SELECT event_type, value, us,
+         (us // {_SLIDE_STEP_S * 1000000}) * {_SLIDE_STEP_S * 1000000}
+           - unnest([0, {_SLIDE_STEP_S * 1000000}]) AS ws
+  FROM e)
+SELECT ws AS win_start_us,
+       ws + {_SLIDE_DUR_S * 1000000} AS win_end_us,
+       event_type,
+       count(*) AS n,
+       round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 6)
+         AS sum_value
+FROM x
+WHERE us >= ws AND us < ws + {_SLIDE_DUR_S * 1000000}
+GROUP BY 1, 2, 3
+"""
+
+
+def q_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact discrete quantiles per event type via rank selection (the
+    deterministic alternative to interpolating percentile functions,
+    whose float interpolation is engine-dependent): row_number over
+    (value, event_id) picks the ceil(q*n)-th element exactly. One
+    shuffle keyed by type; both window frames share the exchange."""
+    e = T(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    ranked = e.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+
+    def pick(q: float, name: str):
+        target = F.ceil(F.lit(q) * F.col("n").cast("double")).cast("bigint")
+        return F.max(F.when(F.col("rn") == target, F.col("value"))).alias(
+            name
+        )
+
+    return ranked.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n"),
+        pick(0.5, "p50"),
+        pick(0.9, "p90"),
+        pick(0.99, "p99"),
+    )
+
+
+_QUANTILES_SQL = """
+WITH r AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events)
+SELECT event_type,
+       CAST(max(n) AS BIGINT) AS n,
+       max(CASE WHEN rn = CAST(ceil(0.5 * CAST(n AS DOUBLE)) AS BIGINT)
+                THEN value END) AS p50,
+       max(CASE WHEN rn = CAST(ceil(0.9 * CAST(n AS DOUBLE)) AS BIGINT)
+                THEN value END) AS p90,
+       max(CASE WHEN rn = CAST(ceil(0.99 * CAST(n AS DOUBLE)) AS BIGINT)
+                THEN value END) AS p99
+FROM r GROUP BY 1
+"""
+
+_TOPK_PER_GROUP_K = 3
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 events per type by value (deterministic tie-break on
+    event_id): the generalized form of the reference's top-1
+    latest-file selection (S9/A4, operators/topk.py) — one window rank
+    over the group exchange, filter rank <= k."""
+    e = T(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").desc(), F.col("event_id").asc()
+    )
+    return (
+        e.select(
+            "event_type",
+            "event_id",
+            "value",
+            F.row_number().over(w).alias("rank"),
+        )
+        .filter(F.col("rank") <= _TOPK_PER_GROUP_K)
+    )
+
+
+_TOPK_GROUP_SQL = f"""
+SELECT event_type, event_id, value, rank FROM (
+  SELECT event_type, event_id, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value DESC, event_id ASC) AS rank
+  FROM events)
+WHERE rank <= {_TOPK_PER_GROUP_K}
+"""
+
+_ZORDER_BITS = 16
+
+
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (z-order) layout key (operators/layout.py): interleave
+    user_id with the integer part of value so a range-sorted parquet
+    write keeps BOTH columns' min-max tight per file (the
+    OPTIMIZE..ZORDER technique). Map-only bit arithmetic; the actual
+    skipping win is asserted against parquet footers in tests."""
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.operators import (
+        zorder_key2,
+    )
+
+    e = T(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.floor("value").cast("bigint").alias("value_int"),
+        zorder_key2(
+            F.col("user_id"), F.floor("value"), bits=_ZORDER_BITS
+        ).alias("zkey"),
+    )
+
+
+def _zorder_sql() -> str:
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.operators import (
+        zorder_key2_sql,
+    )
+
+    key = zorder_key2_sql(
+        "user_id", "CAST(floor(value) AS BIGINT)", bits=_ZORDER_BITS
+    )
+    return f"""
+SELECT event_id, user_id,
+       CAST(floor(value) AS BIGINT) AS value_int,
+       {key} AS zkey
+FROM events
+"""
+
+
+#: Synthetic markup wrapped around each document so strip_markup is
+#: exercised on real tag/entity/script structure (the corpus itself is
+#: plain text). No single-quote chars — keeps the SQL literal clean.
+_HTML_PRE = (
+    '<html><head><title>t</title><style type="text/css">'
+    "p { color: red; }</style></head><body><!-- header -->"
+    '<p class="main">'
+)
+_HTML_SUF = (
+    "</p><script>var x = 1 &lt; 2;</script><br/>&nbsp;&amp;&#39;fin&#39;"
+    "</body></html>"
+)
+
+
+def q_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markup-to-text curation step (llm/curation.strip_markup): each
+    doc is wrapped in real HTML structure (style/script blocks,
+    comments, tags, entities), stripped back to text. Sequential
+    regexp projection, zero shuffle; RE2-portable patterns (no
+    backreferences) so the DuckDB oracle replays it exactly."""
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.curation import (
+        strip_markup,
+    )
+
+    d = T(spark, sf_dir, "documents")
+    marked = F.concat(F.lit(_HTML_PRE), F.col("text"), F.lit(_HTML_SUF))
+    clean = strip_markup(marked)
+    return d.select(
+        "doc_id",
+        F.length(clean).alias("n_chars_clean"),
+        clean.alias("clean_text"),
+    )
+
+
+def _html_strip_sql() -> str:
+    marked = f"'{_HTML_PRE}' || text || '{_HTML_SUF}'"
+    s = f"regexp_replace({marked}, '<script[^>]*>.*?</script>', ' ', 'gis')"
+    s = f"regexp_replace({s}, '<style[^>]*>.*?</style>', ' ', 'gis')"
+    s = f"regexp_replace({s}, '<!--.*?-->', ' ', 'gs')"
+    s = f"regexp_replace({s}, '<[^>]+>', ' ', 'g')"
+    # same decode order as llm/curation._ENTITIES (&amp; last)
+    s = f"replace({s}, '&lt;', '<')"
+    s = f"replace({s}, '&gt;', '>')"
+    s = f"replace({s}, '&quot;', chr(34))"
+    s = f"replace({s}, '&#39;', chr(39))"
+    s = f"replace({s}, '&nbsp;', ' ')"
+    s = f"replace({s}, '&amp;', '&')"
+    s = f"trim(regexp_replace({s}, '\\s+', ' ', 'g'))"
+    return f"""
+SELECT doc_id, length({s}) AS n_chars_clean, {s} AS clean_text
+FROM documents
+"""
+
+
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: pull the numeric field out of the
+    JSON props column (JVM-side get_json_object — no UDF, no full
+    parse) and aggregate per event type. One scan, one agg shuffle."""
+    e = T(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.sum((F.col("k") > 50).cast("bigint")).alias("n_over_50"),
+        )
+    )
+
+
+_JSON_PROPS_SQL = """
+WITH x AS (
+  SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events)
+SELECT event_type, count(*) AS n,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       min(k) AS min_k, max(k) AS max_k,
+       CAST(sum(CASE WHEN k > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_over_50
+FROM x GROUP BY 1
+"""
+
+
+def q_intersect_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set intersection (INTERSECT distinct semantics, the complement
+    of except_churned_users' EXCEPT): users with at least one click AND
+    at least one purchase."""
+    e = T(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id")
+    buys = e.filter(F.col("event_type") == "purchase").select("user_id")
+    return clicks.intersect(buys)
+
+
+_INTERSECT_SQL = """
+SELECT user_id FROM events WHERE event_type = 'click'
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'purchase'
 """
 
 
@@ -3292,6 +3642,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rotate back in before r8.
     return {
         # -- NEW in r6 (never driver-checked)
+        "bm25_topk": q_bm25_topk,
+        "sliding_window_counts": q_sliding_window,
+        "exact_quantiles": q_exact_quantiles,
+        "topk_per_group": q_topk_per_group,
+        "zorder_layout_key": q_zorder_key,
+        "html_strip": q_html_strip,
+        "json_props_extract": q_json_props,
+        "intersect_active_users": q_intersect_users,
         "chunk_documents": q_chunk_documents,
         "charlm_quality": q_charlm_quality,
         "oov_rate": q_oov_rate,
@@ -3382,6 +3740,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     # Same order as queries() — see the cap note there.
     return {
+        "bm25_topk": _bm25_sql(),
+        "sliding_window_counts": _SLIDING_SQL,
+        "exact_quantiles": _QUANTILES_SQL,
+        "topk_per_group": _TOPK_GROUP_SQL,
+        "zorder_layout_key": _zorder_sql(),
+        "html_strip": _html_strip_sql(),
+        "json_props_extract": _JSON_PROPS_SQL,
+        "intersect_active_users": _INTERSECT_SQL,
         "chunk_documents": _CHUNK_SQL,
         "charlm_quality": _CHARLM_SQL,
         "oov_rate": _OOV_SQL,

@@ -36,6 +36,14 @@ EXTRA_QUERIES = [
     "dedup_levenshtein_pairs",
     "corpus_cube_stats",
     "rolling_despike",
+    "bm25_topk",
+    "sliding_window_counts",
+    "exact_quantiles",
+    "topk_per_group",
+    "zorder_layout_key",
+    "html_strip",
+    "json_props_extract",
+    "intersect_active_users",
 ]
 
 HEADLINE = [

@@ -30,7 +30,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import shingles
-from .text import norm_text, token_count
+from .text import _c, norm_text, token_count
 
 # ------------------------------------------------------- deterministic hash
 
@@ -517,6 +517,39 @@ def charlm_score(
         F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_bigrams"),
         F.coalesce(score, F.lit(0.0)).alias("avg_neglogprob"),
     )
+
+
+#: HTML entities decoded by :func:`strip_markup` (order matters: &amp;
+#: last so freshly-decoded text can't re-decode).
+_ENTITIES = [
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+]
+
+
+def strip_markup(c: Column | str) -> Column:
+    """Plain text from HTML-ish markup: drops <script>/<style> blocks
+    wholesale (their text is never content), comments, every remaining
+    tag, then decodes the six common entities and collapses whitespace
+    — the pre-step the C4/Gopher line filters assume has already
+    happened when the crawl source is raw HTML.
+
+    Sequential ``regexp_replace`` projection: linear-time patterns only
+    (non-greedy block matches, no backreferences — portable to RE2
+    engines), zero shuffle, no UDFs.
+    """
+    s = _c(c)
+    s = F.regexp_replace(s, r"(?is)<script[^>]*>.*?</script>", " ")
+    s = F.regexp_replace(s, r"(?is)<style[^>]*>.*?</style>", " ")
+    s = F.regexp_replace(s, r"(?s)<!--.*?-->", " ")
+    s = F.regexp_replace(s, r"<[^>]+>", " ")
+    for ent, ch in _ENTITIES:
+        s = F.replace(s, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(s, r"\s+", " "))
 
 
 # -------------------------------------------------------- decontamination

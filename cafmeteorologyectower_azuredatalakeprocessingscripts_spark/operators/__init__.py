@@ -5,6 +5,7 @@ from .topk import latest_per_group
 from .skew import salted_join
 from .temporal import asof_join, range_join
 from .rolling import rolling_extrema_flags
+from .layout import zorder_key2, zorder_key2_sql
 from .incremental import (
     CrossWaterYearError,
     resolve_window,
@@ -23,6 +24,8 @@ __all__ = [
     "asof_join",
     "range_join",
     "rolling_extrema_flags",
+    "zorder_key2",
+    "zorder_key2_sql",
     "CrossWaterYearError",
     "resolve_window",
     "high_watermark_date",

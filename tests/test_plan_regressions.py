@@ -121,3 +121,54 @@ def test_rolling_despike_one_shuffle_one_window(spark):
     plan = _plan(spark, "rolling_despike")
     assert plan.count("Exchange") <= 2
     assert "Join" not in plan
+
+
+def test_bm25_no_explode_take_ordered(spark):
+    # literal-query BM25: tf via array expressions (no Generate), 1-row
+    # stats broadcast, distributed partial top-k — never a global sort
+    plan = _plan(spark, "bm25_topk")
+    assert "Generate" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Exchange") <= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_sliding_window_expands_before_shuffle(spark):
+    # F.window's 2-per-event expansion is a projection, not a join:
+    # one scan, one agg exchange
+    plan = _plan(spark, "sliding_window_counts")
+    assert plan.count("FileScan") == 1
+    assert plan.count("Exchange") <= 2
+    assert "Join" not in plan
+
+
+def test_exact_quantiles_windows_share_exchange(spark):
+    plan = _plan(spark, "exact_quantiles")
+    assert plan.count("Exchange") <= 2
+    assert "Join" not in plan
+
+
+def test_topk_per_group_gets_group_limit_pushdown(spark):
+    # rank()<=k over a window compiles to WindowGroupLimit (partial
+    # top-k BEFORE the shuffle) on this Spark — guard it
+    plan = _plan(spark, "topk_per_group")
+    assert "WindowGroupLimit" in plan
+    assert plan.count("Exchange") <= 2
+
+
+def test_zorder_key_map_only(spark):
+    plan = _plan(spark, "zorder_layout_key")
+    assert "Exchange" not in plan
+    assert plan.count("FileScan") == 1
+
+
+def test_html_strip_map_only(spark):
+    plan = _plan(spark, "html_strip")
+    assert "Exchange" not in plan
+
+
+def test_json_props_single_agg_exchange(spark):
+    # get_json_object stays JVM-side: no PythonUDF node, one agg shuffle
+    plan = _plan(spark, "json_props_extract")
+    assert "Python" not in plan
+    assert plan.count("Exchange") <= 2
