@@ -3630,6 +3630,345 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_flagship(spark, SF001)
 
 
+# --------------------------------------------------------------------------
+# round-6 batch 3: semantic dedup, negative mining, mixture weighting,
+# scrubbing, tokenizer stats, trend QC, reshape — north-star training-data
+# surface (no reference analogue) plus one engine-surface op (unpivot).
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means-cluster the embeddings
+    (1 deterministic Lloyd iteration), then drop vectors whose cosine to
+    a LOWER-id vector in the same cluster exceeds the threshold. Pair
+    cost is per-cluster (Σ cluster², never n²); the oracle replays the
+    training iteration and the keep rule exactly."""
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.similarity import (
+        semdedup,
+    )
+
+    emb = T(spark, sf_dir, "embeddings")
+    return semdedup(emb, n_centroids=16, threshold=0.4, train_iters=1)
+
+
+def _semdedup_sql(iters: int = 1, threshold: float = 0.4) -> str:
+    aff = _cos_sql("v.vec", "c.ctr")
+    sql = """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings
+),
+cents0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) AS centroid_id, vec AS ctr
+  FROM (SELECT * FROM v ORDER BY vec_id LIMIT 16)
+)"""
+    for r in range(iters):
+        sql += f""",
+assign{r} AS (
+  SELECT vec_id, centroid_id, vec FROM (
+    SELECT v.vec_id, c.centroid_id, v.vec,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {aff} DESC, c.centroid_id ASC) AS cr
+    FROM v CROSS JOIN cents{r} c
+  ) WHERE cr = 1
+),
+means{r} AS (
+  SELECT centroid_id, pos,
+         CAST(sum(floor(x * 1e6)) AS BIGINT) / 1e6 / count(*) AS m
+  FROM (SELECT centroid_id, unnest(range(0, len(vec))) AS pos, unnest(vec) AS x
+        FROM assign{r})
+  GROUP BY 1, 2
+),
+cents{r + 1} AS (
+  SELECT centroid_id, list(m ORDER BY pos) AS ctr FROM means{r} GROUP BY 1
+)"""
+    sql += f""",
+cells AS (
+  SELECT vec_id, centroid_id, vec FROM (
+    SELECT v.vec_id, c.centroid_id, v.vec,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {aff} DESC, c.centroid_id ASC) AS cr
+    FROM v CROSS JOIN cents{iters} c
+  ) WHERE cr = 1
+),
+pair_sim AS (
+  SELECT a.vec_id AS vec_id, max({_cos_sql('a.vec', 'b.vec')}) AS max_sim_lower
+  FROM cells a JOIN cells b USING (centroid_id)
+  WHERE b.vec_id < a.vec_id
+  GROUP BY 1
+)
+SELECT c.vec_id, c.centroid_id, p.max_sim_lower,
+       coalesce(p.max_sim_lower, -1.0) < {threshold!r} AS keep
+FROM cells c LEFT JOIN pair_sim p USING (vec_id)
+"""
+    return sql
+
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: top-5 most-similar
+    corpus vectors with a DIFFERENT label per anchor. Broadcast anchors,
+    map-only corpus scan, bounded per-anchor top-k window."""
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.similarity import (
+        hard_negatives,
+    )
+
+    emb = T(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding", "label"
+    )
+    return hard_negatives(emb, anchors, k=5)
+
+
+_HARD_NEGATIVES_SQL = f"""
+WITH v AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings),
+q AS (SELECT vec_id AS query_id, label AS ql, vec AS qv FROM v WHERE vec_id < 5),
+sims AS (
+  SELECT query_id, v.vec_id, v.label, {_cos_sql('qv', 'v.vec')} AS cosine
+  FROM v CROSS JOIN q WHERE v.label <> q.ql)
+SELECT query_id, vec_id, label, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM sims
+) WHERE rank <= 5
+"""
+
+
+def q_soft_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft dedup: every doc kept, weighted 1/n_copies by exact
+    fingerprint — one count-window over the md5 hash (single shuffle,
+    single pipeline — no groupBy + join back, D-28)."""
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.dedup import (
+        soft_dedup_weights,
+    )
+
+    return soft_dedup_weights(T(spark, sf_dir, "documents"))
+
+
+_SOFT_DEDUP_SQL = f"""
+SELECT doc_id, fp, n_copies, round(1.0 / n_copies, 6) AS weight
+FROM (SELECT doc_id, md5({_NORM_SQL}) AS fp,
+             count(*) OVER (PARTITION BY md5({_NORM_SQL})) AS n_copies
+      FROM documents)
+"""
+
+
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixture (q_i ∝ p_i^0.5, Conneau &
+    Lample-style): per-source keep rates from a tiny broadcast agg, keep
+    decisions via the deterministic hash threshold — map-only over the
+    corpus, oracle-replayable."""
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.curation import (
+        temperature_mix,
+    )
+
+    return temperature_mix(
+        T(spark, sf_dir, "documents"), group_col="lang", alpha=0.5, seed="mix"
+    )
+
+
+_TEMPERATURE_MIX_SQL = f"""
+WITH counts AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+base AS (
+  SELECT lang, n_docs,
+         CAST(n_docs AS DOUBLE) / sum(n_docs) OVER () AS p,
+         pow(CAST(n_docs AS DOUBLE) / sum(n_docs) OVER (), 0.5) AS pa
+  FROM counts),
+qs AS (
+  SELECT lang, n_docs, p, pa / sum(pa) OVER () AS q FROM base),
+rates AS (
+  SELECT lang, n_docs,
+         round(p, 6) AS p_share,
+         round(q, 6) AS q_temp,
+         round((q / p) / max(q / p) OVER (), 6) AS keep_rate
+  FROM qs)
+SELECT d.doc_id, d.lang, r.n_docs, r.p_share, r.q_temp, r.keep_rate,
+       {hash_u32_sql('d.doc_id', 'mix')}
+         < CAST(floor(r.keep_rate * 4294967296.0) AS BIGINT) AS keep
+FROM documents d JOIN rates r USING (lang)
+"""
+
+
+# deterministic noise injected around the (clean, ASCII) driver corpus so
+# the scrub has something to scrub: BOM prefix, per-doc control/zero-width
+# suffixes, U+FFFD on every 5th doc
+def _noisy_text() -> Column:
+    return F.concat(
+        F.lit("﻿  "),
+        F.col("text"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("\x07​zz"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("\t tail\x1f"))
+        .otherwise(F.lit(" ")),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("�")).otherwise(F.lit("")),
+    )
+
+
+_NOISY_SQL = (
+    "chr(65279) || '  ' || text || "
+    "CASE WHEN doc_id % 3 = 0 THEN chr(7) || chr(8203) || 'zz' "
+    "WHEN doc_id % 3 = 1 THEN chr(9) || ' tail' || chr(31) "
+    "ELSE ' ' END || "
+    "CASE WHEN doc_id % 5 = 0 THEN chr(65533) ELSE '' END"
+)
+
+
+def q_unicode_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode scrubbing (llm/text.unicode_scrub): strip control/
+    zero-width/BOM chars, collapse whitespace, flag U+FFFD decode
+    damage. Pure projection, zero shuffle; the regex class is shared
+    verbatim with the RE2 oracle."""
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.text import (
+        mojibake_flags,
+        unicode_scrub,
+    )
+
+    d = T(spark, sf_dir, "documents")
+    noisy = _noisy_text()
+    clean = unicode_scrub(noisy)
+    has_fffd, n_stripped = mojibake_flags(noisy)
+    return d.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        F.length(clean).alias("n_chars_clean"),
+        has_fffd.alias("has_replacement"),
+        n_stripped.alias("n_stripped"),
+    )
+
+
+def _unicode_scrub_sql() -> str:
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.text import (
+        _SCRUB_CLASS,
+    )
+
+    strip = f"regexp_replace(t, '{_SCRUB_CLASS}', '', 'g')"
+    clean = f"trim(regexp_replace({strip}, '\\s+', ' ', 'g'))"
+    return f"""
+WITH noisy AS (SELECT doc_id, {_NOISY_SQL} AS t FROM documents),
+s AS (
+  SELECT doc_id, {clean} AS clean,
+         contains(t, chr(65533)) AS has_replacement,
+         length(t) - length({strip}) AS n_stripped
+  FROM noisy)
+SELECT doc_id, clean AS clean_text, length(clean) AS n_chars_clean,
+       has_replacement, n_stripped
+FROM s
+"""
+
+
+def q_token_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer compression ratios (chars per whitespace token / per
+    BPE-ish subword) — the boilerplate/minified-text detector. Zero
+    shuffle, linear regex passes only."""
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.text import (
+        bpe_ish_token_count,
+        token_compression,
+        token_count,
+    )
+
+    d = T(spark, sf_dir, "documents")
+    ws_ratio, sub_ratio = token_compression(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        token_count("text").alias("n_ws_tokens"),
+        bpe_ish_token_count("text").alias("n_subwords"),
+        ws_ratio.alias("chars_per_token"),
+        sub_ratio.alias("chars_per_subword"),
+    )
+
+
+_TOKEN_COMPRESSION_SQL = r"""
+SELECT doc_id, length(text) AS n_chars,
+       len(regexp_extract_all(text, '\S+')) AS n_ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+         AS n_subwords,
+       round(CAST(length(text) AS DOUBLE)
+             / nullif(len(regexp_extract_all(text, '\S+')), 0), 6)
+         AS chars_per_token,
+       round(CAST(length(text) AS DOUBLE)
+             / nullif(len(regexp_extract_all(
+                 text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')), 0), 6)
+         AS chars_per_subword
+FROM documents
+"""
+
+
+def q_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(event_type, day) least-squares drift: native regr_slope /
+    regr_intercept / regr_r2 — single-pass commutative sufficient
+    statistics, ONE shuffle, no window (the sensor-drift QC layered
+    over the reference's point-wise bounds tests)."""
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.operators.rolling import (
+        trend_slope,
+    )
+
+    return trend_slope(
+        T(spark, sf_dir, "events"),
+        ts_col="ts",
+        key_col="event_type",
+        value_col="value",
+        bucket="DAY",
+    )
+
+
+_TREND_SLOPE_SQL = """
+WITH x AS (
+  SELECT event_type, date_trunc('day', ts) AS bucket,
+         CAST(epoch_us(ts) - epoch_us(date_trunc('day', ts)) AS DOUBLE) / 1e6
+           AS xs,
+         CAST(value AS DOUBLE) AS y
+  FROM events WHERE value IS NOT NULL)
+SELECT event_type, bucket, count(*) AS n,
+       round(regr_slope(y, xs), 6) AS slope,
+       round(regr_intercept(y, xs), 6) AS intercept,
+       round(regr_r2(y, xs), 6) AS r2
+FROM x GROUP BY 1, 2
+"""
+
+
+def q_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long melt via the native Unpivot node (zero shuffle,
+    partition-local fan-out) + per-measure profile. Sums in exact
+    integer cents — a raw double sum's reduction order differs between
+    engines at this magnitude."""
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.operators.layout import (
+        unpivot_measures,
+    )
+
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice", "l_discount", "l_tax"
+    )
+    long = unpivot_measures(
+        li,
+        ids=["l_orderkey"],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        var_col="measure",
+        val_col="val",
+    )
+    return long.groupBy("measure").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("val") * 100).cast("bigint")).cast("bigint").alias(
+            "sum_cents"
+        ),
+        F.min("val").alias("min_val"),
+        F.max("val").alias("max_val"),
+    )
+
+
+_UNPIVOT_SQL = """
+WITH long AS (
+  SELECT 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+  UNION ALL SELECT 'l_tax', l_tax FROM lineitem)
+SELECT measure, count(*) AS n,
+       CAST(sum(CAST(floor(val * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+       min(val) AS min_val, max(val) AS max_val
+FROM long GROUP BY 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate evaluates at most ~50
     # entries per round (r2 and r3 both stopped at exactly 50), so the
@@ -3642,6 +3981,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rotate back in before r8.
     return {
         # -- NEW in r6 (never driver-checked)
+        "semantic_dedup": q_semantic_dedup,
+        "hard_negatives": q_hard_negatives,
+        "soft_dedup_weights": q_soft_dedup,
+        "temperature_mix": q_temperature_mix,
+        "unicode_scrub": q_unicode_scrub,
+        "token_compression": q_token_compression,
+        "trend_slope_qc": q_trend_slope,
+        "unpivot_profile": q_unpivot_measures,
         "bm25_topk": q_bm25_topk,
         "sliding_window_counts": q_sliding_window,
         "exact_quantiles": q_exact_quantiles,
@@ -3740,6 +4087,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     # Same order as queries() — see the cap note there.
     return {
+        "semantic_dedup": _semdedup_sql(),
+        "hard_negatives": _HARD_NEGATIVES_SQL,
+        "soft_dedup_weights": _SOFT_DEDUP_SQL,
+        "temperature_mix": _TEMPERATURE_MIX_SQL,
+        "unicode_scrub": _unicode_scrub_sql(),
+        "token_compression": _TOKEN_COMPRESSION_SQL,
+        "trend_slope_qc": _TREND_SLOPE_SQL,
+        "unpivot_profile": _UNPIVOT_SQL,
         "bm25_topk": _bm25_sql(),
         "sliding_window_counts": _SLIDING_SQL,
         "exact_quantiles": _QUANTILES_SQL,

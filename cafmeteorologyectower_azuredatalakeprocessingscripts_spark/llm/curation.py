@@ -618,3 +618,58 @@ def redact_pii(c: Column | str) -> tuple[Column, dict[str, Column]]:
         counts[tag] = F.size(F.regexp_extract_all(cur, F.lit(pat), 0))
         cur = F.regexp_replace(cur, pat, f"<{tag}>")
     return cur, counts
+
+
+def temperature_mix(
+    df: DataFrame,
+    group_col: str = "source",
+    alpha: float = 0.7,
+    id_col: str = "doc_id",
+    seed: str = "mix",
+) -> DataFrame:
+    """Temperature-scaled corpus mixture (the multilingual-LM sampling
+    rule of Conneau & Lample 2019 / mT5: q_i = p_i^alpha / Σ p_j^alpha):
+    compute per-group shares, flatten them with temperature ``alpha``,
+    and mark each document kept or dropped so the surviving corpus
+    approximates the flattened mixture at unchanged total size.
+
+    Per-group keep rate = min(1, q_i / p_i) scaled so the head group is
+    downsampled and tail groups keep everything (rates are relative to
+    the max q_i/p_i ratio ≤ 1 ensures no group is *up*sampled — resample
+    with replacement is a writer concern, not a filter).
+
+    Scale shape: the group table is one partial-aggregating groupBy of
+    the group column (tiny — mixtures have tens of groups), the rates
+    frame is broadcast back, and the keep decision is the deterministic
+    :func:`hash_u32` threshold — map-only over the corpus, reproducible
+    across cluster sizes, replayable by the oracle via
+    :func:`hash_u32_sql`. One shuffle of group-count partials total.
+    """
+    from pyspark.sql import Window as W
+
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    # group-level frame is tiny (|groups| rows): unpartitioned windows
+    # here are over the AGGREGATE, not the corpus
+    wall = W.partitionBy()
+    p = F.col("n_docs") / F.sum("n_docs").over(wall)
+    q = F.pow(p, F.lit(alpha)) / F.sum(F.pow(p, F.lit(alpha))).over(wall)
+    ratio = q / p
+    rates = counts.select(
+        group_col,
+        "n_docs",
+        F.round(p, 6).alias("p_share"),
+        F.round(q, 6).alias("q_temp"),
+        F.round(ratio / F.max(ratio).over(wall), 6).alias("keep_rate"),
+    )
+    docs = df.select(F.col(id_col), F.col(group_col)).join(
+        F.broadcast(rates), group_col
+    )
+    # floor, not cast: Spark's double→bigint cast truncates but
+    # DuckDB's rounds — floor() agrees everywhere
+    keep = hash_u32(id_col, seed) < F.floor(
+        F.col("keep_rate") * F.lit(float(HASH_SPACE))
+    ).cast("bigint")
+    return docs.select(
+        id_col, group_col, "n_docs", "p_share", "q_temp", "keep_rate",
+        keep.alias("keep"),
+    )

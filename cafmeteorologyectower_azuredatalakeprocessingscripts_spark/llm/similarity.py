@@ -436,3 +436,120 @@ def embed_neardup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def semdedup(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    threshold: float = 0.95,
+    train_iters: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by clustering embeddings and dropping near-identical
+    vectors WITHIN each cluster.
+
+    Deterministic keep rule (the published method keeps one arbitrary
+    representative per semantic-duplicate group; here the lowest id in
+    the cluster wins so any engine replays it): vector *i* is dropped
+    iff some *j* in the same cluster has cosine(i, j) >= threshold and
+    j.id < i.id. Output: one row per vector with its cluster, its max
+    same-cluster similarity to a lower id, and the keep flag.
+
+    Scale shape: the coarse quantizer is the broadcast k-means of
+    :func:`kmeans_centroids` (map-only assignment); the pair stage is a
+    self-equi-join keyed by ``centroid_id`` — pair cost is bounded by
+    the largest cluster (Σ cluster², never n²), and cluster count grows
+    with the corpus, so per-cluster work stays flat at 100 TB. No
+    global shuffle of the corpus beyond the one hash by cluster id.
+    """
+    cents = kmeans_centroids(
+        corpus,
+        n_centroids=n_centroids,
+        iters=train_iters,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    cells = ivf_assign(
+        corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("__cv")),
+        cents,
+        n_probe=1,
+        id_col=id_col,
+        vec_col="__cv",
+    )
+    a = cells.select(
+        F.col(id_col).alias("__ida"), F.col("__cv").alias("__va"), "centroid_id"
+    )
+    b = cells.select(
+        F.col(id_col).alias("__idb"), F.col("__cv").alias("__vb"), "centroid_id"
+    )
+    # lower-id side only: each kept/dropped decision needs similarity to
+    # LOWER ids exclusively, so the join emits each unordered pair once
+    pair_sim = (
+        a.join(b, "centroid_id")
+        .filter(F.col("__idb") < F.col("__ida"))
+        .withColumn(
+            "__cos", F.round(cosine(F.col("__va"), F.col("__vb")), 6)
+        )
+        .groupBy(F.col("__ida").alias(id_col))
+        .agg(F.max("__cos").alias("max_sim_lower"))
+    )
+    return (
+        cells.select(id_col, "centroid_id")
+        .join(pair_sim, id_col, "left")
+        .select(
+            id_col,
+            "centroid_id",
+            "max_sim_lower",
+            (
+                F.coalesce(F.col("max_sim_lower"), F.lit(-1.0))
+                < F.lit(threshold)
+            ).alias("keep"),
+        )
+    )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query,
+    the top-k most-similar corpus vectors whose ``label`` DIFFERS from
+    the query's — the classic retrieval-training negative sampler.
+
+    The query set (anchors) is broadcast; the corpus streams map-only
+    through the scored filter and the per-query top-k is a bounded
+    window — same 100 TB shape as :func:`cosine_topk`. For corpus-sized
+    anchor sets use the SRP-blocked path (:func:`lsh_ann_topk` with a
+    label filter) instead of broadcasting.
+    """
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("__qv"),
+        F.col(label_col).alias("__ql"),
+    )
+    c = corpus.repartition(F.col(id_col)).select(
+        F.col(id_col), F.col(vec_col).alias("__cv"), F.col(label_col)
+    )
+    sim = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col(label_col) != F.col("__ql"))
+        .withColumn(
+            "cosine",
+            F.round(cosine(_as_double(F.col("__qv")), _as_double(F.col("__cv"))), 6),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, label_col, "cosine", "rank")
+    )

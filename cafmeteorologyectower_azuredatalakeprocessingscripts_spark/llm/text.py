@@ -235,3 +235,52 @@ def oov_rate(
             6,
         ).alias("oov_rate"),
     )
+
+
+# control chars (C0/C1, EXCLUDING \t\n\r which are whitespace and
+# belong to the collapse step, not deletion) + zero-width
+# space/joiners + BOM — the classes web-crawl text pipelines strip
+# before tokenization. Explicit \xNN ranges instead of \p{Cc}&&[^..]
+# because RE2 (the DuckDB oracle's engine) has no class intersection;
+# \x escapes and literal codepoints parse identically in Java regex
+# and RE2. Post-strip whitespace is [\t\n\f\r ] — the set where Java's
+# and RE2's \s agree (they differ only on \x0B, stripped here).
+_SCRUB_CLASS = (
+    "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f-\\x9f​‌‍﻿]"
+)
+
+
+def unicode_scrub(c: Column | str) -> Column:
+    """Cleaned text: control/zero-width chars stripped, whitespace runs
+    collapsed to single spaces, trimmed. Pure projection — zero shuffle,
+    whole-stage codegen."""
+    stripped = F.regexp_replace(_c(c), _SCRUB_CLASS, "")
+    return F.trim(F.regexp_replace(stripped, r"\s+", " "))
+
+
+def mojibake_flags(c: Column | str) -> tuple[Column, Column]:
+    """(has_replacement_char, n_stripped): U+FFFD presence marks a
+    decode error upstream; n_stripped counts removed scrub-class chars
+    (length delta — no second regex pass)."""
+    c = _c(c)
+    has_fffd = c.contains("�")
+    n_stripped = F.length(c) - F.length(
+        F.regexp_replace(c, _SCRUB_CLASS, "")
+    )
+    return has_fffd, n_stripped
+
+
+def token_compression(c: Column | str) -> tuple[Column, Column]:
+    """(chars_per_ws_token, chars_per_subword): the tokenizer
+    compression ratios used to flag boilerplate/code/minified text —
+    natural prose sits near ~5-6 chars per whitespace token; minified
+    or repeated-symbol content falls far outside. Round-6 doubles,
+    NULL on empty text (no tokens)."""
+    c = _c(c)
+    n_chars = F.length(c).cast("double")
+    ws = token_count(c).cast("double")
+    sub = bpe_ish_token_count(c).cast("double")
+    return (
+        F.round(n_chars / F.nullif(ws, F.lit(0.0)), 6),
+        F.round(n_chars / F.nullif(sub, F.lit(0.0)), 6),
+    )

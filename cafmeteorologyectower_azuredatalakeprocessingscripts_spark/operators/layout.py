@@ -57,3 +57,24 @@ def zorder_key2_sql(x_sql: str, y_sql: str, bits: int = 16) -> str:
             f"((({y_sql}) & {mask}) >> {i} & 1) * {1 << (2 * i + 1)}"
         )
     return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def unpivot_measures(
+    df,
+    ids: list[str],
+    values: list[str],
+    var_col: str = "measure",
+    val_col: str = "val",
+):
+    """Wide→long melt via the native ``DataFrame.unpivot`` (Spark 3.4+
+    Unpivot logical node — zero shuffle, each input row fans out to
+    ``len(values)`` output rows inside the same partition, and column
+    pruning still reaches the scan for the id+value set only).
+
+    The met-tower use: one row per (timestamp, sensor) from the
+    reference's wide TOA5 column layout, so per-sensor QC and storage
+    become key-partitioned instead of column-addressed (the reference
+    loops over pandas columns — src/AzureDataLakeAccess.py's per-column
+    QC sweeps — which a long layout turns into one groupBy).
+    """
+    return df.unpivot(ids, values, var_col, val_col)

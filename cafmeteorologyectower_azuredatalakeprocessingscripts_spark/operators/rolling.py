@@ -73,3 +73,45 @@ def rolling_extrema_flags(
         prev_max.alias("prev_max"),
         F.coalesce(spike, F.lit(False)).alias("spike"),
     )
+
+
+def trend_slope(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+    bucket: str = "DAY",
+) -> DataFrame:
+    """Per-(key, bucket) least-squares trend of value over time — the
+    drift/trend QC a met pipeline layers over spike tests (is this
+    sensor ramping within the day?). x = seconds into the bucket, so
+    slopes are in value-units per second and buckets are comparable.
+
+    ``regr_slope``/``regr_intercept``/``regr_r2`` are single-pass
+    commutative aggregates (sum/sum-of-product sufficient statistics) —
+    partial aggregation map-side, ONE shuffle keyed by (key, bucket),
+    no window, no self-join. Slopes round to 6 so the oracle's
+    float reduction order cannot flip the comparison.
+
+    NULL slope (constant x or < 2 points) rows are kept — a flat-lined
+    clock is itself a finding.
+    """
+    b = F.date_trunc(bucket, F.col(ts_col))
+    # exact integer microseconds, then ONE double division — the same
+    # two ops in any engine give the same double (unix_timestamp would
+    # truncate sub-second parts the oracle keeps)
+    x = (
+        (F.unix_micros(F.col(ts_col)) - F.unix_micros(b)).cast("double")
+        / F.lit(1e6)
+    )
+    y = F.col(value_col).cast("double")
+    return (
+        df.filter(y.isNotNull())
+        .groupBy(F.col(key_col), b.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.regr_slope(y, x), 6).alias("slope"),
+            F.round(F.regr_intercept(y, x), 6).alias("intercept"),
+            F.round(F.regr_r2(y, x), 6).alias("r2"),
+        )
+    )

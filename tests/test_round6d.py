@@ -1,0 +1,240 @@
+"""Unit tests for the round-6 fourth wave: SemDeDup, hard-negative
+mining, soft-dedup weighting, temperature mixture sampling, unicode
+scrubbing, tokenizer compression ratios, regression-trend QC, and the
+native unpivot melt."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.curation import (
+    temperature_mix,
+)
+from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.dedup import (
+    soft_dedup_weights,
+)
+from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.similarity import (
+    hard_negatives,
+    semdedup,
+)
+from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.text import (
+    mojibake_flags,
+    token_compression,
+    unicode_scrub,
+)
+from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.operators.layout import (
+    unpivot_measures,
+)
+from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.operators.rolling import (
+    trend_slope,
+)
+
+
+# ------------------------------------------------------------- semdedup
+
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(
+        [Row(vec_id=i, embedding=v, label=l) for i, (v, l) in enumerate(rows)]
+    )
+
+
+def test_semdedup_drops_higher_id_near_duplicate(spark):
+    # 0 and 2 are identical directions; 1 is orthogonal
+    df = _vecs(
+        spark,
+        [
+            ([1.0, 0.0], 0),
+            ([0.0, 1.0], 1),
+            ([2.0, 0.0], 0),
+        ],
+    )
+    out = {
+        r["vec_id"]: r
+        for r in semdedup(df, n_centroids=1, threshold=0.95).collect()
+    }
+    assert out[0]["keep"] is True  # lowest id always survives
+    assert out[1]["keep"] is True  # orthogonal: max sim 0 < threshold
+    assert out[2]["keep"] is False  # duplicate of 0 → dropped
+    assert out[2]["max_sim_lower"] == pytest.approx(1.0)
+
+
+def test_semdedup_cross_cluster_duplicates_not_compared(spark):
+    # identical vectors but the quantizer (2 centroids seeded from ids
+    # 0/1) puts them in different cells → SemDeDup by design keeps both
+    df = _vecs(
+        spark,
+        [
+            ([1.0, 0.0], 0),
+            ([-1.0, 0.05], 1),
+            ([-1.0, 0.05], 1),
+        ],
+    )
+    out = semdedup(df, n_centroids=2, threshold=0.9)
+    assert out.filter(~F.col("keep")).count() == 1  # only the same-cell dup
+
+
+# ------------------------------------------------------- hard negatives
+
+
+def test_hard_negatives_excludes_same_label(spark):
+    corpus = _vecs(
+        spark,
+        [
+            ([1.0, 0.0], 0),  # anchor
+            ([1.0, 0.01], 0),  # near-identical but SAME label → excluded
+            ([0.9, 0.1], 1),  # the hard negative
+            ([-1.0, 0.0], 1),  # an easy negative
+        ],
+    )
+    anchors = corpus.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding", "label"
+    )
+    out = hard_negatives(corpus, anchors, k=2).collect()
+    assert [r["vec_id"] for r in out] == [2, 3]
+    assert all(r["label"] == 1 for r in out)
+    assert out[0]["rank"] == 1 and out[0]["cosine"] > out[1]["cosine"]
+
+
+# ------------------------------------------------------------ soft dedup
+
+
+def test_soft_dedup_weights_inverse_count(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="aaa"),
+            Row(doc_id=2, text="aaa"),
+            Row(doc_id=3, text="  AAA  "),  # same after normalization
+            Row(doc_id=4, text="unique"),
+        ]
+    )
+    out = {r["doc_id"]: r for r in soft_dedup_weights(df).collect()}
+    assert out[1]["n_copies"] == 3 and out[1]["weight"] == pytest.approx(1 / 3, abs=1e-6)
+    assert out[4]["n_copies"] == 1 and out[4]["weight"] == 1.0
+    # effective corpus size = Σ weights = number of distinct contents
+    total = sum(r["weight"] for r in out.values())
+    assert total == pytest.approx(2.0, abs=1e-5)
+
+
+# ------------------------------------------------------ temperature mix
+
+
+def test_temperature_mix_flattens_head(spark):
+    rows = [Row(doc_id=i, source="head" if i < 80 else "tail") for i in range(100)]
+    out = temperature_mix(
+        spark.createDataFrame(rows), group_col="source", alpha=0.5
+    )
+    rates = {
+        r["source"]: r["keep_rate"]
+        for r in out.select("source", "keep_rate").distinct().collect()
+    }
+    # tail keeps everything, head is downsampled toward sqrt share
+    assert rates["tail"] == 1.0
+    assert rates["head"] == pytest.approx((0.8**0.5 / 0.2**0.5) * 0.2 / 0.8, abs=1e-6)
+    # alpha=1 is the identity mixture: nobody downsampled
+    out1 = temperature_mix(
+        spark.createDataFrame(rows), group_col="source", alpha=1.0
+    )
+    assert out1.filter(F.col("keep_rate") != 1.0).count() == 0
+
+
+def test_temperature_mix_keep_is_deterministic(spark):
+    rows = [Row(doc_id=i, source="a" if i % 3 else "b") for i in range(60)]
+    df = spark.createDataFrame(rows)
+    a = sorted(r["doc_id"] for r in temperature_mix(df, "source").filter("keep").collect())
+    b = sorted(r["doc_id"] for r in temperature_mix(df, "source").filter("keep").collect())
+    assert a == b
+
+
+# --------------------------------------------------------- unicode scrub
+
+
+def test_unicode_scrub_strips_and_collapses(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=1, t="﻿a\x07b​  c\t\nd \x1f")]
+    )
+    row = df.select(
+        unicode_scrub("t").alias("clean"),
+        *[
+            c.alias(n)
+            for c, n in zip(mojibake_flags("t"), ["fffd", "n_stripped"])
+        ],
+    ).first()
+    assert row["clean"] == "ab c d"
+    assert row["n_stripped"] == 4  # BOM, BEL, ZWSP, US
+    assert row["fffd"] is False
+    assert (
+        spark.createDataFrame([Row(t="bad � decode")])
+        .select(mojibake_flags("t")[0].alias("f"))
+        .first()["f"]
+        is True
+    )
+
+
+def test_unicode_scrub_preserves_clean_text(spark):
+    df = spark.createDataFrame([Row(t="already clean text")])
+    assert df.select(unicode_scrub("t").alias("c")).first()["c"] == "already clean text"
+
+
+# ----------------------------------------------------- token compression
+
+
+def test_token_compression_ratios(spark):
+    df = spark.createDataFrame([Row(t="hello world"), Row(t=""), Row(t="a,b")])
+    out = df.select(
+        *[
+            c.alias(n)
+            for c, n in zip(
+                token_compression("t"), ["per_ws", "per_sub"]
+            )
+        ]
+    ).collect()
+    assert out[0]["per_ws"] == pytest.approx(11 / 2)
+    assert out[0]["per_sub"] == pytest.approx(11 / 2)
+    assert out[1]["per_ws"] is None  # empty text → NULL, not div-by-zero
+    assert out[2]["per_sub"] == pytest.approx(3 / 3)  # a , b = 3 subwords
+
+
+# ------------------------------------------------------------ trend slope
+
+
+def test_trend_slope_exact_line(spark):
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        Row(ts=base + datetime.timedelta(seconds=s), user_id=1, value=float(2 * s + 5))
+        for s in range(0, 3600, 60)
+    ]
+    out = trend_slope(spark.createDataFrame(rows), key_col="user_id").collect()
+    assert len(out) == 1
+    assert out[0]["slope"] == pytest.approx(2.0, abs=1e-6)
+    assert out[0]["intercept"] == pytest.approx(5.0, abs=1e-6)
+    assert out[0]["r2"] == pytest.approx(1.0, abs=1e-6)
+    assert out[0]["n"] == 60
+
+
+def test_trend_slope_constant_x_is_null_row(spark):
+    base = datetime.datetime(2024, 1, 1, 12)
+    rows = [Row(ts=base, user_id=1, value=v) for v in (1.0, 2.0)]
+    out = trend_slope(spark.createDataFrame(rows), key_col="user_id").collect()
+    assert len(out) == 1 and out[0]["slope"] is None  # flat clock kept, not dropped
+
+
+# ---------------------------------------------------------------- unpivot
+
+
+def test_unpivot_measures_long_shape(spark):
+    df = spark.createDataFrame([Row(k=1, a=10.0, b=20.0), Row(k=2, a=30.0, b=40.0)])
+    long = unpivot_measures(df, ids=["k"], values=["a", "b"])
+    assert long.columns == ["k", "measure", "val"]
+    assert long.count() == 4
+    got = {
+        (r["k"], r["measure"]): r["val"] for r in long.collect()
+    }
+    assert got[(1, "a")] == 10.0 and got[(2, "b")] == 40.0
+    # no shuffle: the plan is scan → expand/project only
+    plan = long._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
