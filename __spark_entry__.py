@@ -3973,12 +3973,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate evaluates at most ~50
     # entries per round (r2 and r3 both stopped at exactly 50), so the
     # rotation policy is: no query goes more than 2 rounds without a
-    # driver row. r6 rotation (69 entries): the four new r6 queries
-    # and the 15 entries past the cap in r5 (last driver row r4) run
-    # FIRST; the NTZ trio and the reference-parity core stay in the
-    # checked set; the tail past position 50 (marker comment below) is
-    # 19 stable entries, every one driver-green in r5 — they must
-    # rotate back in before r8.
+    # driver row. r6 rotation (91 entries): the 26 new r6 queries
+    # (never driver-checked) and the 15 entries past the cap in r5
+    # (last driver row r4) run FIRST — that fills positions 1-41; the
+    # next 9 slots keep part of the reference-parity core in the
+    # checked set. Every entry past position 50 is driver-green in r5
+    # — they must rotate back in before r8 (r7 priority: the r6-new
+    # entries the r6 cap misses, then the r5-green tail).
     return {
         # -- NEW in r6 (never driver-checked)
         "semantic_dedup": q_semantic_dedup,

@@ -44,6 +44,14 @@ EXTRA_QUERIES = [
     "html_strip",
     "json_props_extract",
     "intersect_active_users",
+    "semantic_dedup",
+    "hard_negatives",
+    "soft_dedup_weights",
+    "temperature_mix",
+    "unicode_scrub",
+    "token_compression",
+    "trend_slope_qc",
+    "unpivot_profile",
 ]
 
 HEADLINE = [

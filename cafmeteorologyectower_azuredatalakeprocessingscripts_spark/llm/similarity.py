@@ -477,7 +477,11 @@ def semdedup(
         n_probe=1,
         id_col=id_col,
         vec_col="__cv",
-    )
+    ).persist()
+    # persist: ``cells`` feeds BOTH pair sides and the final left join —
+    # un-persisted, Spark re-runs the quantizer-train + assign subtree
+    # once per use (no common-subexpression reuse across exchanges,
+    # D-28); one materialization is corpus-sized, the recompute is 3x
     a = cells.select(
         F.col(id_col).alias("__ida"), F.col("__cv").alias("__va"), "centroid_id"
     )

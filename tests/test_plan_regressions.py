@@ -172,3 +172,58 @@ def test_json_props_single_agg_exchange(spark):
     plan = _plan(spark, "json_props_extract")
     assert "Python" not in plan
     assert plan.count("Exchange") <= 2
+
+
+# round-6 fourth wave
+
+
+def test_unicode_scrub_and_token_compression_map_only(spark):
+    for name in ("unicode_scrub", "token_compression"):
+        plan = _plan(spark, name)
+        assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_soft_dedup_single_window_exchange(spark):
+    plan = _plan(spark, "soft_dedup_weights")
+    # one hash shuffle by fingerprint feeding one WindowExec — no
+    # groupBy+join-back double scan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+    assert "Window" in plan
+
+
+def test_temperature_mix_broadcasts_rates(spark):
+    plan = _plan(spark, "temperature_mix")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_trend_slope_single_agg_exchange_no_window(spark):
+    plan = _plan(spark, "trend_slope_qc")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" not in plan and "Join" not in plan
+
+
+def test_unpivot_expands_before_single_agg_exchange(spark):
+    plan = _plan(spark, "unpivot_profile")
+    assert "Expand" in plan  # the native melt node, not a union of scans
+    assert plan.count("Exchange") <= 2  # agg shuffle (+ AQE read)
+
+
+def test_hard_negatives_broadcasts_anchor_side(spark):
+    plan = _plan(spark, "hard_negatives")
+    # the cross join IS the design (anchors broadcast, corpus streams):
+    # assert the broadcast is on the nested-loop build side and the
+    # corpus is never shuffled for the join itself
+    assert "BroadcastNestedLoopJoin BuildRight" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_semantic_dedup_pairs_keyed_by_cluster(spark):
+    plan = _plan(spark, "semantic_dedup")
+    # pair stage must be an equi-join on centroid_id, not a cross join
+    # (the only nested-loop joins allowed are the broadcast-centroid
+    # assignment cross joins, which build on the tiny centroid side)
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    assert "CartesianProduct" not in plan
