@@ -2016,6 +2016,74 @@ def q_stream_keep_richest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream event-time interval join (attribution shape): the
+    purchase stream inner-joined to the click stream of the same user
+    within the preceding 30 minutes, both sides watermarked so join
+    state is bounded. Inner matches emit regardless of watermark, so
+    one availableNow batch reproduces the batch join the oracle runs.
+    Gap in exact integer microseconds — no float in the hash."""
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.streaming import (
+        stream_interval_join,
+    )
+
+    schema = _read_parquet(spark, os.path.join(sf_dir, "events.parquet")).schema
+    tmp = tempfile.mkdtemp(prefix="caf_stream_ij_")
+    src = os.path.join(tmp, "src")
+    os.makedirs(src)
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(src, "events.parquet"),
+    )
+    norm = _ts_normalizer(schema)
+
+    def read_side(event_type: str) -> DataFrame:
+        st = spark.readStream.schema(schema).parquet(src + "/*")
+        if norm is not None:
+            st = norm(st)
+        return st.filter(F.col("event_type") == event_type).select(
+            "event_id", "user_id", "ts"
+        )
+
+    joined = stream_interval_join(
+        read_side("purchase"),
+        read_side("click"),
+        key="user_id",
+        lookback="30 minutes",
+    ).select(
+        F.col("l_event_id").alias("purchase_id"),
+        F.col("r_event_id").alias("click_id"),
+        F.col("l_user_id").alias("user_id"),
+        (F.unix_micros(F.col("l_ts")) - F.unix_micros(F.col("r_ts"))).alias(
+            "gap_us"
+        ),
+    )
+    sink = os.path.join(tmp, "out")
+
+    def dump(df: DataFrame, bid: int) -> None:
+        df.write.mode("append").parquet(sink)
+
+    (
+        joined.writeStream.outputMode("append")
+        .foreachBatch(dump)
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.read.parquet(sink)
+
+
+_STREAM_INTERVAL_JOIN_SQL = """
+SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
+       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+FROM events p JOIN events c
+  ON p.user_id = c.user_id
+ AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 30 MINUTE
+WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+"""
+
+
 def q_stream_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming tumbling-window aggregation with a
     watermark (T4 streaming form): 15-min windows over the event stream,
@@ -4021,6 +4089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh,
         "ann_ivf_topk": q_ann_ivf,
         "ann_ivf_kmeans_topk": q_ann_ivf_kmeans,
+        "stream_interval_join": q_stream_interval_join,
         "stream_incremental_dedup": q_stream_dedup,
         "stream_windowed_agg": q_stream_windowed_agg,
         "stream_keep_richest_state": q_stream_keep_richest,
@@ -4096,6 +4165,7 @@ def oracle_sql() -> dict[str, str]:
         "token_compression": _TOKEN_COMPRESSION_SQL,
         "trend_slope_qc": _TREND_SLOPE_SQL,
         "unpivot_profile": _UNPIVOT_SQL,
+        "stream_interval_join": _STREAM_INTERVAL_JOIN_SQL,
         "bm25_topk": _bm25_sql(),
         "sliding_window_counts": _SLIDING_SQL,
         "exact_quantiles": _QUANTILES_SQL,

@@ -189,3 +189,54 @@ def test_stream_keep_richest_drops_beyond_watermark_event(spark, tmp_path):
     assert t1_updates["RH"].isna().all()
     # contrast row passes through
     assert 3 in set(all_updates["RECORD"])
+
+
+# ------------------------------------------------- stream-stream joins
+
+
+def test_stream_interval_join_matches_across_batches(spark, tmp_path):
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.streaming import (
+        stream_interval_join,
+    )
+
+    schema = "event_id bigint, user_id bigint, ts timestamp, event_type string"
+    base = datetime.datetime(2024, 3, 1, 12, 0)
+
+    def m(minutes):
+        return base + datetime.timedelta(minutes=minutes)
+
+    lsrc, rsrc = str(tmp_path / "l"), str(tmp_path / "r")
+    os.makedirs(lsrc), os.makedirs(rsrc)
+    # batch files: clicks land in file 0, purchases in file 1 — the join
+    # must match across micro-batches through buffered state
+    spark.createDataFrame(
+        [
+            (10, 1, m(0), "click"),     # 25 min before purchase → match
+            (11, 1, m(-60), "click"),   # 85 min before → outside lookback
+            (12, 2, m(20), "click"),    # other user
+        ],
+        schema,
+    ).coalesce(1).write.parquet(os.path.join(rsrc, "f0.parquet"))
+    spark.createDataFrame(
+        [(20, 1, m(25), "purchase"), (21, 3, m(25), "purchase")], schema
+    ).coalesce(1).write.parquet(os.path.join(lsrc, "f1.parquet"))
+
+    left = spark.readStream.schema(schema).parquet(lsrc + "/*")
+    right = spark.readStream.schema(schema).parquet(rsrc + "/*")
+    out = stream_interval_join(
+        left, right, key="user_id", lookback="30 minutes"
+    ).select("l_event_id", "r_event_id", "l_user_id")
+
+    rows = []
+    q = (
+        out.writeStream.outputMode("append")
+        .foreachBatch(lambda df, bid: rows.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    assert [(r["l_event_id"], r["r_event_id"], r["l_user_id"]) for r in rows] == [
+        (20, 10, 1)
+    ]
