@@ -4037,6 +4037,164 @@ FROM long GROUP BY 1
 """
 
 
+# ------------------------------------------------------------- r6 batch 5
+
+
+def q_cusum_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM level-shift QC per user series (operators/rolling.
+    cusum_flags): cumulative deviation from the series mean, compared
+    multiplied-through as exact integers (micro-units, no division) so
+    the flag is bit-stable across engines and partitionings. One
+    shuffle, one WindowExec."""
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.operators.rolling import (
+        cusum_flags,
+    )
+
+    return cusum_flags(
+        T(spark, sf_dir, "events"),
+        ts_col="ts",
+        key_col="user_id",
+        value_col="value",
+        order_tiebreak="event_id",
+        h=250.0,
+    )
+
+
+_CUSUM_SQL = """
+WITH x AS (
+  SELECT user_id, ts, value, event_id,
+         CAST(floor(CAST(value AS DOUBLE) * 1e6) AS BIGINT) AS xm
+  FROM events WHERE value IS NOT NULL),
+w AS (
+  SELECT user_id, ts, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS i,
+         CAST(sum(xm) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_micro,
+         sum(xm) OVER (PARTITION BY user_id) AS total,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM x)
+SELECT user_id, ts, value, i, cum_micro,
+       abs(CAST(n AS HUGEINT) * cum_micro - CAST(i AS HUGEINT) * total)
+         > CAST(250000000 AS HUGEINT) * n AS shift_flag
+FROM w
+"""
+
+
+def q_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k-per-group deterministic sample (llm/curation.
+    sample_fixed_k): hash-ranked uniform without-replacement pick of 30
+    docs per language — compiles to WindowGroupLimit (partial top-k
+    before the shuffle)."""
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.curation import (
+        sample_fixed_k,
+    )
+
+    d = T(spark, sf_dir, "documents")
+    return sample_fixed_k(d, key="doc_id", group_col="lang", k=30).select(
+        "doc_id", "lang", "source"
+    )
+
+
+_SAMPLE_PER_GROUP_SQL = f"""
+SELECT doc_id, lang, source FROM (
+  SELECT doc_id, lang, source,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY {hash_u32_sql('doc_id', 's0')} ASC,
+                                     doc_id ASC) AS rk
+  FROM documents) WHERE rk <= 30
+"""
+
+
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type winsorization at the exact rank-selected
+    [p05, p95] (llm/curation.winsorize_by_group): discrete cut points
+    (engine-independent where interpolating percentiles are not), both
+    cuts and the rank riding one exchange + sort."""
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.curation import (
+        winsorize_by_group,
+    )
+
+    out = winsorize_by_group(
+        T(spark, sf_dir, "events"), group_col="event_type", value_col="value"
+    )
+    return out.select(
+        "event_type", "event_id", "value", "lo_cut", "hi_cut", "winsorized"
+    )
+
+
+_WINSORIZE_SQL = """
+WITH ranked AS (
+  SELECT event_type, event_id, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value ASC) AS rk,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events WHERE value IS NOT NULL),
+cuts AS (
+  SELECT event_type, event_id, value,
+         max(CASE WHEN rk <= greatest(CAST(ceil(n * 0.05) AS BIGINT), 1)
+                  THEN value END)
+           OVER (PARTITION BY event_type) AS lo_cut,
+         max(CASE WHEN rk <= greatest(CAST(ceil(n * 0.95) AS BIGINT), 1)
+                  THEN value END)
+           OVER (PARTITION BY event_type) AS hi_cut
+  FROM ranked)
+SELECT event_type, event_id, value, lo_cut, hi_cut,
+       least(greatest(value, lo_cut), hi_cut) AS winsorized
+FROM cuts
+"""
+
+
+def q_climatology_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day climatology anomaly (the inter-period met QC: is this
+    hour unusual FOR this hour-of-day?): hourly means joined against the
+    all-days hour-of-day mean — except there is no join: the climatology
+    rides as unbounded windows partitioned by (type, hour-of-day) OVER
+    the hourly aggregate (tiny — one row per type·hour), D-28. Sums stay
+    exact decimals until one final double division per row."""
+    e = T(spark, sf_dir, "events")
+    hourly = (
+        e.filter(F.col("value").isNotNull())
+        .groupBy(
+            "event_type", F.date_trunc("HOUR", F.col("ts")).alias("hour_ts")
+        )
+        .agg(
+            F.sum(F.col("value").cast("decimal(38,6)")).alias("__s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    w = Window.partitionBy("event_type", F.hour("hour_ts"))
+    clim_mean = F.round(
+        F.sum("__s").over(w).cast("double") / F.sum("n").over(w), 6
+    )
+    hour_mean = F.round(F.col("__s").cast("double") / F.col("n"), 6)
+    return hourly.select(
+        "event_type",
+        "hour_ts",
+        "n",
+        hour_mean.alias("mean_val"),
+        clim_mean.alias("clim"),
+        F.round(hour_mean - clim_mean, 6).alias("anomaly"),
+    )
+
+
+_CLIMATOLOGY_SQL = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+         sum(CAST(value AS DECIMAL(38,6))) AS s, count(*) AS n
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+wv AS (
+  SELECT event_type, hour_ts, n,
+         round(CAST(s AS DOUBLE) / n, 6) AS mean_val,
+         round(CAST(sum(s) OVER (PARTITION BY event_type, hour(hour_ts))
+                    AS DOUBLE)
+               / sum(n) OVER (PARTITION BY event_type, hour(hour_ts)), 6)
+           AS clim
+  FROM hourly)
+SELECT event_type, hour_ts, n, mean_val, clim,
+       round(mean_val - clim, 6) AS anomaly
+FROM wv
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate evaluates at most ~50
     # entries per round (r2 and r3 both stopped at exactly 50), so the
@@ -4050,6 +4208,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # entries the r6 cap misses, then the r5-green tail).
     return {
         # -- NEW in r6 (never driver-checked)
+        "cusum_level_shift": q_cusum_qc,
+        "sample_per_group": q_sample_per_group,
+        "winsorize_values": q_winsorize,
+        "climatology_anomaly": q_climatology_anomaly,
         "semantic_dedup": q_semantic_dedup,
         "hard_negatives": q_hard_negatives,
         "soft_dedup_weights": q_soft_dedup,
@@ -4157,6 +4319,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     # Same order as queries() — see the cap note there.
     return {
+        "cusum_level_shift": _CUSUM_SQL,
+        "sample_per_group": _SAMPLE_PER_GROUP_SQL,
+        "winsorize_values": _WINSORIZE_SQL,
+        "climatology_anomaly": _CLIMATOLOGY_SQL,
         "semantic_dedup": _semdedup_sql(),
         "hard_negatives": _HARD_NEGATIVES_SQL,
         "soft_dedup_weights": _SOFT_DEDUP_SQL,

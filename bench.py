@@ -52,6 +52,10 @@ EXTRA_QUERIES = [
     "token_compression",
     "trend_slope_qc",
     "unpivot_profile",
+    "cusum_level_shift",
+    "sample_per_group",
+    "winsorize_values",
+    "climatology_anomaly",
 ]
 
 HEADLINE = [

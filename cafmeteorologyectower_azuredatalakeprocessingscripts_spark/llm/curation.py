@@ -673,3 +673,83 @@ def temperature_mix(
         id_col, group_col, "n_docs", "p_share", "q_temp", "keep_rate",
         keep.alias("keep"),
     )
+
+
+def sample_fixed_k(
+    df: DataFrame,
+    key: str,
+    group_col: str,
+    k: int,
+    seed: str = "s0",
+) -> DataFrame:
+    """Exactly-k-per-group deterministic sample (distributed reservoir
+    replacement): rank rows within each group by their md5 hash and keep
+    the first ``k``. Unlike :func:`sample_stratified`'s fractions, the
+    output size per group is fixed — the eval-set / per-domain-cap
+    shape.
+
+    The hash order is a uniform random permutation independent of
+    physical layout, so this IS a uniform without-replacement sample,
+    yet reproducible across engines, runs, and cluster sizes. The plan
+    compiles to WindowGroupLimit: each map task keeps only its local
+    top-k per group BEFORE the shuffle, so the exchange carries
+    O(groups × k) rows per task, not the corpus.
+    """
+    if k < 1:
+        raise ValueError(f"need k >= 1, got {k}")
+    h = hash_u32(key, seed)
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(key).asc())
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+
+
+def winsorize_by_group(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    lo_rank_frac: float = 0.05,
+    hi_rank_frac: float = 0.95,
+) -> DataFrame:
+    """Per-group winsorization: clamp values outside the group's exact
+    rank-selected [lo, hi] quantiles (discrete quantiles — the value AT
+    rank ceil(frac·n), deterministic where interpolating percentiles
+    are engine-dependent). The outlier-taming step quality-score
+    pipelines apply before averaging.
+
+    Both cut points ride as unbounded windows over the SAME group
+    partitioning that the rank needs — one shuffle, one sort, no
+    agg+join-back (D-28). Output keeps the original value, the cuts,
+    and the clamped value.
+    """
+    if not (0.0 <= lo_rank_frac < hi_rank_frac <= 1.0):
+        raise ValueError(f"need 0 <= lo < hi <= 1, got {lo_rank_frac}/{hi_rank_frac}")
+    w_ord = Window.partitionBy(group_col).orderBy(F.col(value_col).asc())
+    w_all = Window.partitionBy(group_col)
+    v = F.col(value_col)
+    # two projection steps because a window expression cannot nest
+    # inside another window's aggregate — but both WindowExecs share the
+    # same (partitioning, sort), so Catalyst plans ONE exchange + sort
+    ranked = df.filter(v.isNotNull()).select(
+        "*",
+        F.row_number().over(w_ord).alias("__rk"),
+        F.count(F.lit(1)).over(w_all).alias("__n"),
+    )
+    lo_rk = F.greatest(F.ceil(F.col("__n") * F.lit(lo_rank_frac)), F.lit(1))
+    hi_rk = F.greatest(F.ceil(F.col("__n") * F.lit(hi_rank_frac)), F.lit(1))
+    lo = F.max(F.when(F.col("__rk") <= lo_rk, v)).over(w_all)
+    hi = F.max(F.when(F.col("__rk") <= hi_rk, v)).over(w_all)
+    return (
+        ranked.select(
+            "*",
+            lo.alias("lo_cut"),
+            hi.alias("hi_cut"),
+        )
+        .withColumn(
+            "winsorized",
+            F.least(F.greatest(v, F.col("lo_cut")), F.col("hi_cut")),
+        )
+        .drop("__rk", "__n")
+    )

@@ -115,3 +115,66 @@ def trend_slope(
             F.round(F.regr_r2(y, x), 6).alias("r2"),
         )
     )
+
+
+def cusum_flags(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+    order_tiebreak: str | None = None,
+    h: float = 5.0,
+) -> DataFrame:
+    """CUSUM level-shift detection per series: flag samples where the
+    cumulative deviation from the series mean exceeds ``h`` (in value
+    units × sample count — the classic Page test with the series mean
+    as reference). The sensor-drift complement to point-wise spike
+    tests: a slow step change never trips a lag test but accumulates
+    here.
+
+    Bit-exact across engines and partitionings: both the running sum
+    and the mean ride as exact integers — values become micro-units
+    (floor(x·1e6), int64), and the comparison is multiplied through by
+    n so no division ever happens: flag iff
+    |n·cumsum_i − i·total| > h·n·1e6. Integer addition is associative,
+    so parallel partials cannot perturb the flag the way a float
+    cumsum would.
+
+    One shuffle keyed by the series, one WindowExec computing the
+    ordered cumsum and row number, with the series total/count as
+    unbounded frames over the same partitioning (no second scan,
+    no join-back — D-28).
+    """
+    w_ord = Window.partitionBy(key_col).orderBy(
+        *([ts_col, order_tiebreak] if order_tiebreak else [ts_col])
+    )
+    w_all = Window.partitionBy(key_col)
+    xm = F.floor(F.col(value_col).cast("double") * 1e6).cast("bigint")
+    cum = F.sum(xm).over(
+        w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    i = F.row_number().over(w_ord)
+    total = F.sum(xm).over(w_all)
+    n = F.count(F.lit(1)).over(w_all)
+    # decimal intermediates: n·cumsum at micro-unit scale can exceed
+    # int64 for long, large-valued series
+    dev = (
+        n.cast("decimal(38,0)") * cum.cast("decimal(38,0)")
+        - i.cast("decimal(38,0)") * total.cast("decimal(38,0)")
+    )
+    # threshold resolved to an exact integer literal driver-side — no
+    # engine-dependent double→decimal cast in the comparison
+    thr = F.lit(int(round(h * 1e6))).cast("decimal(20,0)") * n.cast(
+        "decimal(18,0)"
+    )
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(
+            F.col(key_col),
+            F.col(ts_col),
+            F.col(value_col),
+            i.alias("i"),
+            cum.alias("cum_micro"),
+            (F.abs(dev) > thr).alias("shift_flag"),
+        )
+    )

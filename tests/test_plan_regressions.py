@@ -227,3 +227,22 @@ def test_semantic_dedup_pairs_keyed_by_cluster(spark):
     # assignment cross joins, which build on the tiny centroid side)
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_cusum_single_exchange_shared_windows(spark):
+    plan = _plan(spark, "cusum_level_shift")
+    # ordered cumsum + unbounded total/count share the user_id
+    # partitioning: one shuffle, no join-back
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_winsorize_single_exchange(spark):
+    plan = _plan(spark, "winsorize_values")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_climatology_no_join_back(spark):
+    plan = _plan(spark, "climatology_anomaly")
+    assert "Join" not in plan  # climatology rides as windows, not a self-join

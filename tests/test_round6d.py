@@ -238,3 +238,98 @@ def test_unpivot_measures_long_shape(spark):
     # no shuffle: the plan is scan → expand/project only
     plan = long._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# ------------------------------------------------------------- cusum
+
+
+def test_cusum_flags_step_change(spark):
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.operators.rolling import (
+        cusum_flags,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    # 20 samples at 10, then 20 at 30: the mean is 20, so the cumulative
+    # deviation bottoms out at -200 exactly at the step point
+    rows = [
+        Row(ts=base + datetime.timedelta(minutes=i), user_id=1,
+            value=10.0 if i < 20 else 30.0, event_id=i)
+        for i in range(40)
+    ]
+    out = cusum_flags(
+        spark.createDataFrame(rows), order_tiebreak="event_id", h=150.0
+    ).collect()
+    flags = {r["i"]: r["shift_flag"] for r in out}
+    assert flags[20] is True  # trough of the deviation (|S|=200 > 150)
+    assert flags[1] is False and flags[40] is False  # ends are balanced
+    # a constant series never flags at any threshold
+    const = [
+        Row(ts=base + datetime.timedelta(minutes=i), user_id=1, value=5.0,
+            event_id=i)
+        for i in range(10)
+    ]
+    out2 = cusum_flags(
+        spark.createDataFrame(const), order_tiebreak="event_id", h=0.001
+    ).collect()
+    assert not any(r["shift_flag"] for r in out2)
+
+
+# ----------------------------------------------------- fixed-k sampling
+
+
+def test_sample_fixed_k_exact_sizes_and_determinism(spark):
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.curation import (
+        sample_fixed_k,
+    )
+
+    rows = [Row(doc_id=i, lang="en" if i % 3 else "fr") for i in range(90)]
+    df = spark.createDataFrame(rows)
+    out = sample_fixed_k(df, key="doc_id", group_col="lang", k=10)
+    sizes = {r["lang"]: r["count"] for r in out.groupBy("lang").count().collect()}
+    assert sizes == {"en": 10, "fr": 10}
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(
+        r["doc_id"]
+        for r in sample_fixed_k(df, key="doc_id", group_col="lang", k=10).collect()
+    )
+    assert a == b
+    # k larger than the group: the whole group survives
+    small = sample_fixed_k(df.filter("doc_id < 4"), "doc_id", "lang", k=100)
+    assert small.count() == 4
+    with pytest.raises(ValueError):
+        sample_fixed_k(df, "doc_id", "lang", k=0)
+
+
+def test_sample_fixed_k_plan_is_group_limit(spark):
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.curation import (
+        sample_fixed_k,
+    )
+
+    rows = [Row(doc_id=i, lang="en") for i in range(10)]
+    plan = (
+        sample_fixed_k(spark.createDataFrame(rows), "doc_id", "lang", k=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "WindowGroupLimit" in plan  # partial top-k before the shuffle
+
+
+# ---------------------------------------------------------- winsorize
+
+
+def test_winsorize_clamps_to_rank_cuts(spark):
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.curation import (
+        winsorize_by_group,
+    )
+
+    rows = [Row(g="a", id=i, value=float(i)) for i in range(1, 101)]
+    out = winsorize_by_group(
+        spark.createDataFrame(rows), group_col="g", value_col="value"
+    ).collect()
+    by_id = {r["id"]: r for r in out}
+    # exact rank cuts: ceil(100*.05)=5 → lo=5, ceil(100*.95)=95 → hi=95
+    assert by_id[1]["lo_cut"] == 5.0 and by_id[1]["hi_cut"] == 95.0
+    assert by_id[1]["winsorized"] == 5.0  # below lo → clamped up
+    assert by_id[99]["winsorized"] == 95.0  # above hi → clamped down
+    assert by_id[50]["winsorized"] == 50.0  # interior untouched
+    with pytest.raises(ValueError):
+        winsorize_by_group(spark.createDataFrame(rows), "g", "value", 0.9, 0.1)
