@@ -445,6 +445,7 @@ def semdedup(
     train_iters: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    persist_cells: bool = True,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication by clustering embeddings and dropping near-identical
@@ -477,11 +478,18 @@ def semdedup(
         n_probe=1,
         id_col=id_col,
         vec_col="__cv",
-    ).persist()
-    # persist: ``cells`` feeds BOTH pair sides and the final left join —
-    # un-persisted, Spark re-runs the quantizer-train + assign subtree
-    # once per use (no common-subexpression reuse across exchanges,
-    # D-28); one materialization is corpus-sized, the recompute is 3x
+    )
+    if persist_cells:
+        # ``cells`` feeds BOTH pair sides and the final left join —
+        # un-persisted, Spark re-runs the quantizer-train + assign
+        # subtree once per use (no common-subexpression reuse across
+        # exchanges, D-28); one materialization is corpus-sized, the
+        # recompute is 3x. Lifecycle: nothing here can unpersist after
+        # the (lazy) result materializes, so the cache lives until the
+        # caller's ``spark.catalog.clearCache()`` or LRU eviction
+        # (MEMORY_AND_DISK) — long-lived sessions that care should pass
+        # ``persist_cells=False`` or clear the cache after consuming.
+        cells = cells.persist()
     a = cells.select(
         F.col(id_col).alias("__ida"), F.col("__cv").alias("__va"), "centroid_id"
     )
@@ -533,12 +541,18 @@ def hard_negatives(
     anchor sets use the SRP-blocked path (:func:`lsh_ann_topk` with a
     label filter) instead of broadcasting.
     """
+    from ..operators.unions import spread
+
     q = queries.select(
         F.col(query_id_col),
         F.col(vec_col).alias("__qv"),
         F.col(label_col).alias("__ql"),
     )
-    c = corpus.repartition(F.col(id_col)).select(
+    # spread(): no-op on well-partitioned data — only un-serializes a
+    # single-row-group local scan; the join itself needs no particular
+    # corpus partitioning (anchors broadcast), so the map-only claim
+    # holds at scale
+    c = spread(corpus).select(
         F.col(id_col), F.col(vec_col).alias("__cv"), F.col(label_col)
     )
     sim = (

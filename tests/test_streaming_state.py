@@ -207,22 +207,39 @@ def test_stream_interval_join_matches_across_batches(spark, tmp_path):
 
     lsrc, rsrc = str(tmp_path / "l"), str(tmp_path / "r")
     os.makedirs(lsrc), os.makedirs(rsrc)
-    # batch files: clicks land in file 0, purchases in file 1 — the join
-    # must match across micro-batches through buffered state
+    # the purchases (left) arrive in micro-batch 1 alongside a decoy
+    # right file; the MATCHING click arrives only in micro-batch 2
+    # (maxFilesPerTrigger=1 on the right source + mtime ordering), so a
+    # match can only come from LEFT rows buffered in join state across
+    # batches — a regression that drops left state fails this test
     spark.createDataFrame(
         [
-            (10, 1, m(0), "click"),     # 25 min before purchase → match
             (11, 1, m(-60), "click"),   # 85 min before → outside lookback
             (12, 2, m(20), "click"),    # other user
         ],
         schema,
     ).coalesce(1).write.parquet(os.path.join(rsrc, "f0.parquet"))
     spark.createDataFrame(
+        [(10, 1, m(0), "click")], schema  # 25 min before purchase → match
+    ).coalesce(1).write.parquet(os.path.join(rsrc, "f1.parquet"))
+    spark.createDataFrame(
         [(20, 1, m(25), "purchase"), (21, 3, m(25), "purchase")], schema
-    ).coalesce(1).write.parquet(os.path.join(lsrc, "f1.parquet"))
+    ).coalesce(1).write.parquet(os.path.join(lsrc, "f0.parquet"))
+    # force the decoy older than the matching file so batch order is
+    # deterministic (the source orders LEAF files by modification time —
+    # touch the part files inside the .parquet directories, not the dirs)
+    now = 1_700_000_000
+    for d, t in (("f0.parquet", now - 100), ("f1.parquet", now)):
+        for root, _, files in os.walk(os.path.join(rsrc, d)):
+            for f in files:
+                os.utime(os.path.join(root, f), (t, t))
 
     left = spark.readStream.schema(schema).parquet(lsrc + "/*")
-    right = spark.readStream.schema(schema).parquet(rsrc + "/*")
+    right = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(rsrc + "/*")
+    )
     out = stream_interval_join(
         left, right, key="user_id", lookback="30 minutes"
     ).select("l_event_id", "r_event_id", "l_user_id")
