@@ -334,3 +334,127 @@ def test_prop_repetition_whitespace_invariant(spark, texts):
     ra = sorted(map(tuple, repetition_signals(a).collect()))
     rb = sorted(map(tuple, repetition_signals(b).collect()))
     assert ra == rb
+
+
+# ------------------------------------------------- r6 fourth/fifth wave
+
+
+@given(
+    vals=st.lists(
+        st.floats(min_value=-500, max_value=500, allow_nan=False),
+        min_size=2,
+        max_size=40,
+    ),
+    nparts=st.integers(min_value=1, max_value=7),
+)
+@settings(**_SETTINGS)
+def test_prop_cusum_partition_invariant(spark, vals, nparts):
+    """The integer-exact CUSUM flag must be identical under ANY input
+    partitioning — the property the micro-unit/multiply-through design
+    buys (a float cumsum would not survive this test at thresholds near
+    the deviation)."""
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.operators.rolling import (
+        cusum_flags,
+    )
+
+    rows = [
+        (_T0 + datetime.timedelta(minutes=i), 1, float(v), i)
+        for i, v in enumerate(vals)
+    ]
+    schema = "ts timestamp, user_id bigint, value double, event_id bigint"
+    base = spark.createDataFrame(rows, schema)
+    out1 = sorted(
+        (r["i"], r["cum_micro"], r["shift_flag"])
+        for r in cusum_flags(base, order_tiebreak="event_id", h=50.0).collect()
+    )
+    out2 = sorted(
+        (r["i"], r["cum_micro"], r["shift_flag"])
+        for r in cusum_flags(
+            base.repartition(nparts), order_tiebreak="event_id", h=50.0
+        ).collect()
+    )
+    assert out1 == out2
+
+
+@given(
+    groups=st.lists(
+        st.sampled_from(["a", "b", "c"]), min_size=4, max_size=60
+    )
+)
+@settings(**_SETTINGS)
+def test_prop_soft_dedup_weights_sum_to_distinct(spark, groups):
+    """Σ weights == number of distinct contents (the soft-dedup
+    invariant: each distinct document contributes exactly one effective
+    doc regardless of its copy count)."""
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.dedup import (
+        soft_dedup_weights,
+    )
+
+    rows = [(i, f"text {g}") for i, g in enumerate(groups)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = soft_dedup_weights(df).collect()
+    assert len(out) == len(groups)  # every row kept
+    total = sum(r["weight"] for r in out)
+    assert abs(total - len(set(groups))) < 1e-4
+
+
+@given(
+    sizes=st.lists(st.integers(min_value=1, max_value=50), min_size=2, max_size=6),
+    alpha=st.floats(min_value=0.1, max_value=1.0),
+)
+@settings(**_SETTINGS)
+def test_prop_temperature_mix_rates_bounded_and_monotone(spark, sizes, alpha):
+    """keep_rate ∈ (0, 1], the max rate is exactly 1 (no upsampling),
+    and bigger groups never get HIGHER keep rates than smaller ones
+    (alpha ≤ 1 flattens toward uniform)."""
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.curation import (
+        temperature_mix,
+    )
+
+    rows = []
+    did = 0
+    for g, n in enumerate(sizes):
+        for _ in range(n):
+            rows.append((did, f"s{g}"))
+            did += 1
+    df = spark.createDataFrame(rows, "doc_id bigint, source string")
+    rates = {
+        r["source"]: (r["n_docs"], r["keep_rate"])
+        for r in temperature_mix(df, group_col="source", alpha=alpha)
+        .select("source", "n_docs", "keep_rate")
+        .distinct()
+        .collect()
+    }
+    vals = list(rates.values())
+    assert all(0.0 < kr <= 1.0 for _, kr in vals)
+    assert max(kr for _, kr in vals) == 1.0
+    for n1, k1 in vals:
+        for n2, k2 in vals:
+            if n1 < n2:
+                assert k1 >= k2 - 1e-9
+
+
+@given(
+    vals=st.lists(
+        st.floats(min_value=-1000, max_value=1000, allow_nan=False),
+        min_size=1,
+        max_size=50,
+    )
+)
+@settings(**_SETTINGS)
+def test_prop_winsorize_bounds_and_interior_identity(spark, vals):
+    """Winsorized values always lie in [lo_cut, hi_cut]; values already
+    inside the cuts are untouched; cuts are actual data values."""
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.curation import (
+        winsorize_by_group,
+    )
+
+    rows = [("g", i, float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "g string, id bigint, value double")
+    out = winsorize_by_group(df, group_col="g", value_col="value").collect()
+    dataset = {r["value"] for r in out}
+    for r in out:
+        assert r["lo_cut"] <= r["winsorized"] <= r["hi_cut"]
+        assert r["lo_cut"] in dataset and r["hi_cut"] in dataset
+        if r["lo_cut"] <= r["value"] <= r["hi_cut"]:
+            assert r["winsorized"] == r["value"]
