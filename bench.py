@@ -57,6 +57,8 @@ EXTRA_QUERIES = [
     "winsorize_values",
     "climatology_anomaly",
     "percentile_norm",
+    "forward_fill_locf",
+    "scd2_history",
 ]
 
 HEADLINE = [

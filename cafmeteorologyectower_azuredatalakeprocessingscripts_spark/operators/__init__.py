@@ -1,5 +1,5 @@
 from .dedup import dedup_keep_richest
-from .gapfill import gap_fill, time_spine
+from .gapfill import forward_fill, gap_fill, scd2_intervals, time_spine
 from .unions import spread, union_by_name
 from .topk import latest_per_group
 from .skew import salted_join
@@ -17,6 +17,8 @@ __all__ = [
     "dedup_keep_richest",
     "gap_fill",
     "time_spine",
+    "forward_fill",
+    "scd2_intervals",
     "spread",
     "union_by_name",
     "latest_per_group",

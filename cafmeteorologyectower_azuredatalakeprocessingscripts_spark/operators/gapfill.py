@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.time import day_ceil, day_floor
@@ -64,3 +64,96 @@ def gap_fill(
     """
     spine = time_spine(df, ts_col, freq_minutes, partition_cols, pad_to_day)
     return spine.join(df, on=[*partition_cols, ts_col], how="left")
+
+
+def forward_fill(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    cols: list[str],
+    order_tiebreak: str | None = None,
+    out_suffix: str = "_ff",
+) -> DataFrame:
+    """Last-observation-carried-forward per series: fill NULLs in
+    ``cols`` with the most recent non-null value at or before each row
+    (the standard met-station gap treatment after spine insertion —
+    the reference leaves spine gaps as NULL rows,
+    src/AzureDataLakeAccess.py merge_iterate; this is the downstream
+    fill step).
+
+    ``F.last(ignorenulls=True)`` over an unbounded-preceding ROWS frame:
+    one shuffle keyed by the series, one partition-local sort, ONE
+    WindowExec computing every filled column over the same frame. The
+    fill is a value SELECTION (no arithmetic), so outputs are bit-exact
+    in any engine — DuckDB replays it as last_value(x IGNORE NULLS).
+    """
+    order = [F.col(ts_col).asc()] + (
+        [F.col(order_tiebreak).asc()] if order_tiebreak else []
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = df
+    for c in cols:
+        out = out.withColumn(
+            c + out_suffix, F.last(F.col(c), ignorenulls=True).over(w)
+        )
+    return out
+
+
+def scd2_intervals(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    attr_col: str,
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 history: collapse a change
+    stream into validity intervals — one row per (key, attribute run)
+    with ``valid_from`` / ``valid_to`` (NULL = current) and the run's
+    ordinal. The warehouse-side complement of the reference's
+    latest-file selection (S9 keeps only the newest state; SCD2 keeps
+    every state with its validity window).
+
+    Two window passes over ONE (key, order) shuffle+sort: a lag
+    comparison marks run starts, a running sum numbers the runs; the
+    interval bounds come from a per-run groupBy (second, smaller
+    shuffle keyed by (key, run)), with ``valid_to`` = the next run's
+    start via lead over the run frame. NULL-safe change detection via
+    the null-safe equality operator so NULL→value transitions open a
+    new run.
+    """
+    order = [F.col(ts_col).asc()] + (
+        [F.col(order_tiebreak).asc()] if order_tiebreak else []
+    )
+    w = Window.partitionBy(key_col).orderBy(*order)
+    changed = ~F.col(attr_col).eqNullSafe(F.lag(F.col(attr_col)).over(w))
+    # the first row of each key is always a run start (its lag is NULL,
+    # which eqNullSafe would treat as equal to a real NULL attr — the
+    # explicit row_number()==1 disambiguates)
+    is_first = F.row_number().over(w) == 1
+    start = (is_first | changed).cast("int")
+    run_id = F.sum(start).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    runs = (
+        df.select(
+            F.col(key_col),
+            F.col(ts_col),
+            F.col(attr_col),
+            run_id.alias("run_id"),
+        )
+        .groupBy(key_col, "run_id", attr_col)
+        .agg(F.min(ts_col).alias("valid_from"), F.count(F.lit(1)).alias("n_rows"))
+    )
+    w_runs = Window.partitionBy(key_col).orderBy(F.col("valid_from").asc())
+    return runs.select(
+        key_col,
+        "run_id",
+        attr_col,
+        "valid_from",
+        F.lead("valid_from").over(w_runs).alias("valid_to"),
+        "n_rows",
+    )

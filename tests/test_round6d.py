@@ -333,3 +333,99 @@ def test_winsorize_clamps_to_rank_cuts(spark):
     assert by_id[50]["winsorized"] == 50.0  # interior untouched
     with pytest.raises(ValueError):
         winsorize_by_group(spark.createDataFrame(rows), "g", "value", 0.9, 0.1)
+
+
+# ------------------------------------------------------- forward fill
+
+
+def test_forward_fill_carries_last_non_null(spark):
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.operators.gapfill import (
+        forward_fill,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        Row(ts=base + datetime.timedelta(minutes=i), user_id=1, event_id=i, v=v)
+        for i, v in enumerate([None, 10.0, None, None, 20.0, None])
+    ]
+    out = forward_fill(
+        spark.createDataFrame(rows), "ts", "user_id", ["v"],
+        order_tiebreak="event_id",
+    ).orderBy("event_id").collect()
+    assert [r["v_ff"] for r in out] == [None, 10.0, 10.0, 10.0, 20.0, 20.0]
+
+
+def test_forward_fill_does_not_cross_series(spark):
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.operators.gapfill import (
+        forward_fill,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        Row(ts=base, user_id=1, event_id=0, v=99.0),
+        Row(ts=base + datetime.timedelta(minutes=1), user_id=2, event_id=1, v=None),
+    ]
+    out = forward_fill(
+        spark.createDataFrame(rows), "ts", "user_id", ["v"],
+        order_tiebreak="event_id",
+    ).collect()
+    assert {r["user_id"]: r["v_ff"] for r in out} == {1: 99.0, 2: None}
+
+
+# ------------------------------------------------------------- scd2
+
+
+def test_scd2_intervals_runs_and_bounds(spark):
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.operators.gapfill import (
+        scd2_intervals,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    seq = ["a", "a", "b", "b", "b", "a"]  # runs: a(2), b(3), a(1)
+    rows = [
+        Row(ts=base + datetime.timedelta(hours=i), user_id=1, event_id=i,
+            event_type=t)
+        for i, t in enumerate(seq)
+    ]
+    out = (
+        scd2_intervals(
+            spark.createDataFrame(rows), "user_id", "ts", "event_type",
+            order_tiebreak="event_id",
+        )
+        .orderBy("run_id")
+        .collect()
+    )
+    assert [(r["event_type"], r["n_rows"]) for r in out] == [
+        ("a", 2), ("b", 3), ("a", 1)
+    ]
+    # intervals tile the timeline: each valid_to equals the next
+    # valid_from; the current run is open-ended
+    assert out[0]["valid_to"] == out[1]["valid_from"]
+    assert out[1]["valid_to"] == out[2]["valid_from"]
+    assert out[2]["valid_to"] is None
+    assert out[0]["valid_from"] == base
+
+
+def test_scd2_null_attr_opens_and_closes_runs(spark):
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.operators.gapfill import (
+        scd2_intervals,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    seq = [None, None, "x", None]
+    rows = [
+        Row(ts=base + datetime.timedelta(hours=i), user_id=1, event_id=i,
+            event_type=t)
+        for i, t in enumerate(seq)
+    ]
+    out = (
+        scd2_intervals(
+            spark.createDataFrame(rows), "user_id", "ts", "event_type",
+            order_tiebreak="event_id",
+        )
+        .orderBy("run_id")
+        .collect()
+    )
+    assert [(r["event_type"], r["n_rows"]) for r in out] == [
+        (None, 2), ("x", 1), (None, 1)
+    ]
