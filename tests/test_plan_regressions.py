@@ -246,3 +246,23 @@ def test_winsorize_single_exchange(spark):
 def test_climatology_no_join_back(spark):
     plan = _plan(spark, "climatology_anomaly")
     assert "Join" not in plan  # climatology rides as windows, not a self-join
+
+
+def test_forward_fill_single_exchange_no_join(spark):
+    plan = _plan(spark, "forward_fill_locf")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_scd2_single_exchange(spark):
+    plan = _plan(spark, "scd2_history")
+    # run-id window and the per-run agg both key by user_id: the agg
+    # reuses the window's partitioning instead of re-shuffling
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_percentile_norm_single_exchange(spark):
+    plan = _plan(spark, "percentile_norm")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
