@@ -571,3 +571,28 @@ def hard_negatives(
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, label_col, "cosine", "rank")
     )
+
+
+def srp_planes_for(n_vectors: int, occupancy: int = 256) -> int:
+    """Plane count that keeps expected SRP bucket occupancy ~constant:
+    planes = ceil(log2(n / occupancy)) (min 1).
+
+    THE scaling rule for :func:`embed_neardup_pairs` /
+    :func:`lsh_ann_topk`: with a FIXED plane count, bucket occupancy
+    grows ∝ n and candidate pairs ∝ n² — measured 72.6× runtime for a
+    10× corpus (tools/scale_probe.py). Scaling planes with log2(n)
+    holds occupancy flat so pair work grows ~linearly (measured 12.6×
+    for 10× with the recall-compensating table doubling below).
+
+    More planes lower per-table recall at a given angle
+    (recall/table = (1-θ/π)^planes), so when planes grow, grow
+    ``tables`` too: doubling tables roughly compensates one extra
+    plane at small angles. The md5-derived plane family is infinite —
+    changing counts never changes existing plane vectors, and the
+    oracle replays any (planes, tables) choice.
+    """
+    import math
+
+    if n_vectors < 1 or occupancy < 1:
+        raise ValueError(f"need n >= 1 and occupancy >= 1, got {n_vectors}/{occupancy}")
+    return max(1, math.ceil(math.log2(max(2.0, n_vectors / occupancy))))

@@ -429,3 +429,21 @@ def test_scd2_null_attr_opens_and_closes_runs(spark):
     assert [(r["event_type"], r["n_rows"]) for r in out] == [
         (None, 2), ("x", 1), (None, 1)
     ]
+
+
+# --------------------------------------------------------- srp sizing
+
+
+def test_srp_planes_for_holds_occupancy():
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.similarity import (
+        srp_planes_for,
+    )
+
+    # occupancy n / 2^planes stays within [occ/2, occ] for n >> occ
+    for n in (10_000, 100_000, 10_000_000, 10_000_000_000):
+        p = srp_planes_for(n, occupancy=256)
+        assert n / 2**p <= 256
+        assert n / 2**p > 64  # not over-split either
+    assert srp_planes_for(10) == 1  # tiny corpora degrade to 2 buckets
+    with pytest.raises(ValueError):
+        srp_planes_for(0)

@@ -1,0 +1,184 @@
+"""Empirical scaling probe: measure the blocked dedup / similarity /
+curation operators at 1x and 10x corpus size and report the time ratio.
+
+The 100 TB claim rests on these ops scaling ~linearly in the corpus
+(pair stages bounded by blocking, agg stages by map-side combine). This
+script builds SYNTHETIC corpora so the 10x corpus is 10x of *distinct*
+content — naively duplicating real documents 10x would explode the
+near-dup pair structure quadratically and measure the data, not the
+engine:
+
+- embeddings: md5-derived pseudo-vectors (deterministic, uniform on the
+  [-1, 1]^64 cube) — every vector distinct.
+- documents: replicas of the sf0.1 corpus with words deterministically
+  hash-shuffled per replica — vocabulary (and so token/VF statistics)
+  preserved, n-gram shingle overlap destroyed, so fuzzy-dedup candidate
+  structure stays sparse at both scales.
+
+SemDeDup runs with n_centroids ∝ corpus size (the published scaling:
+cluster count grows with the corpus so per-cluster pair cost stays
+flat); everything else runs with identical parameters at both scales.
+
+Usage: PYTHONPATH=/root/repo python tools/scale_probe.py [out.json]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DIM = 64
+
+
+def synth_embeddings(spark, n):
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            f"transform(sequence(0, {DIM - 1}), i -> CAST("
+            "(CAST(conv(substr(md5(concat(id, ':', i)), 1, 15), 16, 10) AS BIGINT)"
+            " % 2001 - 1000) / 1000.0 AS FLOAT))"
+        ).alias("embedding"),
+        (F.col("id") % 10).cast("int").alias("label"),
+    )
+
+
+def synth_documents(spark, replicas):
+    base = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    reps = base.select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(replicas - 1))).alias("__k")
+    )
+    # per-replica deterministic word shuffle: sort words by
+    # md5(word:doc_id:k) — keeps unigram statistics, destroys shingles
+    shuffled = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.transform(
+                    F.split(F.col("text"), " "),
+                    lambda w: F.struct(
+                        F.md5(
+                            F.concat_ws(
+                                ":", w, F.col("doc_id"), F.col("__k")
+                            )
+                        ).alias("h"),
+                        w.alias("w"),
+                    ),
+                )
+            ),
+            lambda s: s["w"],
+        ),
+        " ",
+    )
+    return reps.select(
+        (F.col("doc_id") * replicas + F.col("__k")).alias("doc_id"),
+        shuffled.alias("text"),
+        "lang",
+        "source",
+        F.length(shuffled).alias("n_chars"),
+    )
+
+
+def probe_ops(spark, doc_dir, emb_dir, scale):
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm import (
+        bm25_topk,
+        minhash_lsh_pairs,
+    )
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.text import (
+        vocab_top_terms,
+    )
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.curation import (
+        repetition_signals,
+    )
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.dedup import (
+        simhash,
+    )
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.similarity import (
+        embed_neardup_pairs,
+        semdedup,
+        srp_planes_for,
+    )
+
+    docs = spark.read.parquet(doc_dir)
+    embs = spark.read.parquet(emb_dir)
+    ops = {
+        "minhash_lsh": lambda: minhash_lsh_pairs(docs),
+        "simhash_sigs": lambda: simhash(docs),
+        "vocab_topk": lambda: vocab_top_terms(docs, k=1000),
+        "repetition_family": lambda: repetition_signals(docs),
+        "bm25": lambda: bm25_topk(docs, ["spark", "table", "window"], k=10),
+        # planes scale with the corpus (srp_planes_for) and tables
+        # double per extra plane to hold recall — the fixed-planes form
+        # measured 72.6x for 10x data (n^2 candidate pairs); scaled,
+        # 12.6x for 10x data with 2x tables
+        "embed_neardup_blocked": lambda: embed_neardup_pairs(
+            embs,
+            threshold=0.45,
+            block=True,
+            dim=DIM,
+            planes=srp_planes_for(5000 * scale, occupancy=160),
+            tables=8 if scale > 1 else 4,
+        ),
+        "semdedup": lambda: semdedup(
+            embs,
+            n_centroids=16 * scale,
+            threshold=0.4,
+            persist_cells=False,
+        ),
+    }
+    out = {}
+    for name, build in ops.items():
+        best = float("inf")
+        for _ in range(2):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            build().write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        out[name] = round(best, 2)
+    return out
+
+
+def main():
+    spark = get_spark("scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    tmp = tempfile.mkdtemp(prefix="caf_scale_")
+    dirs = {}
+    n_docs_base = spark.read.parquet(
+        os.path.join(SF_DIR, "documents.parquet")
+    ).count()
+    for scale in (1, 10):
+        d = os.path.join(tmp, f"docs{scale}")
+        e = os.path.join(tmp, f"embs{scale}")
+        synth_documents(spark, scale).repartition(8 * scale).write.parquet(d)
+        synth_embeddings(spark, 5000 * scale).repartition(
+            4 * scale
+        ).write.parquet(e)
+        dirs[scale] = (d, e)
+    results = {}
+    for scale, (d, e) in dirs.items():
+        results[f"{scale}x"] = probe_ops(spark, d, e, scale)
+    ratios = {
+        k: round(results["10x"][k] / results["1x"][k], 1)
+        for k in results["1x"]
+    }
+    payload = {
+        "base_docs": n_docs_base,
+        "base_vecs": 5000,
+        "results": results,
+        "ratio_10x_over_1x": ratios,
+    }
+    print(json.dumps(payload))
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
