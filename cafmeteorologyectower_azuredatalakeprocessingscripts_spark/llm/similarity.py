@@ -346,7 +346,7 @@ def embed_neardup_pairs(
     vec_col: str = "embedding",
     block: bool = True,
     dim: int | None = None,
-    planes: int = 4,
+    planes: int | None = None,
     tables: int = 8,
 ) -> DataFrame:
     """Embedding near-duplicate pairs (cosine >= threshold).
@@ -370,6 +370,13 @@ def embed_neardup_pairs(
     if block:
         if dim is None:
             raise ValueError("block=True requires dim=")
+        if planes is None:
+            # auto-size the bucket count to the corpus: a FIXED plane
+            # count means occupancy ∝ n and candidate pairs ∝ n²
+            # (measured 72.6x runtime for 10x data — SCALING.md, D-29).
+            # One count() job at construction time buys the right
+            # bucket structure; pass planes explicitly to skip it.
+            planes = srp_planes_for(df.count())
         from ..operators.unions import spread
 
         v = spread(

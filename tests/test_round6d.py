@@ -447,3 +447,19 @@ def test_srp_planes_for_holds_occupancy():
     assert srp_planes_for(10) == 1  # tiny corpora degrade to 2 buckets
     with pytest.raises(ValueError):
         srp_planes_for(0)
+
+
+def test_embed_neardup_default_planes_autosize(spark):
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.similarity import (
+        embed_neardup_pairs,
+    )
+
+    df = _vecs(spark, [([1.0, 0.0], 0), ([1.0, 0.001], 0), ([0.0, 1.0], 1)])
+    # planes omitted: auto-sized from the corpus count — still finds the
+    # near-identical pair, still no cross join in the plan
+    out = embed_neardup_pairs(df, threshold=0.99, dim=2)
+    rows = out.collect()
+    assert [(r["id_a"], r["id_b"]) for r in rows] == [(0, 1)]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
