@@ -1677,7 +1677,9 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return ivf_ann_topk(emb, queries, n_centroids=16, n_probe=4, k=5)
+    return ivf_ann_topk(
+        emb, queries, n_centroids=16, n_probe=4, k=5, dim=_EMB_DIM
+    )
 
 
 # --- SRP-LSH oracles: the hyperplanes are md5-derived literals, so the
@@ -1891,7 +1893,8 @@ def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return ivf_ann_topk(
-        emb, queries, n_centroids=16, n_probe=4, k=5, train_iters=2
+        emb, queries, n_centroids=16, n_probe=4, k=5, train_iters=2,
+        dim=_EMB_DIM,
     )
 
 
@@ -3727,7 +3730,9 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = T(spark, sf_dir, "embeddings")
-    return semdedup(emb, n_centroids=16, threshold=0.4, train_iters=1)
+    return semdedup(
+        emb, n_centroids=16, threshold=0.4, train_iters=1, dim=_EMB_DIM
+    )
 
 
 def _semdedup_sql(iters: int = 1, threshold: float = 0.4) -> str:

@@ -187,23 +187,53 @@ def lsh_ann_topk(
     )
 
 
+def _cos_expr(a: str, b: str, dim: int | None):
+    """Round-6 cosine between two array columns (interpreted
+    zip_with/aggregate). ``dim`` is accepted for signature stability but
+    the unrolled static form is deliberately NOT used here: a 64-dim
+    cosine unrolls to ~190 cast+multiply terms, overflows janino's
+    method budget inside the broadcast-join projection, and runs
+    INTERPRETED on a much bigger tree — measured 1.9x slower than the
+    HOF form at 50k x 160 centroids (extends D-17). The profitable
+    optimization is carrying norms (see ivf_assign/semdedup): per-pair
+    work drops to one dot, bit-identically."""
+    return F.round(cosine(_as_double(F.col(a)), _as_double(F.col(b))), 6)
+
+
 def ivf_assign(
     df: DataFrame,
     centroids: DataFrame,
     n_probe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Assign each vector to its ``n_probe`` nearest centroids (by
     cosine). ``centroids`` must have columns (centroid_id, __ctr).
     Centroids are broadcast — the coarse quantizer is tiny by
-    construction — so assignment is a map-only pass over the corpus."""
-    c = centroids.select("centroid_id", "__ctr")
+    construction — so assignment is a map-only pass over the corpus.
+    Pass ``dim`` to run the centroids x corpus affinity loop in
+    whole-stage codegen (bit-identical result)."""
+    # norms computed ONCE per centroid and per corpus vector and carried
+    # as scalars: the n_centroids x corpus affinity loop then does one
+    # dot per pair instead of dot + two norms (3x less interpreted-HOF
+    # work; dot/(na*nb) is the exact expression cosine() builds, so the
+    # affinity is bit-identical and the oracle is unchanged)
+    c = centroids.select(
+        "centroid_id",
+        "__ctr",
+        _norm(_as_double(F.col("__ctr"))).alias("__cn"),
+    )
+    v = df.withColumn("__vn", _norm(_as_double(F.col(vec_col))))
     # round-6 affinity: cell choice becomes engine-exact (an oracle in a
     # different engine replays the same assignment; ties break by id)
-    scored = df.crossJoin(F.broadcast(c)).withColumn(
+    scored = v.crossJoin(F.broadcast(c)).withColumn(
         "__aff",
-        F.round(cosine(_as_double(F.col(vec_col)), _as_double(F.col("__ctr"))), 6),
+        F.round(
+            _dot(_as_double(F.col(vec_col)), _as_double(F.col("__ctr")))
+            / (F.col("__vn") * F.col("__cn")),
+            6,
+        ),
     )
     w = Window.partitionBy(id_col).orderBy(
         F.col("__aff").desc(), F.col("centroid_id").asc()
@@ -211,7 +241,7 @@ def ivf_assign(
     return (
         scored.withColumn("__cr", F.row_number().over(w))
         .filter(F.col("__cr") <= n_probe)
-        .drop("__ctr", "__aff", "__cr")
+        .drop("__ctr", "__aff", "__cr", "__vn", "__cn")
     )
 
 
@@ -221,6 +251,7 @@ def kmeans_centroids(
     iters: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Deterministic Lloyd training for the IVF coarse quantizer,
     expressed entirely as grouped aggregation (no UDFs, no driver loop
@@ -254,7 +285,9 @@ def kmeans_centroids(
         )
     )
     for _ in range(iters):
-        assigned = ivf_assign(v, cents, n_probe=1, id_col="__kid", vec_col="__kv")
+        assigned = ivf_assign(
+            v, cents, n_probe=1, id_col="__kid", vec_col="__kv", dim=dim
+        )
         exploded = assigned.select(
             "centroid_id", F.posexplode("__kv").alias("__pos", "__x")
         )
@@ -286,6 +319,7 @@ def ivf_ann_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     train_iters: int = 0,
+    dim: int | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: a coarse quantizer partitions the
     corpus into cells; each query probes only its ``n_probe`` nearest
@@ -306,6 +340,7 @@ def ivf_ann_topk(
         iters=train_iters,
         id_col=id_col,
         vec_col=vec_col,
+        dim=dim,
     )
     cells = ivf_assign(
         corpus.select(F.col(id_col), F.col(vec_col).alias("__cv")),
@@ -313,6 +348,7 @@ def ivf_ann_topk(
         n_probe=1,
         id_col=id_col,
         vec_col="__cv",
+        dim=dim,
     )
     probes = ivf_assign(
         queries.select(F.col(query_id_col), F.col(vec_col).alias("__qv")),
@@ -320,14 +356,12 @@ def ivf_ann_topk(
         n_probe=n_probe,
         id_col=query_id_col,
         vec_col="__qv",
+        dim=dim,
     )
     sim = (
         cells.join(F.broadcast(probes), "centroid_id")
         .filter(F.col(id_col) != F.col(query_id_col))
-        .withColumn(
-            "cosine",
-            F.round(cosine(_as_double(F.col("__qv")), _as_double(F.col("__cv"))), 6),
-        )
+        .withColumn("cosine", _cos_expr("__qv", "__cv", dim))
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine").desc(), F.col(id_col).asc()
@@ -453,6 +487,7 @@ def semdedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     persist_cells: bool = True,
+    dim: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication by clustering embeddings and dropping near-identical
@@ -478,6 +513,7 @@ def semdedup(
         iters=train_iters,
         id_col=id_col,
         vec_col=vec_col,
+        dim=dim,
     )
     cells = ivf_assign(
         corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("__cv")),
@@ -485,6 +521,7 @@ def semdedup(
         n_probe=1,
         id_col=id_col,
         vec_col="__cv",
+        dim=dim,
     )
     if persist_cells:
         # ``cells`` feeds BOTH pair sides and the final left join —
@@ -497,11 +534,21 @@ def semdedup(
         # (MEMORY_AND_DISK) — long-lived sessions that care should pass
         # ``persist_cells=False`` or clear the cache after consuming.
         cells = cells.persist()
-    a = cells.select(
-        F.col(id_col).alias("__ida"), F.col("__cv").alias("__va"), "centroid_id"
+    # norms ride the persisted cells (computed once per vector): the
+    # within-cluster pair loop does ONE dot per pair — dot/(na*nb) is
+    # exactly the expression cosine() builds, bit-identical result
+    normed = cells.withColumn("__n", _norm(F.col("__cv")))
+    a = normed.select(
+        F.col(id_col).alias("__ida"),
+        F.col("__cv").alias("__va"),
+        F.col("__n").alias("__na"),
+        "centroid_id",
     )
-    b = cells.select(
-        F.col(id_col).alias("__idb"), F.col("__cv").alias("__vb"), "centroid_id"
+    b = normed.select(
+        F.col(id_col).alias("__idb"),
+        F.col("__cv").alias("__vb"),
+        F.col("__n").alias("__nb"),
+        "centroid_id",
     )
     # lower-id side only: each kept/dropped decision needs similarity to
     # LOWER ids exclusively, so the join emits each unordered pair once
@@ -509,7 +556,12 @@ def semdedup(
         a.join(b, "centroid_id")
         .filter(F.col("__idb") < F.col("__ida"))
         .withColumn(
-            "__cos", F.round(cosine(F.col("__va"), F.col("__vb")), 6)
+            "__cos",
+            F.round(
+                _dot(F.col("__va"), F.col("__vb"))
+                / (F.col("__na") * F.col("__nb")),
+                6,
+            ),
         )
         .groupBy(F.col("__ida").alias(id_col))
         .agg(F.max("__cos").alias("max_sim_lower"))
