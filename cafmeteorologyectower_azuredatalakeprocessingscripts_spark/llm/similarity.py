@@ -74,19 +74,29 @@ def cosine_topk(
     """Exact top-k neighbors per query by cosine (query side broadcast;
     ties broken by corpus id — fully deterministic)."""
     q = queries.select(
-        F.col(query_id_col), F.col(vec_col).alias("__qv")
+        F.col(query_id_col),
+        F.col(vec_col).alias("__qv"),
+        _norm(_as_double(F.col(vec_col))).alias("__qn"),
     )
     # spread the corpus: the scan may be one file/partition locally, and
-    # the per-row dot products are the dominant cost
+    # the per-row dot products are the dominant cost. Norms carried —
+    # computed once per vector, per-pair work is one dot (dot/(qn*cn)
+    # is the exact cosine() expression: bit-identical, oracle unchanged)
     c = corpus.repartition(F.col(id_col)).select(
-        F.col(id_col), F.col(vec_col).alias("__cv")
+        F.col(id_col),
+        F.col(vec_col).alias("__cv"),
+        _norm(_as_double(F.col(vec_col))).alias("__cn"),
     )
     sim = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col(id_col) != F.col(query_id_col))
         .withColumn(
             "cosine",
-            F.round(cosine(_as_double(F.col("__qv")), _as_double(F.col("__cv"))), 6),
+            F.round(
+                _dot(_as_double(F.col("__qv")), _as_double(F.col("__cv")))
+                / (F.col("__qn") * F.col("__cn")),
+                6,
+            ),
         )
     )
     w = Window.partitionBy(query_id_col).orderBy(
@@ -162,11 +172,13 @@ def lsh_ann_topk(
     c = corpus.select(
         F.col(id_col),
         F.col(vec_col).alias("__cv"),
+        _norm(_as_double(F.col(vec_col))).alias("__cn"),
         _srp_bucket(cast_vec, dim, planes).alias("__bkt"),
     )
     q = queries.select(
         F.col(query_id_col),
         F.col(vec_col).alias("__qv"),
+        _norm(_as_double(F.col(vec_col))).alias("__qn"),
         _srp_bucket(cast_vec, dim, planes).alias("__bkt"),
     )
     sim = (
@@ -174,7 +186,11 @@ def lsh_ann_topk(
         .filter(F.col(id_col) != F.col(query_id_col))
         .withColumn(
             "cosine",
-            F.round(cosine(_as_double(F.col("__qv")), _as_double(F.col("__cv"))), 6),
+            F.round(
+                _dot(_as_double(F.col("__qv")), _as_double(F.col("__cv")))
+                / (F.col("__qn") * F.col("__cn")),
+                6,
+            ),
         )
     )
     w = Window.partitionBy(query_id_col).orderBy(
@@ -605,6 +621,7 @@ def hard_negatives(
     q = queries.select(
         F.col(query_id_col),
         F.col(vec_col).alias("__qv"),
+        _norm(_as_double(F.col(vec_col))).alias("__qn"),
         F.col(label_col).alias("__ql"),
     )
     # spread(): no-op on well-partitioned data — only un-serializes a
@@ -612,14 +629,21 @@ def hard_negatives(
     # corpus partitioning (anchors broadcast), so the map-only claim
     # holds at scale
     c = spread(corpus).select(
-        F.col(id_col), F.col(vec_col).alias("__cv"), F.col(label_col)
+        F.col(id_col),
+        F.col(vec_col).alias("__cv"),
+        _norm(_as_double(F.col(vec_col))).alias("__cn"),
+        F.col(label_col),
     )
     sim = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col(label_col) != F.col("__ql"))
         .withColumn(
             "cosine",
-            F.round(cosine(_as_double(F.col("__qv")), _as_double(F.col("__cv"))), 6),
+            F.round(
+                _dot(_as_double(F.col("__qv")), _as_double(F.col("__cv")))
+                / (F.col("__qn") * F.col("__cn")),
+                6,
+            ),
         )
     )
     w = Window.partitionBy(query_id_col).orderBy(
