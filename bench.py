@@ -59,6 +59,8 @@ EXTRA_QUERIES = [
     "percentile_norm",
     "forward_fill_locf",
     "scd2_history",
+    "flatline_runs",
+    "state_durations",
 ]
 
 HEADLINE = [
