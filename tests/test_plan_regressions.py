@@ -266,3 +266,16 @@ def test_percentile_norm_single_exchange(spark):
     plan = _plan(spark, "percentile_norm")
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan
+
+
+def test_flatline_runs_two_exchanges_no_join(spark):
+    plan = _plan(spark, "flatline_runs")
+    # (user) sort+window, then (user, day, run) agg, then (user, day)
+    # agg — the last two share hash partitioning prefixes with AQE
+    assert plan.count("Exchange hashpartitioning") <= 3
+    assert "Join" not in plan
+
+
+def test_state_durations_no_self_join(spark):
+    plan = _plan(spark, "state_durations")
+    assert "Join" not in plan  # intervals + durations all ride windows/aggs
