@@ -4214,6 +4214,29 @@ FROM base
 """
 
 
+def _runid_cte_sql(attr: str) -> str:
+    """Shared change-mark + run-id CTE ('marked', 'runs') for the SCD2 /
+    flatline / state-duration oracles — ONE copy of the run-assignment
+    SQL (the k-means-oracle lesson, D-note: copies drift). Every window
+    orders by (ts, event_id): ts alone is ambiguous on tied timestamps
+    and the run-id running sum would nondeterministically split runs."""
+    return f"""
+WITH marked AS (
+  SELECT user_id, ts, event_id, {attr},
+         CASE WHEN row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) = 1
+                   OR {attr} IS DISTINCT FROM
+                      lag({attr}) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id)
+              THEN 1 ELSE 0 END AS start
+  FROM events),
+runs AS (
+  SELECT user_id, ts, {attr},
+         CAST(sum(start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_id
+  FROM marked)"""
+
+
 def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 validity intervals per user over the event_type change
     stream (operators/gapfill.scd2_intervals): one row per attribute
@@ -4232,29 +4255,14 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SCD2_SQL = """
-WITH marked AS (
-  SELECT user_id, ts, event_type,
-         CASE WHEN row_number() OVER (PARTITION BY user_id
-                                      ORDER BY ts, event_id) = 1
-                   OR event_type IS DISTINCT FROM
-                      lag(event_type) OVER (PARTITION BY user_id
-                                            ORDER BY ts, event_id)
-              THEN 1 ELSE 0 END AS start
-  FROM events),
-runs AS (
-  SELECT user_id, ts, event_type,
-         CAST(sum(start) OVER (PARTITION BY user_id ORDER BY ts
-                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_id
-  FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
-        FROM marked) ORDER BY user_id, ts),
+_SCD2_SQL = _runid_cte_sql("event_type") + """,
 grouped AS (
   SELECT user_id, run_id, event_type,
          min(ts) AS valid_from, count(*) AS n_rows
   FROM runs GROUP BY 1, 2, 3)
 SELECT user_id, run_id, event_type, valid_from,
-       lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
-         AS valid_to,
+       lead(valid_from) OVER (PARTITION BY user_id
+                              ORDER BY valid_from, run_id) AS valid_to,
        n_rows
 FROM grouped
 """
@@ -4279,7 +4287,6 @@ def q_flatline_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select(
             "user_id",
             F.date_trunc("DAY", F.col("ts")).alias("day"),
-            F.col("value"),
             run_id.alias("run_id"),
         )
         .groupBy("user_id", "day", "run_id")
@@ -4291,23 +4298,9 @@ def q_flatline_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_FLATLINE_RUNS_SQL = """
-WITH marked AS (
-  SELECT user_id, ts, value,
-         CASE WHEN row_number() OVER (PARTITION BY user_id
-                                      ORDER BY ts, event_id) = 1
-                   OR value IS DISTINCT FROM
-                      lag(value) OVER (PARTITION BY user_id
-                                       ORDER BY ts, event_id)
-              THEN 1 ELSE 0 END AS start
-  FROM events),
-runs AS (
-  SELECT user_id, date_trunc('day', ts) AS day,
-         CAST(sum(start) OVER (PARTITION BY user_id ORDER BY ts
-                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_id
-  FROM marked),
+_FLATLINE_RUNS_SQL = _runid_cte_sql("value") + """,
 lens AS (
-  SELECT user_id, day, run_id, count(*) AS run_len
+  SELECT user_id, date_trunc('day', ts) AS day, run_id, count(*) AS run_len
   FROM runs GROUP BY 1, 2, 3)
 SELECT user_id, day, CAST(max(run_len) AS BIGINT) AS max_run,
        CAST(count(*) AS BIGINT) AS n_runs
@@ -4347,28 +4340,14 @@ def q_state_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_STATE_DURATIONS_SQL = """
-WITH marked AS (
-  SELECT user_id, ts, event_type,
-         CASE WHEN row_number() OVER (PARTITION BY user_id
-                                      ORDER BY ts, event_id) = 1
-                   OR event_type IS DISTINCT FROM
-                      lag(event_type) OVER (PARTITION BY user_id
-                                            ORDER BY ts, event_id)
-              THEN 1 ELSE 0 END AS start
-  FROM events),
-runs AS (
-  SELECT user_id, ts, event_type,
-         CAST(sum(start) OVER (PARTITION BY user_id ORDER BY ts
-                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_id
-  FROM marked),
+_STATE_DURATIONS_SQL = _runid_cte_sql("event_type") + """,
 grouped AS (
   SELECT user_id, run_id, event_type, min(ts) AS valid_from
   FROM runs GROUP BY 1, 2, 3),
 iv AS (
   SELECT user_id, event_type, valid_from,
-         lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
-           AS valid_to,
+         lead(valid_from) OVER (PARTITION BY user_id
+                                ORDER BY valid_from, run_id) AS valid_to,
          max(valid_from) OVER (PARTITION BY user_id) AS last_from
   FROM grouped)
 SELECT user_id, event_type,
@@ -4387,26 +4366,30 @@ def q_percentile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline (raw score distributions differ per source; ranks are
     comparable)."""
     d = T(spark, sf_dir, "documents")
-    w = Window.partitionBy("source").orderBy(
-        F.col("n_chars").asc(), F.col("doc_id").asc()
-    )
+    # ties share a rank: ORDER BY the score alone, so equal raw scores
+    # always calibrate equally (doc_id in the ordering would split ties
+    # arbitrarily); the decile derives from percent_rank for the same
+    # reason — ntile() splits tied values across buckets
+    w = Window.partitionBy("source").orderBy(F.col("n_chars").asc())
+    pct = F.percent_rank().over(w)
     return d.select(
         "doc_id",
         "source",
         "n_chars",
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.ntile(10).over(w).alias("decile"),
+        F.round(pct, 6).alias("pct_rank"),
+        F.least(F.lit(10), (F.floor(pct * 10) + 1)).cast("int").alias("decile"),
     )
 
 
 _PERCENTILE_NORM_SQL = """
-SELECT doc_id, source, n_chars,
-       round(percent_rank() OVER (PARTITION BY source
-                                  ORDER BY n_chars ASC, doc_id ASC), 6)
-         AS pct_rank,
-       ntile(10) OVER (PARTITION BY source
-                       ORDER BY n_chars ASC, doc_id ASC) AS decile
-FROM documents
+WITH p AS (
+  SELECT doc_id, source, n_chars,
+         percent_rank() OVER (PARTITION BY source ORDER BY n_chars ASC)
+           AS pct
+  FROM documents)
+SELECT doc_id, source, n_chars, round(pct, 6) AS pct_rank,
+       CAST(least(10, CAST(floor(pct * 10) AS BIGINT) + 1) AS INT) AS decile
+FROM p
 """
 
 
@@ -4416,16 +4399,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rotation policy is: no query goes more than 2 rounds without a
     # driver row. r6 rotation (101 entries): the 36 new r6 queries
     # (never driver-checked) and the 15 entries past the cap in r5
-    # (last driver row r4) run FIRST — 35 new + 15 due fill positions
-    # 1-50 exactly (state_durations, the 36th new entry, waits at the
-    # tail head for r7 — only a local green this round). Every
+    # (last driver row r4) run FIRST — 34 new + 15 due fill positions
+    # 1-49 and except_churned_users (NTZ family, historically
+    # regression-prone) keeps slot 50; the 2 newest entries
+    # (state_durations, flatline_runs) wait at the tail head for r7
+    # with local-gate greens only. Every
     # entry past position 50 is driver-green in r5 and was re-verified
     # locally this round (full tools/check_correctness.py: ALL OK) —
     # rotate them back in before r8 (r7 priority: the r5-green tail,
     # oldest driver row first).
     return {
         # -- NEW in r6 (never driver-checked)
-        "flatline_runs": q_flatline_runs,
         "forward_fill_locf": q_forward_fill,
         "scd2_history": q_scd2_history,
         "percentile_norm": q_percentile_norm,
@@ -4483,10 +4467,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- position 51+ (past the ~50-entry driver cap): every entry
         #      below is driver-green in r5, code-untouched or
         #      re-verified locally this round (ALL OK); rotate back into
-        #      the checked set starting r7 (state_durations first — the
-        #      one r6-new entry past the cap, locally green only; then
-        #      sessionize/range_join — NTZ family)
+        #      the checked set starting r7 (state_durations and
+        #      flatline_runs first — the two r6-new entries past the
+        #      cap, locally green only; then sessionize/range_join —
+        #      NTZ family)
         "state_durations": q_state_durations,
+        "flatline_runs": q_flatline_runs,
         "sessionize": q_sessionize,
         "range_join_windows": q_range_join,
         "flagship_tower_pipeline": q_flagship,
@@ -4542,8 +4528,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     # Same order as queries() — see the cap note there.
     return {
-        "flatline_runs": _FLATLINE_RUNS_SQL,
-        "state_durations": _STATE_DURATIONS_SQL,
         "forward_fill_locf": _FORWARD_FILL_SQL,
         "scd2_history": _SCD2_SQL,
         "percentile_norm": _PERCENTILE_NORM_SQL,
@@ -4559,7 +4543,6 @@ def oracle_sql() -> dict[str, str]:
         "token_compression": _TOKEN_COMPRESSION_SQL,
         "trend_slope_qc": _TREND_SLOPE_SQL,
         "unpivot_profile": _UNPIVOT_SQL,
-        "stream_interval_join": _STREAM_INTERVAL_JOIN_SQL,
         "bm25_topk": _bm25_sql(),
         "sliding_window_counts": _SLIDING_SQL,
         "exact_quantiles": _QUANTILES_SQL,
@@ -4593,11 +4576,14 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": _ann_lsh_sql(),
         "ann_ivf_topk": _ann_ivf_sql(),
         "ann_ivf_kmeans_topk": _ann_ivf_kmeans_sql(),
+        "stream_interval_join": _STREAM_INTERVAL_JOIN_SQL,
         "stream_incremental_dedup": _STREAM_DEDUP_SQL,
         "stream_windowed_agg": _STREAM_WINDOWED_SQL,
         "stream_keep_richest_state": _DEDUP_RICHEST_SQL,
         "stream_corpus_dedup": _STREAM_CORPUS_DEDUP_SQL,
         "except_churned_users": _EXCEPT_SQL,
+        "state_durations": _STATE_DURATIONS_SQL,
+        "flatline_runs": _FLATLINE_RUNS_SQL,
         "sessionize": _SESSIONIZE_SQL,
         "range_join_windows": _RANGE_JOIN_SQL,
         "flagship_tower_pipeline": _FLAGSHIP_SQL,

@@ -538,7 +538,9 @@ def semdedup(
         id_col=id_col,
         vec_col="__cv",
         dim=dim,
-    )
+    ).withColumn("__n", _norm(F.col("__cv")))
+    # norm computed BEFORE the persist so both pair sides read the
+    # materialized value instead of re-deriving it per branch
     if persist_cells:
         # ``cells`` feeds BOTH pair sides and the final left join —
         # un-persisted, Spark re-runs the quantizer-train + assign
@@ -553,14 +555,13 @@ def semdedup(
     # norms ride the persisted cells (computed once per vector): the
     # within-cluster pair loop does ONE dot per pair — dot/(na*nb) is
     # exactly the expression cosine() builds, bit-identical result
-    normed = cells.withColumn("__n", _norm(F.col("__cv")))
-    a = normed.select(
+    a = cells.select(
         F.col(id_col).alias("__ida"),
         F.col("__cv").alias("__va"),
         F.col("__n").alias("__na"),
         "centroid_id",
     )
-    b = normed.select(
+    b = cells.select(
         F.col(id_col).alias("__idb"),
         F.col("__cv").alias("__vb"),
         F.col("__n").alias("__nb"),
@@ -664,8 +665,9 @@ def srp_planes_for(n_vectors: int, occupancy: int = 256) -> int:
     :func:`lsh_ann_topk`: with a FIXED plane count, bucket occupancy
     grows ∝ n and candidate pairs ∝ n² — measured 72.6× runtime for a
     10× corpus (tools/scale_probe.py). Scaling planes with log2(n)
-    holds occupancy flat so pair work grows ~linearly (measured 12.6×
-    for 10× with the recall-compensating table doubling below).
+    holds occupancy flat so pair work grows ~linearly (measured ~12×
+    for 10× data with the recall-compensating table doubling below —
+    tools/scale_probe.py, SCALING.md).
 
     More planes lower per-table recall at a given angle
     (recall/table = (1-θ/π)^planes), so when planes grow, grow

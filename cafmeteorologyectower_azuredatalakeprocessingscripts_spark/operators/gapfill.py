@@ -148,7 +148,12 @@ def scd2_intervals(
         .groupBy(key_col, "run_id", attr_col)
         .agg(F.min(ts_col).alias("valid_from"), F.count(F.lit(1)).alias("n_rows"))
     )
-    w_runs = Window.partitionBy(key_col).orderBy(F.col("valid_from").asc())
+    # run_id in the ordering: two runs CAN share a valid_from when the
+    # attribute changes between rows with tied timestamps — valid_from
+    # alone would make lead() ambiguous there
+    w_runs = Window.partitionBy(key_col).orderBy(
+        F.col("valid_from").asc(), F.col("run_id").asc()
+    )
     return runs.select(
         key_col,
         "run_id",

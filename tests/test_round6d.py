@@ -463,3 +463,47 @@ def test_embed_neardup_default_planes_autosize(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_scd2_tied_timestamps_split_by_tiebreak(spark):
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.operators.gapfill import (
+        scd2_intervals,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    # two state changes at the SAME timestamp: run order must follow the
+    # event_id tiebreak, and lead() must still close intervals uniquely
+    rows = [
+        Row(ts=base, user_id=1, event_id=0, event_type="a"),
+        Row(ts=base, user_id=1, event_id=1, event_type="b"),
+        Row(ts=base + datetime.timedelta(hours=1), user_id=1, event_id=2,
+            event_type="c"),
+    ]
+    out = (
+        scd2_intervals(
+            spark.createDataFrame(rows), "user_id", "ts", "event_type",
+            order_tiebreak="event_id",
+        )
+        .orderBy("run_id")
+        .collect()
+    )
+    assert [r["event_type"] for r in out] == ["a", "b", "c"]
+    assert out[0]["valid_to"] == base  # closed by the tied-ts successor
+    assert out[1]["valid_from"] == base
+    assert out[2]["valid_to"] is None
+
+
+def test_percentile_norm_ties_share_rank_and_decile(spark):
+    import __spark_entry__ as entrymod
+    import tempfile, os
+
+    rows = [Row(doc_id=i, source="s", n_chars=100 if i < 4 else 200,
+                text="x", lang="en") for i in range(8)]
+    tmp = tempfile.mkdtemp()
+    spark.createDataFrame(rows).write.parquet(os.path.join(tmp, "documents.parquet"))
+    out = entrymod.queries()["percentile_norm"](spark, tmp).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    # all four tied docs get the SAME pct_rank and decile
+    assert len({(by_id[i]["pct_rank"], by_id[i]["decile"]) for i in range(4)}) == 1
+    assert by_id[0]["pct_rank"] == 0.0 and by_id[0]["decile"] == 1
+    assert by_id[7]["decile"] > by_id[0]["decile"]
