@@ -1,9 +1,14 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}. Each query is fully materialized via
-the noop sink (no column pruning of the output, no driver collect).
+FINAL stdout line is the compact headline JSON the driver parses:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {name: sec},
+"sf": ..., "n": ...}. The per-query [min, median, max] spread and the
+extra-section timings are emitted on a PRECEDING line and mirrored to
+BENCH_extra.json (the driver's tail capture truncated the old single
+giant line in r3 and r6, losing the headline "value"). Each query is
+fully materialized via the noop sink (no column pruning of the output,
+no driver collect).
 """
 
 from __future__ import annotations
@@ -133,6 +138,21 @@ def main() -> None:
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         extra[name] = round(best, 3)
+    # The driver tail-captures stdout and parses the LAST JSON line; in
+    # r3 and r6 a single giant line (headline + spread + extra) outgrew
+    # the capture window and truncated away the "value" field (VERDICT r6
+    # item 1). So: spread + extra go to a sidecar file AND a preceding
+    # stdout line, and the FINAL line is the compact headline only.
+    sidecar = {"spread": spread, "extra": extra, "sf": sf, "n": N_RUNS}
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_extra.json"),
+            "w",
+        ) as f:
+            json.dump(sidecar, f, indent=1)
+    except OSError:
+        pass
+    print(json.dumps(sidecar))
     print(
         json.dumps(
             {
@@ -140,8 +160,6 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
-                "spread": spread,
-                "extra": extra,
                 "sf": sf,
                 "n": N_RUNS,
             }

@@ -712,12 +712,19 @@ def winsorize_by_group(
     value_col: str,
     lo_rank_frac: float = 0.05,
     hi_rank_frac: float = 0.95,
+    keep_nulls: bool = False,
 ) -> DataFrame:
     """Per-group winsorization: clamp values outside the group's exact
     rank-selected [lo, hi] quantiles (discrete quantiles — the value AT
     rank ceil(frac·n), deterministic where interpolating percentiles
     are engine-dependent). The outlier-taming step quality-score
     pipelines apply before averaging.
+
+    NULL handling: rows whose ``value_col`` is NULL are DROPPED by
+    default (they cannot rank and must not count toward n). Pass
+    ``keep_nulls=True`` to pass them through instead with NULL
+    lo_cut/hi_cut/winsorized (costs one extra zero-shuffle union branch
+    off the same scan).
 
     Both cut points ride as unbounded windows over the SAME group
     partitioning that the rank needs — one shuffle, one sort, no
@@ -741,7 +748,7 @@ def winsorize_by_group(
     hi_rk = F.greatest(F.ceil(F.col("__n") * F.lit(hi_rank_frac)), F.lit(1))
     lo = F.max(F.when(F.col("__rk") <= lo_rk, v)).over(w_all)
     hi = F.max(F.when(F.col("__rk") <= hi_rk, v)).over(w_all)
-    return (
+    out = (
         ranked.select(
             "*",
             lo.alias("lo_cut"),
@@ -753,3 +760,14 @@ def winsorize_by_group(
         )
         .drop("__rk", "__n")
     )
+    if keep_nulls:
+        null_t = df.schema[value_col].dataType.simpleString()
+        out = out.unionByName(
+            df.filter(v.isNull()).select(
+                "*",
+                F.lit(None).cast(null_t).alias("lo_cut"),
+                F.lit(None).cast(null_t).alias("hi_cut"),
+                F.lit(None).cast(null_t).alias("winsorized"),
+            )
+        )
+    return out

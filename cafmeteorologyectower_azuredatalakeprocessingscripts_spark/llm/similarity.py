@@ -228,8 +228,10 @@ def ivf_assign(
     cosine). ``centroids`` must have columns (centroid_id, __ctr).
     Centroids are broadcast — the coarse quantizer is tiny by
     construction — so assignment is a map-only pass over the corpus.
-    Pass ``dim`` to run the centroids x corpus affinity loop in
-    whole-stage codegen (bit-identical result)."""
+    ``dim`` is accepted for signature stability with the static-SQL
+    call sites only and is NOT used by the affinity loop — the unrolled
+    form loses here (see ``_cos_expr``); the affinity runs the carried-
+    norm HOF dot regardless."""
     # norms computed ONCE per centroid and per corpus vector and carried
     # as scalars: the n_centroids x corpus affinity loop then does one
     # dot per pair instead of dot + two norms (3x less interpreted-HOF
@@ -398,8 +400,17 @@ def embed_neardup_pairs(
     dim: int | None = None,
     planes: int | None = None,
     tables: int = 8,
+    approx_count: int | None = None,
 ) -> DataFrame:
     """Embedding near-duplicate pairs (cosine >= threshold).
+
+    NOTE on laziness: with ``block=True`` and ``planes=None`` (the
+    defaults) this builder runs an EAGER ``df.count()`` Spark job at
+    plan-construction time to auto-size the SRP bucket structure — on a
+    huge input that is a full pass over the upstream pipeline before
+    the real job, re-run per call. Pass ``planes=`` to pin the
+    structure, or ``approx_count=`` (any within-2x estimate is fine —
+    planes only moves by 1 per 2x) to size it without the job.
 
     ``block=True`` (the default — the scale path; requires ``dim``):
     SRP-LSH blocking, never an all-pairs join. ``block=False`` is the
@@ -425,8 +436,11 @@ def embed_neardup_pairs(
             # count means occupancy ∝ n and candidate pairs ∝ n²
             # (measured 72.6x runtime for 10x data — SCALING.md, D-29).
             # One count() job at construction time buys the right
-            # bucket structure; pass planes explicitly to skip it.
-            planes = srp_planes_for(df.count())
+            # bucket structure; pass planes= or approx_count= to skip
+            # it (see the docstring NOTE).
+            planes = srp_planes_for(
+                approx_count if approx_count is not None else df.count()
+            )
         from ..operators.unions import spread
 
         v = spread(
@@ -504,6 +518,7 @@ def semdedup(
     vec_col: str = "embedding",
     persist_cells: bool = True,
     dim: int | None = None,
+    cells_out: list | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication by clustering embeddings and dropping near-identical
@@ -522,6 +537,12 @@ def semdedup(
     the largest cluster (Σ cluster², never n²), and cluster count grows
     with the corpus, so per-cluster work stays flat at 100 TB. No
     global shuffle of the corpus beyond the one hash by cluster id.
+
+    Cache lifecycle: ``persist_cells=True`` (default) persists the
+    assigned-cells frame (read 3x by the plan). Pass ``cells_out=[]``
+    to receive that persisted DataFrame and ``.unpersist()`` it after
+    consuming the result — see the inline comment for why the builder
+    cannot release it itself.
     """
     cents = kmeans_centroids(
         corpus,
@@ -546,12 +567,16 @@ def semdedup(
         # un-persisted, Spark re-runs the quantizer-train + assign
         # subtree once per use (no common-subexpression reuse across
         # exchanges, D-28); one materialization is corpus-sized, the
-        # recompute is 3x. Lifecycle: nothing here can unpersist after
-        # the (lazy) result materializes, so the cache lives until the
-        # caller's ``spark.catalog.clearCache()`` or LRU eviction
-        # (MEMORY_AND_DISK) — long-lived sessions that care should pass
-        # ``persist_cells=False`` or clear the cache after consuming.
+        # recompute is 3x. Lifecycle: the builder cannot unpersist for
+        # you (the result is lazy), so pass ``cells_out=[]`` and call
+        # ``cells_out[0].unpersist()`` after consuming the result —
+        # otherwise the corpus-sized cache lives until the caller's
+        # ``spark.catalog.clearCache()`` or LRU eviction
+        # (MEMORY_AND_DISK). Long-lived sessions: use the handle, or
+        # pass ``persist_cells=False``.
         cells = cells.persist()
+        if cells_out is not None:
+            cells_out.append(cells)
     # norms ride the persisted cells (computed once per vector): the
     # within-cluster pair loop does ONE dot per pair — dot/(na*nb) is
     # exactly the expression cosine() builds, bit-identical result

@@ -1,5 +1,6 @@
 """Empirical scaling probe: measure the blocked dedup / similarity /
-curation operators at 1x and 10x corpus size and report the time ratio.
+curation operators at 1x and 10x corpus size (plus a 100x
+embeddings-only tier for the two pair-formers) and report time ratios.
 
 The 100 TB claim rests on these ops scaling ~linearly in the corpus
 (pair stages bounded by blocking, agg stages by map-side combine). This
@@ -88,7 +89,7 @@ def synth_documents(spark, replicas):
     )
 
 
-def probe_ops(spark, doc_dir, emb_dir, scale):
+def probe_ops(spark, doc_dir, emb_dir, scale, only=None):
     from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm import (
         bm25_topk,
         minhash_lsh_pairs,
@@ -137,14 +138,25 @@ def probe_ops(spark, doc_dir, emb_dir, scale):
     }
     out = {}
     for name, build in ops.items():
+        if only is not None and name not in only:
+            continue
         best = float("inf")
         for _ in range(2):
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             build().write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
-        out[name] = round(best, 2)
+        # raw seconds — ratios are computed on these; rounding happens
+        # only at display time (a 2-decimal 0.0 denominator raised
+        # ZeroDivisionError on sub-10ms ops)
+        out[name] = best
     return out
+
+
+def _ratios(num: dict, den: dict) -> dict:
+    return {
+        k: round(num[k] / max(den[k], 1e-3), 1) for k in den if k in num
+    }
 
 
 def main():
@@ -166,15 +178,27 @@ def main():
     results = {}
     for scale, (d, e) in dirs.items():
         results[f"{scale}x"] = probe_ops(spark, d, e, scale)
-    ratios = {
-        k: round(results["10x"][k] / results["1x"][k], 1)
-        for k in results["1x"]
-    }
+    # 100x tier (500k vectors): the two PAIR-FORMERS only — these are
+    # the ops whose sizing rules (srp_planes_for, n_centroids ∝ corpus)
+    # must hold across decades; the doc-side ops are single-pass agg
+    # shapes already shown ~linear at 10x. Embeddings only: no 100x
+    # document corpus is synthesized (the word-shuffle synth at 100x
+    # replicas is probe-dominating prep, not engine signal).
+    PAIR_FORMERS = ("embed_neardup_blocked", "semdedup")
+    e100 = os.path.join(tmp, "embs100")
+    synth_embeddings(spark, 5000 * 100).repartition(64).write.parquet(e100)
+    results["100x"] = probe_ops(
+        spark, dirs[1][0], e100, 100, only=PAIR_FORMERS
+    )
     payload = {
         "base_docs": n_docs_base,
         "base_vecs": 5000,
-        "results": results,
-        "ratio_10x_over_1x": ratios,
+        "results": {
+            tier: {k: round(t, 2) for k, t in r.items()}
+            for tier, r in results.items()
+        },
+        "ratio_10x_over_1x": _ratios(results["10x"], results["1x"]),
+        "ratio_100x_over_10x": _ratios(results["100x"], results["10x"]),
     }
     print(json.dumps(payload))
     shutil.rmtree(tmp, ignore_errors=True)
