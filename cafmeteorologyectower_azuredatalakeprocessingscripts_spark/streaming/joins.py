@@ -33,11 +33,23 @@ def stream_interval_join(
     lookback: str = "30 minutes",
     left_watermark: str = "1 hour",
     right_watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
-    """Inner stream-stream join: right rows in ``[left_ts - lookback,
+    """Stream-stream join: right rows in ``[left_ts - lookback,
     left_ts]`` for the same ``key`` (the attribution shape: every left
     event matched to the right events that preceded it within the
     window).
+
+    ``how='inner'`` (default) emits matches immediately.
+    ``how='left_outer'`` additionally emits each unmatched left row
+    ONCE with nulls on the right side — but only after the query
+    watermark (min across both sides) passes ``left_ts + lookback``,
+    when Spark can prove no further right match can arrive. In a
+    bounded replay this means null rows need a LATER micro-batch whose
+    data advances the watermark past the row — a single availableNow
+    batch emits only the inner matches (see
+    ``tests/test_streaming_state.py`` for the two-batch proof and the
+    driver query for the sentinel-flush pattern).
 
     Both inputs must be streaming DataFrames. The right watermark must
     cover ``right_watermark >= left_watermark + lookback`` or correct
@@ -48,6 +60,8 @@ def stream_interval_join(
     avoid ambiguity (stream-stream joins forbid dropping the join keys
     pre-join).
     """
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"how must be 'inner' or 'left_outer', got {how!r}")
     # rename BEFORE the watermark: watermark delay metadata rides on the
     # specific attribute it was declared on, so declare it on the final
     # (prefixed) event-time column
@@ -65,4 +79,4 @@ def stream_interval_join(
             >= F.col(f"l_{left_ts}") - F.expr(f"INTERVAL {lookback}")
         )
     )
-    return l.join(r, cond, "inner")
+    return l.join(r, cond, how)

@@ -117,3 +117,156 @@ def test_embed_neardup_approx_count_matches_exact_sizing(spark):
     # the docstring contract: planes moves by at most 1 per 2x estimate error
     assert abs(srp_planes_for(10_000) - srp_planes_for(20_000)) <= 1
     assert srp_planes_for(10_000) == srp_planes_for(10_000)
+
+
+# ----------------------------------------------------------- PNG codec
+def test_png_roundtrip_all_channel_layouts():
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.png import (
+        decode_png,
+        encode_png,
+    )
+
+    for channels in (1, 2, 3, 4):
+        w, h = 5, 3
+        pix = bytes((i * 37 + channels) % 256 for i in range(w * h * channels))
+        w2, h2, c2, pix2 = decode_png(encode_png(w, h, channels, pix))
+        assert (w2, h2, c2) == (w, h, channels)
+        assert pix2 == pix
+
+
+def _raw_png(width, height, channels, raw_scanlines):
+    """Hand-build a PNG from pre-filtered scanline bytes."""
+    import struct
+    import zlib
+
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+
+    def chunk(t, b):
+        return (
+            struct.pack(">I", len(b))
+            + t
+            + b
+            + struct.pack(">I", zlib.crc32(t + b) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw_scanlines)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_decode_every_filter_type():
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.png import (
+        decode_png,
+    )
+
+    # 3 px wide, 1 channel. Row0 unfiltered = [10, 20, 30].
+    # Row1 Sub:   raw [5, 5, 5]   -> [5, 10, 15]
+    # Row2 Up:    raw [1, 1, 1]   -> [6, 11, 16]
+    # Row3 Avg:   raw [2, 2, 2]   -> a=left,b=up: [2+3=5, 2+(5+11)//2=10, 2+(10+16)//2=15]
+    # Row4 Paeth: raw [0, 0, 0]   -> pred: a=0,b=5,c=0 -> 5 ; then a=5,b=10,c=5 -> 10; a=10,b=15,c=10 -> 15
+    raw = bytes(
+        [0, 10, 20, 30]
+        + [1, 5, 5, 5]
+        + [2, 1, 1, 1]
+        + [3, 2, 2, 2]
+        + [4, 0, 0, 0]
+    )
+    w, h, c, pix = decode_png(_raw_png(3, 5, 1, raw))
+    assert (w, h, c) == (3, 5, 1)
+    rows = [list(pix[i * 3:(i + 1) * 3]) for i in range(5)]
+    assert rows[0] == [10, 20, 30]
+    assert rows[1] == [5, 10, 15]
+    assert rows[2] == [6, 11, 16]
+    assert rows[3] == [5, 10, 15]
+    assert rows[4] == [5, 10, 15]
+
+
+def test_png_unsupported_payloads_raise():
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.png import (
+        PngUnsupported,
+        decode_png,
+        is_png,
+    )
+
+    assert not is_png(b"plain text")
+    with pytest.raises(PngUnsupported):
+        decode_png(b"plain text bytes")
+    # 16-bit depth rejected
+    import struct
+    import zlib
+
+    def chunk(t, b):
+        return (
+            struct.pack(">I", len(b))
+            + t
+            + b
+            + struct.pack(">I", zlib.crc32(t + b) & 0xFFFFFFFF)
+        )
+
+    ihdr16 = struct.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0)
+    p = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr16)
+        + chunk(b"IDAT", zlib.compress(b"\x00\x00\x00"))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(PngUnsupported):
+        decode_png(p)
+
+
+def test_png_resize_nearest_exact():
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.png import (
+        resize_nearest,
+    )
+
+    # 4x4 gray gradient downsampled 2x2: floor mapping picks (0,0),(2,0),(0,2),(2,2)
+    pix = bytes(range(16))
+    out = resize_nearest(4, 4, 1, pix, 2, 2)
+    assert list(out) == [0, 2, 8, 10]
+    # upsample 1x1 -> 3x3 replicates the pixel
+    assert list(resize_nearest(1, 1, 1, b"\x07", 3, 3)) == [7] * 9
+
+
+def test_extract_features_png_pixels_and_fallback(spark):
+    from pyspark.sql import Row as R
+
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.multimodal import (
+        extract_features,
+    )
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.png import (
+        encode_png,
+    )
+
+    png = encode_png(2, 2, 1, bytes([1, 2, 3, 4]))
+    df = spark.createDataFrame(
+        [R(doc_id=0, payload=bytearray(png)), R(doc_id=1, payload=bytearray(b"not a png"))]
+    )
+    out = {r["doc_id"]: r for r in extract_features(df).collect()}
+    assert (out[0]["width"], out[0]["height"], out[0]["channels"]) == (2, 2, 1)
+    assert out[0]["pixel_sum"] == 10
+    assert out[1]["pixel_sum"] is None and out[1]["width"] is None
+    assert out[1]["content_md5"] is not None  # digest fallback intact
+
+
+def test_resize_images_real_png_path(spark):
+    from pyspark.sql import Row as R
+
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.multimodal import (
+        resize_images,
+    )
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.png import (
+        decode_png,
+        encode_png,
+    )
+
+    png = encode_png(4, 4, 1, bytes(range(16)))
+    df = spark.createDataFrame([R(doc_id=0, payload=bytearray(png))])
+    out = resize_images(df, 2, 2).collect()[0]
+    assert out["meta"]["mime"] == "image/png"
+    w, h, c, pix = decode_png(bytes(out["payload"]))
+    assert (w, h, c) == (2, 2, 1)
+    assert list(pix) == [0, 2, 8, 10]

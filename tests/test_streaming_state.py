@@ -257,3 +257,73 @@ def test_stream_interval_join_matches_across_batches(spark, tmp_path):
     assert [(r["l_event_id"], r["r_event_id"], r["l_user_id"]) for r in rows] == [
         (20, 10, 1)
     ]
+
+
+def test_stream_interval_join_left_outer_nulls_are_watermark_gated(
+    spark, tmp_path
+):
+    """Left-outer null emission only happens once the query watermark
+    (min across both sides) passes ``left_ts + lookback``: batch 1 over
+    the real rows emits ONLY the inner match; the null row for the
+    unmatched purchase appears after a later batch whose far-future
+    rows advance both watermarks (the sentinel-flush pattern)."""
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.streaming import (
+        stream_interval_join,
+    )
+
+    schema = "event_id bigint, user_id bigint, ts timestamp, event_type string"
+    t0 = datetime.datetime(2024, 1, 1, 12, 0)
+    lsrc, rsrc = str(tmp_path / "l"), str(tmp_path / "r")
+    os.makedirs(lsrc)
+    os.makedirs(rsrc)
+
+    def write(d, name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            os.path.join(d, name)
+        )
+
+    # user 1's purchase has a click 10 min before; user 2's has none
+    write(rsrc, "f0.parquet",
+          [(10, 1, t0 - datetime.timedelta(minutes=10), "click")])
+    write(lsrc, "f0.parquet",
+          [(20, 1, t0, "purchase"), (21, 2, t0, "purchase")])
+
+    out = stream_interval_join(
+        spark.readStream.schema(schema).parquet(lsrc + "/*"),
+        spark.readStream.schema(schema).parquet(rsrc + "/*"),
+        key="user_id",
+        lookback="30 minutes",
+        how="left_outer",
+    ).select("l_event_id", "r_event_id", "l_user_id")
+
+    batches: list[list] = []
+
+    def run_once():
+        q = (
+            out.writeStream.outputMode("append")
+            .foreachBatch(lambda df, bid: batches.append(df.collect()))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    emitted = [
+        (r["l_event_id"], r["r_event_id"]) for b in batches for r in b
+    ]
+    # watermark has not passed t0 + lookback: inner match only, the
+    # unmatched purchase 21 is still held back
+    assert emitted == [(20, 10)]
+
+    far = t0 + datetime.timedelta(hours=10)
+    write(lsrc, "f1.parquet", [(-1, -1, far, "purchase")])
+    write(rsrc, "f1.parquet", [(-2, -1, far, "click")])
+    run_once()
+    emitted = sorted(
+        (r["l_event_id"], r["r_event_id"])
+        for b in batches
+        for r in b
+        if r["l_user_id"] > 0
+    )
+    assert emitted == [(20, 10), (21, None)]
