@@ -2005,7 +2005,12 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     the (query_id, vec_id) result sets (both sides unique pairs by
     construction); recall is reported in exact integer micro-units
     (n_hits*1e6 DIV n_truth — no float in the hash). The 1-row truth
-    count rides a broadcast cross join."""
+    count rides a broadcast cross join. Plan note: truth feeds three
+    consumers, so the un-persisted plan recomputes the brute-force
+    top-k per consumer — fine for a QA report over a sampled query
+    set (the intended use: truth is O(q·n) and q is small); a
+    recurring production recall job should persist/checkpoint truth
+    first (see semdedup's cells_out pattern)."""
     from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm import (
         ivf_ann_topk,
         lsh_ann_topk,

@@ -66,6 +66,10 @@ EXTRA_QUERIES = [
     "scd2_history",
     "flatline_runs",
     "state_durations",
+    # new in r7 (stream_interval_join_left excluded: multi-batch
+    # checkpointed streaming replay, not a throughput number)
+    "ann_recall_report",
+    "multimodal_png_pixels",
 ]
 
 HEADLINE = [

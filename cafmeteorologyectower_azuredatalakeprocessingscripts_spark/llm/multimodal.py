@@ -201,8 +201,12 @@ def text_to_png_payload(
     ``width x height`` GRAYSCALE image whose pixels are the codepoints
     (mod 256) of the first ``width*height`` characters of ``src_col``,
     space-padded — a pure function of the text another engine can
-    recompute without a codec. Arrow-batched, map-only."""
+    recompute without a codec. Arrow-batched, map-only. The explicit
+    projection below matters: mapInPandas ships every input column to
+    the Python worker, so selecting (id, text) first is what lets the
+    parquet scan prune to 2 columns."""
     n = width * height
+    df = df.select(id_col, src_col)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
