@@ -34,6 +34,11 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# the 100x tier's pair stages keep ~10^8-row hash-agg state; the 8g
+# test default OOMs there (observed: Java heap space in the pair-dedup
+# aggregate). Must be set before the JVM starts.
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
+
 from pyspark.sql import functions as F
 
 from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.session import get_spark
@@ -187,9 +192,14 @@ def main():
     PAIR_FORMERS = ("embed_neardup_blocked", "semdedup")
     e100 = os.path.join(tmp, "embs100")
     synth_embeddings(spark, 5000 * 100).repartition(64).write.parquet(e100)
+    # more shuffle partitions at 100x: per-task aggregate state for the
+    # ~10^8 candidate pairs must fit the heap (on a real cluster this is
+    # the one knob that scales with data; AQE coalesces excess)
+    spark.conf.set("spark.sql.shuffle.partitions", "256")
     results["100x"] = probe_ops(
         spark, dirs[1][0], e100, 100, only=PAIR_FORMERS
     )
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
     payload = {
         "base_docs": n_docs_base,
         "base_vecs": 5000,

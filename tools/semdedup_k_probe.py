@@ -1,0 +1,58 @@
+"""Follow-up probe: SemDeDup centroid-count scaling rule at the 100x
+tier (500k vectors).
+
+The r6 rule "n_centroids ∝ corpus" keeps the within-cluster PAIR cost
+flat (Σ cluster² = k·(n/k)² = n²/k → linear in n when k ∝ n), but the
+ASSIGNMENT stage is n·k cosine evaluations — quadratic in n under the
+same rule. Total work  W(k) = a·n·k + b·n²/k  is minimized at
+k* = √(b/a)·√n: the classic IVF balance point. This probe times
+semdedup at 100x under both rules so SCALING.md's guidance is
+measured, not argued:
+
+- k ∝ n      (k=1600): pair stage flat, assignment dominates
+- k ∝ √n     (k=160):  both stages n^1.5 — the balanced rule
+
+Usage: PYTHONPATH=/root/repo python tools/semdedup_k_probe.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.session import get_spark
+from tools.scale_probe import synth_embeddings
+
+
+def main() -> None:
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.similarity import (
+        semdedup,
+    )
+
+    spark = get_spark("semdedup-k-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    tmp = tempfile.mkdtemp(prefix="caf_kprobe_")
+    n = 500_000
+    path = os.path.join(tmp, "embs")
+    synth_embeddings(spark, n).repartition(64).write.parquet(path)
+    embs = spark.read.parquet(path)
+    out = {}
+    for label, k in (("k_sqrt_n", 160), ("k_prop_n", 1600)):
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        semdedup(
+            embs, n_centroids=k, threshold=0.4, persist_cells=False
+        ).write.format("noop").mode("overwrite").save()
+        out[label] = round(time.perf_counter() - t0, 1)
+    print(json.dumps({"n_vectors": n, "times_sec": out}))
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
