@@ -16,8 +16,12 @@
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .dedup import md5_int
 
@@ -261,6 +265,70 @@ def ivf_assign(
         .filter(F.col("__cr") <= n_probe)
         .drop("__ctr", "__aff", "__cr", "__vn", "__cn")
     )
+
+
+def ivf_assign_arrow(
+    df: DataFrame,
+    centroids: DataFrame,
+    n_probe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Arrow/numpy variant of :func:`ivf_assign` — the THROUGHPUT path
+    for large corpora. Same contract (input columns + ``centroid_id``,
+    round-6 cosine affinity, centroid-id tiebreak), different physics:
+
+    - the corpus × centroid affinity runs as ONE numpy matmul per Arrow
+      batch instead of n·k interpreted HOF folds (BLAS: ~100x), and
+    - top-``n_probe`` selection happens inside the batch, so the n·k
+      scored rows are never materialized, never shuffled — where the
+      expression form shuffles n·k rows through a window
+      (scale_probe measured the difference at 500k x 1600: see
+      SCALING.md).
+
+    Exactness caveat (why this is not the oracle path):
+    :func:`ivf_assign` folds the dot left-to-right, which DuckDB's
+    ``list_sum`` replays exactly; BLAS sums in vectorized blocks, so
+    the float64 affinity can differ in the last bits. Both round to 6
+    before comparison, so disagreement needs a true value within
+    ~1e-10 of a .5e-6 rounding boundary — vanishingly rare but not
+    never; keep the expression form wherever a cross-engine replay
+    must be bit-exact.
+
+    The quantizer is driver-collected here (it is tiny by construction
+    — the same rows every executor would get via broadcast), which
+    makes this builder EAGER on the centroids frame."""
+    cents = centroids.select("centroid_id", "__ctr").toPandas()
+    cents = cents.sort_values("centroid_id")  # stable-argsort tiebreak
+    cent_ids = [int(x) for x in cents["centroid_id"]]
+    cent_rows = [list(map(float, v)) for v in cents["__ctr"]]
+
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField("centroid_id", T.IntegerType())]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        C = np.asarray(cent_rows, dtype=np.float64)  # k x d
+        cn = np.sqrt((C * C).sum(axis=1))
+        ids = np.asarray(cent_ids)
+        k_take = min(n_probe, len(cent_ids))
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )  # b x d
+            vn = np.sqrt((V * V).sum(axis=1))
+            aff = np.round((V @ C.T) / np.outer(vn, cn), 6)
+            # ids ascend, stable argsort on -aff => ties break by id
+            order = np.argsort(-aff, axis=1, kind="stable")[:, :k_take]
+            rep = pdf.loc[pdf.index.repeat(k_take)].reset_index(drop=True)
+            rep["centroid_id"] = ids[order].ravel()
+            yield rep
+
+    return df.mapInPandas(run, out_schema)
 
 
 def kmeans_centroids(
@@ -519,6 +587,7 @@ def semdedup(
     persist_cells: bool = True,
     dim: int | None = None,
     cells_out: list | None = None,
+    assign: str = "expr",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication by clustering embeddings and dropping near-identical
@@ -543,7 +612,16 @@ def semdedup(
     to receive that persisted DataFrame and ``.unpersist()`` it after
     consuming the result — see the inline comment for why the builder
     cannot release it itself.
+
+    ``assign`` picks the quantizer-assignment implementation:
+    ``'expr'`` (default) is the engine-exact expression form the
+    oracle replays bit-for-bit; ``'arrow'`` is
+    :func:`ivf_assign_arrow` — numpy-matmul affinity, no n·k row
+    shuffle — the throughput path once ``n_centroids`` grows with the
+    corpus (assignment is n·k work; SCALING.md quantifies both).
     """
+    if assign not in ("expr", "arrow"):
+        raise ValueError(f"assign must be 'expr' or 'arrow', got {assign!r}")
     cents = kmeans_centroids(
         corpus,
         n_centroids=n_centroids,
@@ -552,14 +630,18 @@ def semdedup(
         vec_col=vec_col,
         dim=dim,
     )
-    cells = ivf_assign(
-        corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("__cv")),
-        cents,
-        n_probe=1,
-        id_col=id_col,
-        vec_col="__cv",
-        dim=dim,
-    ).withColumn("__n", _norm(F.col("__cv")))
+    cast_corpus = corpus.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("__cv")
+    )
+    if assign == "arrow":
+        assigned = ivf_assign_arrow(
+            cast_corpus, cents, n_probe=1, id_col=id_col, vec_col="__cv"
+        )
+    else:
+        assigned = ivf_assign(
+            cast_corpus, cents, n_probe=1, id_col=id_col, vec_col="__cv", dim=dim
+        )
+    cells = assigned.withColumn("__n", _norm(F.col("__cv")))
     # norm computed BEFORE the persist so both pair sides read the
     # materialized value instead of re-deriving it per branch
     if persist_cells:

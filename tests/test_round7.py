@@ -270,3 +270,60 @@ def test_resize_images_real_png_path(spark):
     w, h, c, pix = decode_png(bytes(out["payload"]))
     assert (w, h, c) == (2, 2, 1)
     assert list(pix) == [0, 2, 8, 10]
+
+
+# -------------------------------------------------- arrow IVF assignment
+def test_ivf_assign_arrow_matches_expression_form(spark):
+    import random
+
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.similarity import (
+        ivf_assign,
+        ivf_assign_arrow,
+        kmeans_centroids,
+    )
+
+    rng = random.Random(11)
+    df = _vecs(
+        spark,
+        [(i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(80)],
+    )
+    cents = kmeans_centroids(df, n_centroids=6)
+    for n_probe in (1, 3):
+        expr = {
+            (r["vec_id"], r["centroid_id"])
+            for r in ivf_assign(df, cents, n_probe=n_probe).collect()
+        }
+        arrow = {
+            (r["vec_id"], r["centroid_id"])
+            for r in ivf_assign_arrow(df, cents, n_probe=n_probe).collect()
+        }
+        assert arrow == expr
+    # n_probe beyond k clamps instead of erroring
+    full = ivf_assign_arrow(df, cents, n_probe=99).collect()
+    assert len(full) == 80 * 6
+
+
+def test_semdedup_arrow_assign_matches_expr(spark):
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.similarity import (
+        semdedup,
+    )
+
+    df = _vecs(
+        spark,
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.999, 0.01, 0.0]),
+            (3, [0.0, 1.0, 0.0]),
+            (4, [0.0, 0.0, 1.0]),
+            (5, [0.0, 0.01, 0.999]),
+        ],
+    )
+    kw = dict(n_centroids=2, threshold=0.95, persist_cells=False)
+    expr = sorted(
+        (r["vec_id"], r["keep"]) for r in semdedup(df, **kw).collect()
+    )
+    arrow = sorted(
+        (r["vec_id"], r["keep"])
+        for r in semdedup(df, assign="arrow", **kw).collect()
+    )
+    assert arrow == expr

@@ -12,6 +12,10 @@ measured, not argued:
 - k ∝ n      (k=1600): pair stage flat, assignment dominates
 - k ∝ √n     (k=160):  both stages n^1.5 — the balanced rule
 
+and under both assignment implementations (expression-form vs the
+numpy/Arrow `ivf_assign_arrow` throughput path), so the guidance in
+SCALING.md is a measured 2x2, not an argument.
+
 Usage: PYTHONPATH=/root/repo python tools/semdedup_k_probe.py
 """
 
@@ -25,6 +29,8 @@ import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
 
 from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.session import get_spark
 from tools.scale_probe import synth_embeddings
@@ -42,14 +48,21 @@ def main() -> None:
     path = os.path.join(tmp, "embs")
     synth_embeddings(spark, n).repartition(64).write.parquet(path)
     embs = spark.read.parquet(path)
+    spark.conf.set("spark.sql.shuffle.partitions", "256")
     out = {}
-    for label, k in (("k_sqrt_n", 160), ("k_prop_n", 1600)):
-        spark.catalog.clearCache()
-        t0 = time.perf_counter()
-        semdedup(
-            embs, n_centroids=k, threshold=0.4, persist_cells=False
-        ).write.format("noop").mode("overwrite").save()
-        out[label] = round(time.perf_counter() - t0, 1)
+    for klabel, k in (("k_sqrt_n_160", 160), ("k_prop_n_1600", 1600)):
+        for assign in ("arrow", "expr"):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            semdedup(
+                embs,
+                n_centroids=k,
+                threshold=0.4,
+                persist_cells=False,
+                assign=assign,
+            ).write.format("noop").mode("overwrite").save()
+            out[f"{klabel}_{assign}"] = round(time.perf_counter() - t0, 1)
+            print(json.dumps(out), flush=True)
     print(json.dumps({"n_vectors": n, "times_sec": out}))
     shutil.rmtree(tmp, ignore_errors=True)
 
