@@ -50,19 +50,24 @@ def main() -> None:
     embs = spark.read.parquet(path)
     spark.conf.set("spark.sql.shuffle.partitions", "256")
     out = {}
-    for klabel, k in (("k_sqrt_n_160", 160), ("k_prop_n_1600", 1600)):
-        for assign in ("arrow", "expr"):
-            spark.catalog.clearCache()
-            t0 = time.perf_counter()
-            semdedup(
-                embs,
-                n_centroids=k,
-                threshold=0.4,
-                persist_cells=False,
-                assign=assign,
-            ).write.format("noop").mode("overwrite").save()
-            out[f"{klabel}_{assign}"] = round(time.perf_counter() - t0, 1)
-            print(json.dumps(out), flush=True)
+    # the fourth cell of the 2x2 — (expr, k=1600) — is what
+    # tools/scale_probe.py's 100x tier measures; reuse that number
+    for klabel, k, assign in (
+        ("k_sqrt_n_160", 160, "arrow"),
+        ("k_prop_n_1600", 1600, "arrow"),
+        ("k_sqrt_n_160", 160, "expr"),
+    ):
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        semdedup(
+            embs,
+            n_centroids=k,
+            threshold=0.4,
+            persist_cells=False,
+            assign=assign,
+        ).write.format("noop").mode("overwrite").save()
+        out[f"{klabel}_{assign}"] = round(time.perf_counter() - t0, 1)
+        print(json.dumps(out), flush=True)
     print(json.dumps({"n_vectors": n, "times_sec": out}))
     shutil.rmtree(tmp, ignore_errors=True)
 
