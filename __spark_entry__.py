@@ -1366,8 +1366,8 @@ def q_multimodal_png(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MULTIMODAL_PNG_SQL = """
 SELECT doc_id, 8 AS width, 8 AS height, 1 AS channels,
        CAST(list_sum(list_transform(range(1, 65),
-            i -> ascii(substr(rpad(text, 64, ' '), i, 1)) % 256)) AS BIGINT)
-         AS pixel_sum
+            i -> ascii(substr(rpad(coalesce(text, ''), 64, ' '), i, 1)) % 256))
+         AS BIGINT) AS pixel_sum
 FROM documents
 """
 
@@ -2259,16 +2259,34 @@ def q_stream_interval_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     run_once()
     # sentinel flush: one purchase + one click 10h past the data's end
-    # on a user id no real row carries — advances both watermarks
-    max_ts = _read_parquet(spark, events_path).agg(F.max("ts")).collect()[0][0]
-    flush_ts = max_ts + datetime.timedelta(hours=10)
-    spark.createDataFrame(
-        [
-            (-1, flush_ts, -1, "purchase", 0.0, None),
-            (-2, flush_ts, -1, "click", 0.0, None),
-        ],
-        schema,
-    ).coalesce(1).write.parquet(os.path.join(src, "sentinel.parquet"))
+    # on a user id no real row carries — advances both watermarks. The
+    # sentinel file must carry ts in the RAW physical representation
+    # (the stream reads the raw schema and normalizes after): driver
+    # testdata has shipped ts as nano longs, NTZ micros, and plain
+    # TIMESTAMP across rounds (see ts_normalizer).
+    max_ts = (
+        T(spark, sf_dir, "events").agg(F.max("ts")).collect()[0][0]
+    )
+    flush_dt = max_ts + datetime.timedelta(hours=10)
+    ts_type = {f.name: f.dataType.simpleString() for f in schema.fields}["ts"]
+    if ts_type == "bigint":  # TIMESTAMP(NANOS) read as raw nano longs
+        import calendar
+
+        flush_val = (
+            calendar.timegm(flush_dt.timetuple()) * 1_000_000
+            + flush_dt.microsecond
+        ) * 1000
+    else:  # timestamp / timestamp_ntz both accept the naive datetime
+        flush_val = flush_dt
+    defaults = {"user_id": -1, "value": 0.0, "ts": flush_val}
+    rows = []
+    for eid, etype in ((-1, "purchase"), (-2, "click")):
+        row = {f.name: defaults.get(f.name) for f in schema.fields}
+        row.update(event_id=eid, event_type=etype)
+        rows.append(row)
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+        os.path.join(src, "sentinel.parquet")
+    )
     run_once()
     return spark.read.parquet(sink).filter(F.col("user_id") >= 0)
 

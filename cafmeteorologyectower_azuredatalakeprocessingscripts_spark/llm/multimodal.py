@@ -83,7 +83,7 @@ def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         for pdf in batches:
             digests, dims, sums = [], [], []
             for p in pdf["payload"]:
-                b = bytes(p)
+                b = b"" if p is None else bytes(p)
                 digests.append(hashlib.md5(b).digest())
                 if is_png(b):
                     try:
@@ -98,7 +98,9 @@ def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
-                    "byte_len": [len(p) for p in pdf["payload"]],
+                    "byte_len": [
+                        0 if p is None else len(p) for p in pdf["payload"]
+                    ],
                     "content_md5": [d.hex() for d in digests],
                     "fake_embedding": [_fake_embedding(d) for d in digests],
                     "width": [d[0] for d in dims],

@@ -324,7 +324,11 @@ def ivf_assign_arrow(
             aff = np.round((V @ C.T) / np.outer(vn, cn), 6)
             # ids ascend, stable argsort on -aff => ties break by id
             order = np.argsort(-aff, axis=1, kind="stable")[:, :k_take]
-            rep = pdf.loc[pdf.index.repeat(k_take)].reset_index(drop=True)
+            # positional repeat (iloc) — label-based loc would fan out
+            # wrongly if a batch ever carried duplicate index labels
+            rep = pdf.iloc[np.repeat(np.arange(len(pdf)), k_take)].reset_index(
+                drop=True
+            )
             rep["centroid_id"] = ids[order].ravel()
             yield rep
 

@@ -3,6 +3,8 @@ embed_neardup_pairs approx_count (no eager count job)."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import Row
 from pyspark.sql import functions as F
@@ -327,3 +329,45 @@ def test_semdedup_arrow_assign_matches_expr(spark):
         for r in semdedup(df, assign="arrow", **kw).collect()
     )
     assert arrow == expr
+
+
+# ---------------- left-outer stream join: nanos-long ts representation
+def test_stream_interval_join_left_on_nanos_long_events(spark, tmp_path):
+    """The driver's events.parquet has shipped ts as TIMESTAMP(NANOS)
+    (bigint under nanosAsLong). The left-outer query's sentinel-flush
+    file must be written in the SAME raw representation or the second
+    batch misparses; this runs the whole query against a nanos-long
+    events dir and checks the outer-null semantics end-to-end."""
+    import datetime as dt
+
+    import __spark_entry__ as entrymod
+    from pyspark.sql import functions as SF
+
+    t0 = dt.datetime(2024, 5, 1, 12, 0)
+
+    def us(d):
+        return int((d - dt.datetime(1970, 1, 1)).total_seconds() * 1_000_000)
+
+    rows = [
+        # user 1: purchase with a click 10 min earlier -> match
+        (1, us(t0 - dt.timedelta(minutes=10)) * 1000, 1, "click", 1.0, None),
+        (2, us(t0) * 1000, 1, "purchase", 9.0, None),
+        # user 2: purchase with no click -> null row after flush
+        (3, us(t0) * 1000, 2, "purchase", 5.0, None),
+    ]
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir)
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts bigint, user_id bigint, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.parquet(os.path.join(sf_dir, "events.parquet"))
+
+    out = entrymod.q_stream_interval_join_left(spark, sf_dir)
+    got = sorted(
+        (r["purchase_id"], r["click_id"], r["user_id"]) for r in out.collect()
+    )
+    assert got == [(2, 1, 1), (3, None, 2)]
+    gaps = {r["purchase_id"]: r["gap_us"] for r in out.collect()}
+    assert gaps[2] == 10 * 60 * 1_000_000
+    assert gaps[3] is None
