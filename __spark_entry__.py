@@ -2301,6 +2301,137 @@ LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
 """
 
 
+def q_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation of NULL gaps per user series
+    (operators/gapfill.interpolate_linear): prev/next non-null
+    neighbors from two frames over ONE (key, ts, id) sort; exact-micros
+    time fractions; edge rows stay NULL. The resample step between
+    spine insertion and windowed stats."""
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.operators.gapfill import (
+        interpolate_linear,
+    )
+
+    e = _events_with_nulls(spark, sf_dir)
+    out = interpolate_linear(
+        e,
+        ts_col="ts",
+        key_col="user_id",
+        value_col="value_n",
+        order_tiebreak="event_id",
+    )
+    return out.select("user_id", "event_id", "ts", "value_n", "value_n_li")
+
+
+_INTERPOLATE_SQL = f"""
+WITH base AS ({_NULLS_SQL}),
+nbrs AS (
+  SELECT user_id, event_id, ts, value_n,
+         last_value(value_n IGNORE NULLS) OVER w_p AS pv,
+         last_value(CASE WHEN value_n IS NOT NULL THEN ts END IGNORE NULLS)
+           OVER w_p AS pts,
+         first_value(value_n IGNORE NULLS) OVER w_n AS nv,
+         first_value(CASE WHEN value_n IS NOT NULL THEN ts END IGNORE NULLS)
+           OVER w_n AS nts
+  FROM base
+  WINDOW w_p AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING),
+         w_n AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, event_id, ts, value_n,
+       CASE WHEN value_n IS NOT NULL THEN value_n
+            ELSE round(pv + (nv - pv) *
+                 ((epoch_us(ts) - epoch_us(pts)) * 1.0 /
+                  (epoch_us(nts) - epoch_us(pts))), 6)
+       END AS value_n_li
+FROM nbrs
+"""
+
+
+def q_stream_dedup_within_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native streaming exact dedup (Spark 3.5+
+    dropDuplicatesWithinWatermark): the events stream unioned with
+    itself (every row a duplicate) deduped back to one row per
+    event_id — watermark-bounded state, unlike streaming
+    dropDuplicates whose state grows with distinct keys forever."""
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.streaming import (
+        stream_dedup_within_watermark,
+    )
+
+    schema = _read_parquet(spark, os.path.join(sf_dir, "events.parquet")).schema
+    tmp = tempfile.mkdtemp(prefix="caf_stream_ddwm_")
+    src = os.path.join(tmp, "src")
+    os.makedirs(src)
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(src, "events.parquet"),
+    )
+    norm = _ts_normalizer(schema)
+
+    def read_src() -> DataFrame:
+        st = spark.readStream.schema(schema).parquet(src + "/*")
+        if norm is not None:
+            st = norm(st)
+        return st.select("event_id", "user_id", "event_type", "ts")
+
+    deduped = stream_dedup_within_watermark(
+        read_src().unionByName(read_src()),
+        keys=("event_id",),
+        ts_col="ts",
+        watermark="1 hour",
+    )
+    sink = os.path.join(tmp, "out")
+
+    def dump(df: DataFrame, bid: int) -> None:
+        df.write.mode("append").parquet(sink)
+
+    (
+        deduped.writeStream.outputMode("append")
+        .foreachBatch(dump)
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.read.parquet(sink)
+
+
+_STREAM_DDWM_SQL = """
+SELECT event_id, user_id, event_type, ts FROM events
+"""
+
+
+def q_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VariantType path for semi-structured data: parse the
+    JSON props column once into a variant (binary-encoded, typed
+    access without re-parsing) and extract through variant_get — the
+    modern engine surface next to get_json_object (json_props_extract).
+    Aggregates per event_type on the variant-extracted field."""
+    e = T(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json(F.col("props")), "$.k", "bigint")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("k").alias("n_with_k"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+_VARIANT_PROPS_SQL = """
+WITH x AS (
+  SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events)
+SELECT event_type, count(*) AS n, count(k) AS n_with_k,
+       CAST(sum(k) AS BIGINT) AS sum_k, max(k) AS max_k
+FROM x GROUP BY event_type
+"""
+
+
 def q_stream_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming tumbling-window aggregation with a
     watermark (T4 streaming form): 15-min windows over the event stream,
@@ -4669,7 +4800,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "dedup_simhash_pairs": q_simhash_pairs,
         "dedup_simhash64_pairs": q_simhash64_pairs,
-        # 55+: driver-green in r6 (CORRECTNESS_r06 50/50), due r8
+        # 55-57: r7 second wave (added after the rotation was planned;
+        # locally oracle-green this round, second claim on r8 slots)
+        "interpolate_linear": q_interpolate_linear,
+        "stream_dedup_within_wm": q_stream_dedup_within_wm,
+        "variant_props_extract": q_variant_props,
+        # 58+: driver-green in r6 (CORRECTNESS_r06 50/50), due r8
         "forward_fill_locf": q_forward_fill,
         "scd2_history": q_scd2_history,
         "percentile_norm": q_percentile_norm,
@@ -4781,6 +4917,9 @@ def oracle_sql() -> dict[str, str]:
         "text_repetition": _TEXT_REPETITION_SQL,
         "dedup_simhash_pairs": _simhash_pairs_sql(),
         "dedup_simhash64_pairs": _simhash64_pairs_sql(),
+        "interpolate_linear": _INTERPOLATE_SQL,
+        "stream_dedup_within_wm": _STREAM_DDWM_SQL,
+        "variant_props_extract": _VARIANT_PROPS_SQL,
         "forward_fill_locf": _FORWARD_FILL_SQL,
         "scd2_history": _SCD2_SQL,
         "percentile_norm": _PERCENTILE_NORM_SQL,

@@ -70,6 +70,8 @@ EXTRA_QUERIES = [
     # checkpointed streaming replay, not a throughput number)
     "ann_recall_report",
     "multimodal_png_pixels",
+    "interpolate_linear",
+    "variant_props_extract",
 ]
 
 HEADLINE = [

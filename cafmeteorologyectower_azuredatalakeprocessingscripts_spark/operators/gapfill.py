@@ -103,6 +103,68 @@ def forward_fill(
     return out
 
 
+def interpolate_linear(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    value_col: str,
+    order_tiebreak: str | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Linear interpolation of NULL gaps per series: each NULL gets
+    ``prev + (next - prev) * (t - t_prev) / (t_next - t_prev)`` between
+    its nearest non-null neighbors (by event time); rows before the
+    first or after the last observation stay NULL; non-null rows pass
+    through unchanged. The resample step the reference's spine fill
+    deliberately skips (gaps stay NULL there,
+    src/AzureDataLakeAccess.py merge_iterate) and the one a
+    training-feature pipeline needs before windowed stats.
+
+    Shape: ONE shuffle keyed by the series + one partition-local sort;
+    two frames over the same (partition, order) — unbounded-preceding
+    ``last(ignorenulls)`` for (prev value, prev ts) and
+    unbounded-following ``first(ignorenulls)`` for (next value,
+    next ts) — so Catalyst plans one Exchange + one Sort feeding both
+    WindowExecs. Time deltas are exact integer micros; the single
+    double expression is written identically in the oracle so IEEE
+    results match bit-for-bit before the round-6.
+    """
+    out_col = out_col or value_col + "_li"
+    order = [F.col(ts_col).asc()] + (
+        [F.col(order_tiebreak).asc()] if order_tiebreak else []
+    )
+    w_prev = (
+        Window.partitionBy(key_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy(key_col)
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    v = F.col(value_col)
+    obs_ts = F.when(v.isNotNull(), F.col(ts_col))
+    with_nbrs = df.select(
+        "*",
+        F.last(v, ignorenulls=True).over(w_prev).alias("__pv"),
+        F.last(obs_ts, ignorenulls=True).over(w_prev).alias("__pts"),
+        F.first(v, ignorenulls=True).over(w_next).alias("__nv"),
+        F.first(obs_ts, ignorenulls=True).over(w_next).alias("__nts"),
+    )
+    frac = (
+        (F.unix_micros(F.col(ts_col)) - F.unix_micros(F.col("__pts")))
+        * F.lit(1.0)
+        / (F.unix_micros(F.col("__nts")) - F.unix_micros(F.col("__pts")))
+    )
+    interp = F.round(
+        F.col("__pv") + (F.col("__nv") - F.col("__pv")) * frac, 6
+    )
+    return with_nbrs.withColumn(
+        out_col, F.when(v.isNotNull(), v).otherwise(interp)
+    ).drop("__pv", "__pts", "__nv", "__nts")
+
+
 def scd2_intervals(
     df: DataFrame,
     key_col: str,

@@ -168,3 +168,22 @@ def stream_dedup_keep_richest(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def stream_dedup_within_watermark(
+    stream: DataFrame,
+    keys: tuple[str, ...],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Native exact streaming dedup via Spark 3.5+
+    ``dropDuplicatesWithinWatermark`` — the built-in complement to the
+    custom keep-richest state op (T2): first arrival of a key emits,
+    later duplicates within the watermark window are dropped, and —
+    unlike ``dropDuplicates`` on a streaming frame, whose per-key state
+    grows with DISTINCT KEYS forever — a key's state is evicted once
+    the watermark passes it, so state is bounded by the late window.
+    The event-time column does not need to be part of the key."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )

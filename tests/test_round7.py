@@ -371,3 +371,100 @@ def test_stream_interval_join_left_on_nanos_long_events(spark, tmp_path):
     gaps = {r["purchase_id"]: r["gap_us"] for r in out.collect()}
     assert gaps[2] == 10 * 60 * 1_000_000
     assert gaps[3] is None
+
+
+# ------------------------------------------------- linear interpolation
+def test_interpolate_linear_fills_between_neighbors(spark):
+    import datetime as dt
+
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.operators.gapfill import (
+        interpolate_linear,
+    )
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    df = spark.createDataFrame(
+        [
+            # user 1: 10.0 at :00, NULL at :15 (1/3 of the gap), 40.0 at :45
+            (1, 1, t(0), 10.0),
+            (1, 2, t(15), None),
+            (1, 3, t(45), 40.0),
+            # leading/trailing nulls stay null
+            (2, 4, t(0), None),
+            (2, 5, t(10), 5.0),
+            (2, 6, t(20), None),
+        ],
+        "user_id int, event_id int, ts timestamp, v double",
+    )
+    out = {
+        r["event_id"]: r["v_li"]
+        for r in interpolate_linear(
+            df, "ts", "user_id", "v", order_tiebreak="event_id"
+        ).collect()
+    }
+    assert out[1] == 10.0 and out[3] == 40.0  # pass-through
+    assert out[2] == 20.0  # 10 + (40-10) * 15/45
+    assert out[4] is None and out[6] is None  # edges
+
+
+def test_interpolate_linear_tied_timestamp_with_prev(spark):
+    import datetime as dt
+
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.operators.gapfill import (
+        interpolate_linear,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(1, 1, t0, 7.0), (1, 2, t0, None), (1, 3, dt.datetime(2024, 1, 2), 9.0)],
+        "user_id int, event_id int, ts timestamp, v double",
+    )
+    out = {
+        r["event_id"]: r["v_li"]
+        for r in interpolate_linear(
+            df, "ts", "user_id", "v", order_tiebreak="event_id"
+        ).collect()
+    }
+    assert out[2] == 7.0  # zero elapsed -> prev value exactly
+
+
+# -------------------------------------- native streaming watermark dedup
+def test_stream_dedup_within_watermark_drops_cross_batch_dupes(spark, tmp_path):
+    import datetime as dt
+
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.streaming import (
+        stream_dedup_within_watermark,
+    )
+
+    schema = "event_id bigint, ts timestamp, v double"
+    t0 = dt.datetime(2024, 1, 1, 12, 0)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+
+    def write(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            os.path.join(src, name)
+        )
+
+    write("f0.parquet", [(1, t0, 1.0), (2, t0, 2.0)])
+    # duplicate key 1 arrives in a LATER micro-batch, within the watermark
+    write("f1.parquet", [(1, t0 + dt.timedelta(minutes=5), 9.0), (3, t0, 3.0)])
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    out = stream_dedup_within_watermark(
+        stream, keys=("event_id",), ts_col="ts", watermark="1 hour"
+    )
+    rows = []
+    q = (
+        out.writeStream.outputMode("append")
+        .foreachBatch(lambda df, bid: rows.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted((r["event_id"], r["v"]) for r in rows)
+    assert got == [(1, 1.0), (2, 2.0), (3, 3.0)]  # first arrival wins
