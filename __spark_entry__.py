@@ -4730,7 +4730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate evaluates at most ~50
     # entries per round (r2 and r3 both stopped at exactly 50), so the
     # rotation policy is: no query goes more than 2 rounds without a
-    # driver row. r7 rotation (104 entries): positions 1-50 =
+    # driver row. r7 rotation (107 entries): positions 1-50 =
     # state_durations + flatline_runs (r6-new, NEVER driver-checked) +
     # the 3 new r7 queries + 45 of the 49 entries whose last driver row
     # is r5 (due back under the 2-round rule). The 4 due entries that
