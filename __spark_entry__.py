@@ -2264,20 +2264,23 @@ def q_stream_interval_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (the stream reads the raw schema and normalizes after): driver
     # testdata has shipped ts as nano longs, NTZ micros, and plain
     # TIMESTAMP across rounds (see ts_normalizer).
-    max_ts = (
-        T(spark, sf_dir, "events").agg(F.max("ts")).collect()[0][0]
-    )
-    flush_dt = max_ts + datetime.timedelta(hours=10)
     ts_type = {f.name: f.dataType.simpleString() for f in schema.fields}["ts"]
     if ts_type == "bigint":  # TIMESTAMP(NANOS) read as raw nano longs
-        import calendar
-
-        flush_val = (
-            calendar.timegm(flush_dt.timetuple()) * 1_000_000
-            + flush_dt.microsecond
-        ) * 1000
+        # epoch math stays engine-side (unix_micros) — collecting a
+        # datetime and converting with calendar.timegm would round-trip
+        # through the OS-local timezone (TimestampType.fromInternal),
+        # skewing the sentinel by the host UTC offset on non-UTC hosts
+        max_us = (
+            T(spark, sf_dir, "events")
+            .agg(F.max(F.unix_micros("ts")))
+            .collect()[0][0]
+        )
+        flush_val = (max_us + 10 * 3600 * 1_000_000) * 1000
     else:  # timestamp / timestamp_ntz both accept the naive datetime
-        flush_val = flush_dt
+        max_ts = (
+            T(spark, sf_dir, "events").agg(F.max("ts")).collect()[0][0]
+        )
+        flush_val = max_ts + datetime.timedelta(hours=10)
     defaults = {"user_id": -1, "value": 0.0, "ts": flush_val}
     rows = []
     for eid, etype in ((-1, "purchase"), (-2, "click")):
@@ -2408,7 +2411,9 @@ def q_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     modern engine surface next to get_json_object (json_props_extract).
     Aggregates per event_type on the variant-extracted field."""
     e = T(spark, sf_dir, "events")
-    k = F.try_variant_get(F.parse_json(F.col("props")), "$.k", "bigint")
+    # try_parse_json: malformed props yield NULL, matching the DuckDB
+    # oracle's lenient json_extract_string instead of failing the query
+    k = F.try_variant_get(F.try_parse_json(F.col("props")), "$.k", "bigint")
     return (
         e.select("event_type", k.alias("k"))
         .groupBy("event_type")

@@ -25,8 +25,13 @@ from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.session import g
 
 # min-of-N per query: single-run noise on this box is ±40%, and a
 # 2-sample min still caught a 3x outlier (embed_neardup_blocked 8.1s vs
-# steady 2.6s) — three samples make the min a stable steady-state number
-N_RUNS = 3
+# steady 2.6s). r7 showed n=3 still can't separate co-tenant load from
+# real regression (spread maxes ran 2-4x the mins), so HEADLINE queries
+# now take 5 samples and the parsed line carries BOTH the min total
+# ("value") and the median total ("median"): a shifted median with a
+# steady min = machine load; both shifted = a real plan change.
+N_RUNS = 5
+N_RUNS_EXTRA = 3  # extra section stays at 3 to bound total bench time
 
 # new-in-r6 queries timed separately so the HEADLINE total stays
 # comparable across rounds; reported under "extra" in the JSON line
@@ -119,6 +124,7 @@ def main() -> None:
     # self-diagnosing: a high max with a steady min = machine load, a
     # shifted min = a real plan change.
     times: dict[str, float] = {}
+    medians: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
     for name in HEADLINE:
         samples: list[float] = []
@@ -129,16 +135,18 @@ def main() -> None:
             samples.append(time.perf_counter() - t0)
         samples.sort()
         times[name] = round(samples[0], 3)
+        medians[name] = round(samples[len(samples) // 2], 3)
         spread[name] = [
             round(samples[0], 3),
             round(samples[len(samples) // 2], 3),
             round(samples[-1], 3),
         ]
     total = round(sum(times.values()), 3)
+    total_median = round(sum(medians.values()), 3)
     extra: dict[str, float] = {}
     for name in EXTRA_QUERIES:
         best = float("inf")
-        for _ in range(N_RUNS):
+        for _ in range(N_RUNS_EXTRA):
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -149,7 +157,13 @@ def main() -> None:
     # the capture window and truncated away the "value" field (VERDICT r6
     # item 1). So: spread + extra go to a sidecar file AND a preceding
     # stdout line, and the FINAL line is the compact headline only.
-    sidecar = {"spread": spread, "extra": extra, "sf": sf, "n": N_RUNS}
+    sidecar = {
+        "spread": spread,
+        "extra": extra,
+        "sf": sf,
+        "n": N_RUNS,
+        "n_extra": N_RUNS_EXTRA,
+    }
     try:
         with open(
             os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_extra.json"),
@@ -164,6 +178,7 @@ def main() -> None:
             {
                 "metric": "headline_queries_total",
                 "value": total,
+                "median": total_median,
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,

@@ -83,7 +83,14 @@ def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         for pdf in batches:
             digests, dims, sums = [], [], []
             for p in pdf["payload"]:
-                b = b"" if p is None else bytes(p)
+                # NULL payload → NULL features (SQL semantics: the
+                # DuckDB oracle's octet_length/md5 of NULL is NULL)
+                if p is None:
+                    digests.append(None)
+                    dims.append((None, None, None))
+                    sums.append(None)
+                    continue
+                b = bytes(p)
                 digests.append(hashlib.md5(b).digest())
                 if is_png(b):
                     try:
@@ -99,10 +106,15 @@ def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 {
                     "doc_id": pdf[id_col],
                     "byte_len": [
-                        0 if p is None else len(p) for p in pdf["payload"]
+                        None if p is None else len(p) for p in pdf["payload"]
                     ],
-                    "content_md5": [d.hex() for d in digests],
-                    "fake_embedding": [_fake_embedding(d) for d in digests],
+                    "content_md5": [
+                        None if d is None else d.hex() for d in digests
+                    ],
+                    "fake_embedding": [
+                        None if d is None else _fake_embedding(d)
+                        for d in digests
+                    ],
                     "width": [d[0] for d in dims],
                     "height": [d[1] for d in dims],
                     "channels": [d[2] for d in dims],

@@ -1,14 +1,28 @@
-"""Pure-stdlib PNG codec (zlib + struct) for the multimodal stages.
+"""PNG codec (stdlib zlib/struct + numpy row math) for the multimodal
+stages.
 
 The container has no image libraries, but PNG's compression IS stdlib
 zlib — so a real decode/encode of the most common pixel layouts needs
-nothing beyond the standard library. Scope (everything else raises
-``PngUnsupported`` and callers fall back to the digest stub):
+nothing beyond the standard library plus numpy (already a hard
+dependency of the ANN stages) for the per-scanline unfilter math.
+Scope (everything else raises ``PngUnsupported`` and callers fall back
+to the digest stub):
 
 - 8-bit samples, color types 0 (gray), 2 (RGB), 4 (gray+alpha),
   6 (RGBA); no palette, no interlacing, no 16-bit.
 - all five scanline filters (None/Sub/Up/Average/Paeth) on decode;
   encode emits filter 0 rows (valid PNG, maximally replayable).
+
+Unfilter cost model (measured in DECISIONS round-8): None/Up/Sub rows
+are fully numpy-vectorized (Sub is a mod-256 prefix sum per channel
+lane — ``np.cumsum(dtype=uint8)`` wraps exactly like the spec's
+mod-256 byte math). Average/Paeth carry a true sequential dependency
+along x (the ``a`` term is this row's own output), so they run a tight
+Python loop per scanline over precomputed numpy-derived lists — faster
+than the per-byte bytearray walk they replace, but still the slow path:
+a Paeth-heavy PNG (libpng's default heuristic for photographic content)
+decodes at roughly list-walk speed, while Up/Sub/None-heavy content
+(synthetic/flat imagery, this repo's own encoder) is 10-40x faster.
 
 This runs INSIDE Arrow-batched ``mapInPandas`` workers — per-image
 Python cost is the decompress + one unfilter pass, amortized over the
@@ -19,6 +33,8 @@ from __future__ import annotations
 
 import struct
 import zlib
+
+import numpy as np
 
 _SIGNATURE = b"\x89PNG\r\n\x1a\n"
 
@@ -81,45 +97,81 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
     stride = width * channels
     if len(raw) != (stride + 1) * height:
         raise PngUnsupported("pixel data size mismatch")
-    out = bytearray(stride * height)
-    prev_start = -1
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
+    ftypes = arr[:, 0]
+    if int(ftypes.max()) > 4:
+        raise PngUnsupported(f"filter {int(ftypes.max())}")
+    lines = arr[:, 1:]
+    out = np.empty((height, stride), dtype=np.uint8)
+    zero_row = np.zeros(stride, dtype=np.uint8)
     for y in range(height):
-        fbyte = raw[y * (stride + 1)]
-        line = raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)]
-        start = y * stride
+        fbyte = int(ftypes[y])
+        line = lines[y]
+        prev = out[y - 1] if y > 0 else zero_row
         if fbyte == 0:  # None
-            out[start : start + stride] = line
-        elif fbyte == 1:  # Sub
-            for x in range(stride):
-                a = out[start + x - channels] if x >= channels else 0
-                out[start + x] = (line[x] + a) & 0xFF
-        elif fbyte == 2:  # Up
-            for x in range(stride):
-                b = out[prev_start + x] if y > 0 else 0
-                out[start + x] = (line[x] + b) & 0xFF
-        elif fbyte == 3:  # Average
-            for x in range(stride):
-                a = out[start + x - channels] if x >= channels else 0
-                b = out[prev_start + x] if y > 0 else 0
-                out[start + x] = (line[x] + ((a + b) >> 1)) & 0xFF
-        elif fbyte == 4:  # Paeth
-            for x in range(stride):
-                a = out[start + x - channels] if x >= channels else 0
-                b = out[prev_start + x] if y > 0 else 0
-                c = out[prev_start + x - channels] if (y > 0 and x >= channels) else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                if pa <= pb and pa <= pc:
-                    pred = a
-                elif pb <= pc:
-                    pred = b
-                else:
-                    pred = c
-                out[start + x] = (line[x] + pred) & 0xFF
+            out[y] = line
+        elif fbyte == 1:  # Sub — recurrence o[x] = l[x] + o[x-ch] is a
+            # mod-256 prefix sum per channel lane; cumsum in uint8
+            # wraps exactly like the spec's byte arithmetic
+            out[y] = np.cumsum(
+                line.reshape(width, channels), axis=0, dtype=np.uint8
+            ).reshape(stride)
+        elif fbyte == 2:  # Up — whole-row add, uint8 wraparound
+            out[y] = line + prev
+        elif fbyte == 3:  # Average — sequential in x (a = own output)
+            out[y] = _unfilter_average(line, prev, channels)
+        else:  # Paeth — sequential in x, b/c/pa terms prevectorized
+            out[y] = _unfilter_paeth(line, prev, channels)
+    return width, height, channels, out.tobytes()
+
+
+def _unfilter_average(line, prev, channels: int) -> list:
+    """Average unfilter for one scanline: o[x] = l[x] + (a + b)//2 with
+    a = o[x-ch] (this row — true sequential dependency, no closed form
+    because of the floor-halving), b = previous row's output."""
+    ln = line.tolist()
+    pv = prev.tolist()
+    n = len(ln)
+    cur = [0] * n
+    for x in range(channels):
+        cur[x] = (ln[x] + (pv[x] >> 1)) & 0xFF
+    for x in range(channels, n):
+        cur[x] = (ln[x] + ((cur[x - channels] + pv[x]) >> 1)) & 0xFF
+    return cur
+
+
+def _unfilter_paeth(line, prev, channels: int) -> list:
+    """Paeth unfilter for one scanline. With p = a + b - c the selector
+    distances are pa = |b-c| (a-independent → prevectorized), pb =
+    |a-c|, pc = |a + (b-2c)| (b-2c prevectorized); only the ``a`` walk
+    stays in the Python loop."""
+    ln = line.tolist()
+    pv16 = prev.astype(np.int16)
+    c16 = np.concatenate(
+        [np.zeros(channels, dtype=np.int16), pv16[:-channels]]
+    ) if len(pv16) > channels else np.zeros(len(pv16), dtype=np.int16)
+    b_l = prev.tolist()
+    c_l = c16.tolist()
+    pa_l = np.abs(pv16 - c16).tolist()
+    d_l = (pv16 - 2 * c16).tolist()
+    n = len(ln)
+    cur = [0] * n
+    for x in range(n):
+        a = cur[x - channels] if x >= channels else 0
+        pb = a - c_l[x]
+        if pb < 0:
+            pb = -pb
+        pc = a + d_l[x]
+        if pc < 0:
+            pc = -pc
+        if pa_l[x] <= pb and pa_l[x] <= pc:
+            pred = a
+        elif pb <= pc:
+            pred = b_l[x]
         else:
-            raise PngUnsupported(f"filter {fbyte}")
-        prev_start = start
-    return width, height, channels, bytes(out)
+            pred = c_l[x]
+        cur[x] = (ln[x] + pred) & 0xFF
+    return cur
 
 
 def _chunk(ctype: bytes, body: bytes) -> bytes:
@@ -144,11 +196,12 @@ def encode_png(width: int, height: int, channels: int, pixels: bytes) -> bytes:
     if len(pixels) != stride * height:
         raise PngUnsupported("pixel buffer size mismatch")
     ihdr = struct.pack(">IIBBBBB", width, height, 8, _COLOR_FOR[channels], 0, 0, 0)
-    raw = bytearray()
-    for y in range(height):
-        raw.append(0)
-        raw += pixels[y * stride : (y + 1) * stride]
-    idat = zlib.compress(bytes(raw), 6)
+    # prepend the filter-0 byte to every scanline in one numpy hstack
+    arr = np.frombuffer(bytes(pixels), dtype=np.uint8).reshape(height, stride)
+    raw = np.hstack(
+        [np.zeros((height, 1), dtype=np.uint8), arr]
+    ).tobytes()
+    idat = zlib.compress(raw, 6)
     return _SIGNATURE + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
 
 
@@ -156,15 +209,11 @@ def resize_nearest(
     width: int, height: int, channels: int, pixels: bytes, new_w: int, new_h: int
 ) -> bytes:
     """Nearest-neighbor resample (floor mapping: src = dst * size // new
-    — deterministic, engine-replayable integer arithmetic)."""
-    out = bytearray(new_w * new_h * channels)
-    stride = width * channels
-    o = 0
-    for y in range(new_h):
-        sy = y * height // new_h
-        row = sy * stride
-        for x in range(new_w):
-            sx = (x * width // new_w) * channels
-            out[o : o + channels] = pixels[row + sx : row + sx + channels]
-            o += channels
-    return bytes(out)
+    — deterministic, engine-replayable integer arithmetic), as one
+    numpy fancy-index gather."""
+    arr = np.frombuffer(bytes(pixels), dtype=np.uint8).reshape(
+        height, width, channels
+    )
+    ys = (np.arange(new_h, dtype=np.int64) * height) // new_h
+    xs = (np.arange(new_w, dtype=np.int64) * width) // new_w
+    return arr[ys][:, xs].tobytes()

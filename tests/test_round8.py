@@ -1,0 +1,103 @@
+"""Round-8 additions: numpy PNG unfilter parity, NULL-payload feature
+semantics, engine-side sentinel epochs, semdedup scale guard."""
+
+from __future__ import annotations
+
+import random
+import struct
+import zlib
+
+import pytest
+
+
+def _hand_filtered_png(width, height, channels, pixels, filter_seq):
+    """Independently filter an image (straight from the PNG spec's
+    per-byte definitions) so decode parity is checked against a second
+    implementation, not the codec's own encoder."""
+    stride = width * channels
+    raw = bytearray()
+    prev = bytes(stride)
+    for y in range(height):
+        f = filter_seq[y % len(filter_seq)]
+        line = pixels[y * stride : (y + 1) * stride]
+        raw.append(f)
+        for x in range(stride):
+            a = line[x - channels] if x >= channels else 0
+            b = prev[x]
+            c = prev[x - channels] if x >= channels else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            raw.append((line[x] - pred) & 0xFF)
+        prev = line
+
+    def chunk(t, body):
+        return (
+            struct.pack(">I", len(body))
+            + t
+            + body
+            + struct.pack(">I", zlib.crc32(t + body) & 0xFFFFFFFF)
+        )
+
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+@pytest.mark.parametrize("channels", [1, 3, 4])
+def test_png_numpy_unfilter_parity_cycling_filters(channels):
+    """64x64 random image, rows cycling all five filters: the numpy
+    unfilter (vectorized None/Up/Sub + scanline-loop Average/Paeth)
+    must reproduce the source pixels byte-exactly."""
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.png import decode_png
+
+    rng = random.Random(81)
+    w = h = 64
+    pixels = bytes(rng.randrange(256) for _ in range(w * h * channels))
+    png = _hand_filtered_png(w, h, channels, pixels, [0, 1, 2, 3, 4])
+    dw, dh, dc, out = decode_png(png)
+    assert (dw, dh, dc) == (w, h, channels)
+    assert out == pixels
+
+
+def test_png_width_one_paeth_and_average():
+    """stride == channels edge: no left neighbor ever exists."""
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.png import decode_png
+
+    rng = random.Random(82)
+    pixels = bytes(rng.randrange(256) for _ in range(1 * 16 * 3))
+    png = _hand_filtered_png(1, 16, 3, pixels, [3, 4])
+    assert decode_png(png)[3] == pixels
+
+
+def test_extract_features_null_payload_yields_nulls(spark):
+    """NULL payload → NULL byte_len/content_md5/embedding (SQL
+    semantics, matching the DuckDB oracle's md5(NULL) = NULL)."""
+    from pyspark.sql import Row as R
+
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.multimodal import extract_features
+
+    df = spark.createDataFrame(
+        [R(doc_id=0, payload=bytearray(b"abc")), R(doc_id=1, payload=None)],
+        "doc_id long, payload binary",
+    )
+    rows = {r.doc_id: r for r in extract_features(df).collect()}
+    assert rows[0].byte_len == 3 and rows[0].content_md5 is not None
+    assert rows[1].byte_len is None
+    assert rows[1].content_md5 is None
+    assert rows[1].fake_embedding is None
+    assert rows[1].pixel_sum is None
