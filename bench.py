@@ -77,6 +77,9 @@ EXTRA_QUERIES = [
     "multimodal_png_pixels",
     "interpolate_linear",
     "variant_props_extract",
+    # new in r8
+    "ann_ivf_arrow_recall",
+    "flagship_interpolated",
 ]
 
 HEADLINE = [

@@ -16,6 +16,7 @@
 
 from __future__ import annotations
 
+import warnings
 from collections.abc import Iterator
 
 import pandas as pd
@@ -581,6 +582,47 @@ def embed_neardup_pairs(
     )
 
 
+# semdedup's 'expr' assignment materializes (and window-shuffles) n·k
+# scored rows; SCALING.md 2x2 measured that term at 902 s for 500k
+# vectors x k=1600 vs 67 s with assign='arrow'. The guard fires at the
+# probe's shape and stays silent at oracle scale (k<=64, tiny inputs):
+#  - k alone >= 128 (the probe's smallest k was 160; oracle runs k=16)
+#  - or Catalyst's sizeInBytes estimate x k > 4 GB of assignment rows
+_EXPR_ASSIGN_WARN_K = 128
+_EXPR_ASSIGN_WARN_BYTES_K = 4_000_000_000
+
+
+def _warn_if_expr_assign_quadratic(corpus: DataFrame, n_centroids: int) -> None:
+    """Loud foot-gun guard (VERDICT r7 #6): the default ``assign='expr'``
+    is the oracle-exact path, NOT the scale path. Estimation stays plan
+    side (Catalyst ``sizeInBytes``) — no job, no count."""
+    est_bytes = None
+    try:
+        est_bytes = int(
+            corpus._jdf.queryExecution()
+            .optimizedPlan()
+            .stats()
+            .sizeInBytes()
+            .toString()
+        )
+    except Exception:  # stats unavailable — fall back to the k trigger
+        est_bytes = None
+    if n_centroids >= _EXPR_ASSIGN_WARN_K or (
+        est_bytes is not None
+        and est_bytes * n_centroids > _EXPR_ASSIGN_WARN_BYTES_K
+    ):
+        warnings.warn(
+            "semdedup(assign='expr') scores n_centroids x rows "
+            f"(k={n_centroids}, est. input ~{est_bytes or '?'} bytes) "
+            "through a window shuffle — quadratic when k grows with the "
+            "corpus (SCALING.md: 902 s vs 67 s at 500k x k=1600). Use "
+            "assign='arrow' for production scale; 'expr' is the "
+            "bit-exact oracle-replay path.",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+
+
 def semdedup(
     corpus: DataFrame,
     n_centroids: int = 16,
@@ -622,10 +664,14 @@ def semdedup(
     oracle replays bit-for-bit; ``'arrow'`` is
     :func:`ivf_assign_arrow` — numpy-matmul affinity, no n·k row
     shuffle — the throughput path once ``n_centroids`` grows with the
-    corpus (assignment is n·k work; SCALING.md quantifies both).
+    corpus (assignment is n·k work; SCALING.md quantifies both). A
+    ``RuntimeWarning`` fires when ``'expr'`` is requested at a shape
+    where the n·k term dominates (see ``_warn_if_expr_assign_quadratic``).
     """
     if assign not in ("expr", "arrow"):
         raise ValueError(f"assign must be 'expr' or 'arrow', got {assign!r}")
+    if assign == "expr":
+        _warn_if_expr_assign_quadratic(corpus, n_centroids)
     cents = kmeans_centroids(
         corpus,
         n_centroids=n_centroids,

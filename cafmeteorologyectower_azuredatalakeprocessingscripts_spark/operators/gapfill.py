@@ -106,10 +106,11 @@ def forward_fill(
 def interpolate_linear(
     df: DataFrame,
     ts_col: str,
-    key_col: str,
+    key_col: str | Sequence[str] | None,
     value_col: str,
     order_tiebreak: str | None = None,
     out_col: str | None = None,
+    round6: bool = True,
 ) -> DataFrame:
     """Linear interpolation of NULL gaps per series: each NULL gets
     ``prev + (next - prev) * (t - t_prev) / (t_next - t_prev)`` between
@@ -130,16 +131,25 @@ def interpolate_linear(
     results match bit-for-bit before the round-6.
     """
     out_col = out_col or value_col + "_li"
+    # key_col: one name, a sequence of names, or None/() for a single
+    # global series (whole-frame window — one task; fine for a bounded
+    # per-station series, keep a key for anything corpus-sized)
+    if key_col is None:
+        keys: list[str] = []
+    elif isinstance(key_col, str):
+        keys = [key_col]
+    else:
+        keys = list(key_col)
     order = [F.col(ts_col).asc()] + (
         [F.col(order_tiebreak).asc()] if order_tiebreak else []
     )
     w_prev = (
-        Window.partitionBy(key_col)
+        Window.partitionBy(*keys)
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     w_next = (
-        Window.partitionBy(key_col)
+        Window.partitionBy(*keys)
         .orderBy(*order)
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
@@ -157,9 +167,17 @@ def interpolate_linear(
         * F.lit(1.0)
         / (F.unix_micros(F.col("__nts")) - F.unix_micros(F.col("__pts")))
     )
-    interp = F.round(
-        F.col("__pv") + (F.col("__nv") - F.col("__pv")) * frac, 6
-    )
+    # round6=False skips the final HALF_UP rounding and returns the raw
+    # IEEE interpolation — bit-identical across engines (every term is
+    # plain double arithmetic), which callers need when the inputs are
+    # ALREADY 6-decimal values: midpoints between such values land
+    # exactly on half-micro boundaries, where Spark's BigDecimal
+    # HALF_UP and another engine's multiply-then-round disagree (the
+    # flagship_interpolated query canonicalizes to floor-micros ints
+    # instead, the same trick as kmeans' mean update)
+    interp = F.col("__pv") + (F.col("__nv") - F.col("__pv")) * frac
+    if round6:
+        interp = F.round(interp, 6)
     return with_nbrs.withColumn(
         out_col, F.when(v.isNotNull(), v).otherwise(interp)
     ).drop("__pv", "__pts", "__nv", "__nts")

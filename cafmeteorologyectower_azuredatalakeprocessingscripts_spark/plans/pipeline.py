@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..operators.dedup import dedup_keep_richest
-from ..operators.gapfill import gap_fill
+from ..operators.gapfill import gap_fill, interpolate_linear
 from ..operators.unions import union_by_name
 from ..qc.grade import FluxQCConfig, grade_cs
 from ..qc.metqc import MET_FLUX_MAPPING, MET_MET_MAPPING, met_qaqc
@@ -33,12 +33,25 @@ def aggregate_pipeline(
     qc: bool = True,
     flux_cfg: FluxQCConfig | None = None,
     bug_compat: bool = True,
+    interpolate: Sequence[str] = (),
 ) -> DataFrame:
     """union(prev, new) → drop spine remnants → keep-richest dedup →
-    gap-fill to day boundaries → optional QC.
+    gap-fill to day boundaries → optional resample → optional QC.
 
     Mirrors src/AzureDataLakeAccess.py:457-472; ``partition_cols`` (e.g.
     ``['site']``) keep every shuffle keyed by site at scale.
+
+    ``interpolate`` names value columns whose spine-inserted NULL ticks
+    get linear interpolation (:func:`interpolate_linear`) between the
+    surrounding observations. DEFAULT OFF, like the other bug-compat
+    switches: the reference leaves re-gridded ticks NULL
+    (src/AzureDataLakeAccess.py:57-59 — merge_iterate inserts the spine
+    and never fills), so an empty tuple reproduces reference output;
+    opting in is the resample step a downstream training-feature
+    pipeline wants before windowed stats. Runs between gap-fill and QC
+    so QC grades the resampled series. Consecutive columns share one
+    (keys, ts) sort — Catalyst plans a single Exchange+Sort feeding all
+    the window frames.
     """
     df = new_raw
     if previous_aggregate is not None:
@@ -49,6 +62,13 @@ def aggregate_pipeline(
     df = gap_fill(
         df, ts_col=ts_col, freq_minutes=freq_minutes, partition_cols=partition_cols
     )
+    for value_col in interpolate:
+        df = interpolate_linear(
+            df,
+            ts_col=ts_col,
+            key_col=list(partition_cols) or None,
+            value_col=value_col,
+        )
     if qc:
         if table == "Flux":
             df = grade_cs(df, flux_cfg)

@@ -101,3 +101,91 @@ def test_extract_features_null_payload_yields_nulls(spark):
     assert rows[1].content_md5 is None
     assert rows[1].fake_embedding is None
     assert rows[1].pixel_sum is None
+
+
+def _tiny_vectors(spark, n=12, dim=4):
+    from pyspark.sql import Row as R
+
+    return spark.createDataFrame(
+        [
+            R(vec_id=i, embedding=[float((i * 7 + j) % 5) for j in range(dim)])
+            for i in range(n)
+        ]
+    )
+
+
+def test_semdedup_expr_quadratic_guard_fires_at_probe_shape(spark):
+    """k=160 (the scale probe's smallest centroid count) with the
+    default assign='expr' must warn; oracle shape (k=16) and the arrow
+    path must stay silent."""
+    import warnings as W
+
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.similarity import semdedup
+
+    df = _tiny_vectors(spark)
+    with W.catch_warnings(record=True) as rec:
+        W.simplefilter("always")
+        semdedup(df, n_centroids=160, persist_cells=False)
+    assert any(
+        issubclass(w.category, RuntimeWarning) and "assign='arrow'" in str(w.message)
+        for w in rec
+    )
+    with W.catch_warnings(record=True) as rec:
+        W.simplefilter("always")
+        semdedup(df, n_centroids=16, persist_cells=False)
+    assert not [w for w in rec if issubclass(w.category, RuntimeWarning)]
+    with W.catch_warnings(record=True) as rec:
+        W.simplefilter("always")
+        semdedup(df, n_centroids=160, persist_cells=False, assign="arrow")
+    assert not [w for w in rec if issubclass(w.category, RuntimeWarning)]
+
+
+def test_pipeline_interpolate_option_fills_spine_ticks(spark):
+    """aggregate_pipeline(interpolate=[...]): spine-inserted NULL ticks
+    get linear interpolation; default (off) reproduces reference NULLs."""
+    import datetime as dt
+
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.plans import aggregate_pipeline
+
+    t = lambda m: dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m)
+    raw = spark.createDataFrame(
+        [(t(0), 1, 10.0), (t(90), 4, 40.0)],
+        "TIMESTAMP timestamp, RECORD long, Tair double",
+    )
+    # default: gap ticks stay NULL (reference semantics)
+    off = {
+        r["TIMESTAMP"]: r["Tair"]
+        for r in aggregate_pipeline(raw, freq_minutes=30, qc=False).collect()
+    }
+    assert off[t(30)] is None and off[t(60)] is None
+    on = {
+        r["TIMESTAMP"]: r["Tair_li"]
+        for r in aggregate_pipeline(
+            raw, freq_minutes=30, qc=False, interpolate=["Tair"]
+        ).collect()
+    }
+    assert on[t(0)] == 10.0 and on[t(90)] == 40.0
+    assert on[t(30)] == 20.0 and on[t(60)] == 30.0
+
+
+def test_interpolate_linear_no_key_and_round6_off(spark):
+    """key_col=None (single global series) and round6=False (raw IEEE
+    interpolation, no HALF_UP canonicalization)."""
+    import datetime as dt
+
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.operators.gapfill import (
+        interpolate_linear,
+    )
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    df = spark.createDataFrame(
+        [(1, t(0), 1.0), (2, t(10), None), (3, t(30), 2.0)],
+        "event_id int, ts timestamp, v double",
+    )
+    out = {
+        r["event_id"]: r["v_li"]
+        for r in interpolate_linear(
+            df, "ts", None, "v", order_tiebreak="event_id", round6=False
+        ).collect()
+    }
+    assert out[2] == 1.0 + (2.0 - 1.0) * (10 / 30)
