@@ -1058,14 +1058,30 @@ WHERE round(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.1
 
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash LSH candidates verified with true Jaccard (the 100 TB
-    fuzzy-dedup path: banding join generates candidates, Jaccard verifies)."""
-    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm import shingles
+    fuzzy-dedup path: banding join generates candidates, Jaccard
+    verifies). r8 exchange-diet wiring (VERDICT r7 #4): the shingle
+    table is built once (cached), the signature aggregate carries the
+    set sizes (``with_sizes=True`` — no separate sizes pass), and the
+    candidate dedup rides the id_a partitioning the verify join needs
+    (see minhash_lsh_pairs)."""
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm import (
+        minhash_signatures,
+        shingles,
+    )
 
     d = T(spark, sf_dir, "documents")
     sh = shingles(d, n=_SHINGLE_N_Q).cache()
-    cand = minhash_lsh_pairs(d, n=_SHINGLE_N_Q, shingles_df=sh)
+    sig = minhash_signatures(
+        d, n=_SHINGLE_N_Q, shingles_df=sh, with_sizes=True
+    ).cache()
+    cand = minhash_lsh_pairs(d, n=_SHINGLE_N_Q, shingles_df=sh, sig_df=sig)
     return jaccard_pairs(
-        d, n=_SHINGLE_N_Q, threshold=0.0, candidates=cand, shingles_df=sh
+        d,
+        n=_SHINGLE_N_Q,
+        threshold=0.0,
+        candidates=cand,
+        shingles_df=sh,
+        sizes_df=sig,
     )
 
 

@@ -181,6 +181,7 @@ def jaccard_pairs(
     candidates: DataFrame | None = None,
     max_doc_freq: int | None = None,
     shingles_df: DataFrame | None = None,
+    sizes_df: DataFrame | None = None,
 ) -> DataFrame:
     """Document pairs with shingle-set Jaccard >= threshold.
 
@@ -202,13 +203,20 @@ def jaccard_pairs(
     ``shingles_df`` lets a caller that already built (and cached) the
     shingle table share it — MinHash candidate generation + Jaccard
     verification over the same corpus shingles once, not twice.
+    ``sizes_df`` (id, n_sh) likewise shares a precomputed set-size
+    frame (e.g. ``minhash_signatures(with_sizes=True)``) instead of
+    re-aggregating the shingle table here.
     """
     sh = (
         shingles_df
         if shingles_df is not None
         else shingles(df, text_col, id_col, n).cache()
     )
-    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    sizes = (
+        sizes_df.select("id", "n_sh")
+        if sizes_df is not None
+        else sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    )
     index = sh
     if candidates is None and max_doc_freq is not None:
         rare = (
@@ -261,9 +269,15 @@ def minhash_signatures(
     num_hashes: int = NUM_HASHES,
     n: int = SHINGLE_N,
     shingles_df: DataFrame | None = None,
+    with_sizes: bool = False,
 ) -> DataFrame:
     """(id, mh_0..mh_{k-1}): min of each universal hash over the
-    document's shingle set — one explode + one groupBy with k min aggs."""
+    document's shingle set — one explode + one groupBy with k min aggs.
+
+    ``with_sizes=True`` appends ``n_sh`` (the shingle-set size) to the
+    SAME aggregate: a downstream Jaccard verification needs per-doc set
+    sizes anyway, and folding the count into this groupBy saves the
+    separate sizes pass (and its exchange) over the shingle table."""
     sh = shingles_df if shingles_df is not None else shingles(df, text_col, id_col, n)
     x = (F.col("sh_h") % MINHASH_P).alias("x")
     hashed = sh.select("id", x)
@@ -271,6 +285,8 @@ def minhash_signatures(
         F.min((MINHASH_A[i] * F.col("x") + MINHASH_B[i]) % MINHASH_P).alias(f"mh_{i}")
         for i in range(num_hashes)
     ]
+    if with_sizes:
+        aggs.append(F.count("*").alias("n_sh"))
     return hashed.groupBy("id").agg(*aggs)
 
 
@@ -302,18 +318,39 @@ def minhash_lsh_pairs(
     rows: int = LSH_ROWS,
     n: int = SHINGLE_N,
     shingles_df: DataFrame | None = None,
+    sig_df: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate pairs from LSH banding of MinHash signatures:
-    (id_a, id_b) sharing at least one band bucket."""
-    sig = minhash_signatures(df, text_col, id_col, bands * rows, n, shingles_df)
+    (id_a, id_b) sharing at least one band bucket.
+
+    ``sig_df`` lets the caller supply (and cache) an existing
+    signature frame — e.g. one built ``with_sizes=True`` so Jaccard
+    verification reuses the same aggregate.
+
+    A pair appearing in several band buckets must come out once; this
+    dedups with a lag() window PARTITIONED BY ``id_a`` ONLY (duplicates
+    of a pair are adjacent once sorted by id_b), not ``distinct()``:
+    the verification join that consumes these candidates is keyed by
+    ``id_a``, so the window's exchange IS the join's exchange — one
+    shuffle of the candidate rows instead of two (pair-key distinct +
+    id_a re-shuffle). Per-partition volume stays banding-bounded, the
+    same guarantee the banding join itself relies on."""
+    sig = (
+        sig_df
+        if sig_df is not None
+        else minhash_signatures(df, text_col, id_col, bands * rows, n, shingles_df)
+    )
     buckets = lsh_buckets(sig, bands, rows)
     a = buckets.select(F.col("id").alias("id_a"), "band", "bucket")
     b = buckets.select(F.col("id").alias("id_b"), "band", "bucket")
+    w = Window.partitionBy("id_a").orderBy("id_b")
     return (
         a.join(b, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
-        .distinct()
+        .withColumn("__prev", F.lag("id_b").over(w))
+        .filter(F.col("__prev").isNull() | (F.col("__prev") != F.col("id_b")))
+        .drop("__prev")
     )
 
 
@@ -347,26 +384,44 @@ def incremental_dedup(
     base_fps = base_df.select(
         fingerprint_md5(text_col).alias("__fp")
     ).distinct()
+    # cached: feeds BOTH the near-dup shingle build and the final
+    # anti-join — un-persisted, the exact-dedup anti join (and the base
+    # fingerprint distinct under it) executes twice
     new_exact = (
         new_df.withColumn("__fp", fingerprint_md5(text_col))
         .join(base_fps, "__fp", "left_anti")
         .drop("__fp")
+        .cache()
     )
     sh_new = shingles(new_exact, text_col, id_col, n).cache()
     sh_base = shingles(base_df, text_col, id_col, n).cache()
+    # r8 exchange diet (VERDICT r7 #8), same moves as minhash_lsh_pairs:
+    # set sizes fold into the signature aggregates (no separate sizes
+    # groupBy over the union shingle table), the cross-bucket candidate
+    # dedup rides the id_a partitioning the verify join needs (lag
+    # window, not pair-key distinct), and the final drop set skips its
+    # distinct — a left-anti join is insensitive to duplicate build keys
     sig_new = minhash_signatures(
-        new_exact, text_col, id_col, bands * rows, n, sh_new
-    )
+        new_exact, text_col, id_col, bands * rows, n, sh_new, with_sizes=True
+    ).cache()
     sig_base = minhash_signatures(
-        base_df, text_col, id_col, bands * rows, n, sh_base
-    )
-    bn = lsh_buckets(sig_new, bands, rows).select(
+        base_df, text_col, id_col, bands * rows, n, sh_base, with_sizes=True
+    ).cache()
+    bn = lsh_buckets(sig_new.drop("n_sh"), bands, rows).select(
         F.col("id").alias("id_a"), "band", "bucket"
     )
-    bb = lsh_buckets(sig_base, bands, rows).select(
+    bb = lsh_buckets(sig_base.drop("n_sh"), bands, rows).select(
         F.col("id").alias("id_b"), "band", "bucket"
     )
-    cand = bn.join(bb, ["band", "bucket"]).select("id_a", "id_b").distinct()
+    w = Window.partitionBy("id_a").orderBy("id_b")
+    cand = (
+        bn.join(bb, ["band", "bucket"])
+        .select("id_a", "id_b")
+        .withColumn("__prev", F.lag("id_b").over(w))
+        .filter(F.col("__prev").isNull() | (F.col("__prev") != F.col("id_b")))
+        .drop("__prev")
+    )
+    sizes = sig_new.select("id", "n_sh").union(sig_base.select("id", "n_sh"))
     ver = jaccard_pairs(
         None,
         text_col,
@@ -375,8 +430,9 @@ def incremental_dedup(
         threshold=threshold,
         candidates=cand,
         shingles_df=sh_new.union(sh_base),
+        sizes_df=sizes,
     )
-    drops = ver.select(F.col("id_a").alias(id_col)).distinct()
+    drops = ver.select(F.col("id_a").alias(id_col))
     return new_exact.join(drops, id_col, "left_anti")
 
 
