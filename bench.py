@@ -2,8 +2,8 @@
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
 FINAL stdout line is the compact headline JSON the driver parses:
-{"metric": ..., "value": total_sec, "unit": "sec", "queries": {name: sec},
-"sf": ..., "n": ...}. The per-query [min, median, max] spread and the
+{"metric": ..., "value": min_total_sec, "median": median_total_sec,
+"unit": "sec", "queries": {name: min_sec}, "sf": ..., "n": ...}. The per-query [min, median, max] spread and the
 extra-section timings are emitted on a PRECEDING line and mirrored to
 BENCH_extra.json (the driver's tail capture truncated the old single
 giant line in r3 and r6, losing the headline "value"). Each query is

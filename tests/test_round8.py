@@ -189,3 +189,38 @@ def test_interpolate_linear_no_key_and_round6_off(spark):
         ).collect()
     }
     assert out[2] == 1.0 + (2.0 - 1.0) * (10 / 30)
+
+
+def test_minhash_lsh_pairs_unique_and_sizes_folded(spark):
+    """The lag-window candidate dedup must emit each (id_a, id_b) pair
+    exactly once (same set as the old distinct()), and
+    minhash_signatures(with_sizes=True) must carry exact set sizes."""
+    from pyspark.sql import Row as R
+
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm import (
+        minhash_lsh_pairs,
+        minhash_signatures,
+        shingles,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            R(doc_id=1, text="the quick brown fox jumps over the lazy dog"),
+            R(doc_id=2, text="the quick brown fox jumps over the lazy dog"),
+            R(doc_id=3, text="the quick brown fox leaps over the lazy dog"),
+            R(doc_id=4, text="completely different words here entirely now"),
+        ]
+    )
+    from pyspark.sql import functions as F
+
+    pairs = [(r.id_a, r.id_b) for r in minhash_lsh_pairs(docs).collect()]
+    assert len(pairs) == len(set(pairs))  # no duplicate pairs
+    assert (1, 2) in pairs  # identical docs must collide in every band
+    assert all(a < b for a, b in pairs)
+    sh = shingles(docs)
+    sig = minhash_signatures(docs, shingles_df=sh, with_sizes=True)
+    sizes = {r.id: r.n_sh for r in sig.select("id", "n_sh").collect()}
+    true_sizes = {
+        r.id: r.n for r in sh.groupBy("id").agg(F.count("*").alias("n")).collect()
+    }
+    assert sizes == true_sizes
