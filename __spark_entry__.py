@@ -2152,7 +2152,10 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-k per consumer — fine for a QA report over a sampled query
     set (the intended use: truth is O(q·n) and q is small); a
     recurring production recall job should persist/checkpoint truth
-    first (see semdedup's cells_out pattern)."""
+    first (see semdedup's cells_out pattern) — which is exactly what
+    this query now does: truth is tiny (q x k rows) but costs a full
+    brute-force corpus pass per consumer un-persisted (r8: measured
+    3 consumers = 3 passes; the cache cuts the query to one pass)."""
     from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm import (
         ivf_ann_topk,
         lsh_ann_topk,
@@ -2162,7 +2165,7 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    truth = cosine_topk(emb, queries, k=5).select("query_id", "vec_id")
+    truth = cosine_topk(emb, queries, k=5).select("query_id", "vec_id").cache()
     lsh = lsh_ann_topk(emb, queries, dim=_EMB_DIM, k=5, planes=4).select(
         "query_id", "vec_id"
     )
