@@ -4094,12 +4094,19 @@ def q_training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_count(F.col("text")).alias("n_tok"),
         fingerprint_md5(F.col("text")).alias("fp"),
     )
+    # each staged working set feeds 2+ consumers (dedup keeper agg +
+    # join, banding + survivor join, contamination + survivor join) —
+    # un-persisted, Spark re-executes the whole scan+enrichment subtree
+    # once per branch (r8 audit: 7 corpus scans in one plan). At 100 TB
+    # the staged persists are the difference between one enrichment
+    # pass and seven; MEMORY_AND_DISK spills if the working set is
+    # bigger than cluster memory, which still beats a recompute
     kept0 = enr.filter(
         (F.col("quality") >= _TDP_QUALITY_MIN)
         & (F.col("dup_tok") <= _TDP_MAX_DUP)
-    )
+    ).cache()
     keepers = kept0.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
-    kept1 = kept0.join(keepers, ["fp", "doc_id"])
+    kept1 = kept0.join(keepers, ["fp", "doc_id"]).cache()
     labels = connected_components(
         minhash_lsh_pairs(kept1, n=_SHINGLE_N_Q)
     ).withColumnRenamed("id", "doc_id")
@@ -4107,6 +4114,7 @@ def q_training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         kept1.join(labels, "doc_id", "left")
         .filter(F.coalesce("cluster", F.col("doc_id")) == F.col("doc_id"))
         .drop("cluster")
+        .cache()
     )
     clean = (
         contamination(kept2, bench, n=3, flag_threshold=_TDP_CONTAM_MAX)
