@@ -8,8 +8,9 @@ dependency of the ANN stages) for the per-scanline unfilter math.
 Scope (everything else raises ``PngUnsupported`` and callers fall back
 to the digest stub):
 
-- 8-bit samples, color types 0 (gray), 2 (RGB), 4 (gray+alpha),
-  6 (RGBA); no palette, no interlacing, no 16-bit.
+- 8-bit samples, color types 0 (gray), 2 (RGB), 3 (palette — expanded
+  to RGB on decode; tRNS refused), 4 (gray+alpha), 6 (RGBA); no
+  interlacing, no 16-bit.
 - all five scanline filters (None/Sub/Up/Average/Paeth) on decode;
   encode emits filter 0 rows (valid PNG, maximally replayable).
 
@@ -61,6 +62,8 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
         raise PngUnsupported("bad signature")
     pos = 8
     width = height = channels = -1
+    color = -1
+    palette = None
     idat = bytearray()
     saw_end = False
     while pos + 8 <= len(data):
@@ -78,11 +81,22 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
             )
             if depth != 8:
                 raise PngUnsupported(f"bit depth {depth}")
-            if color not in _CHANNELS:
+            if color == 3:
+                channels = 1  # palette indices; expanded to RGB below
+            elif color in _CHANNELS:
+                channels = _CHANNELS[color]
+            else:
                 raise PngUnsupported(f"color type {color}")
             if comp != 0 or filt != 0 or interlace != 0:
                 raise PngUnsupported("interlaced or nonzero method")
-            channels = _CHANNELS[color]
+        elif ctype == b"PLTE":
+            if length % 3 != 0 or length == 0 or length > 768:
+                raise PngUnsupported("bad PLTE")
+            palette = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"tRNS":
+            # palette alpha would silently change pixel semantics the
+            # digest/pixel-sum features rely on — refuse, fall back
+            raise PngUnsupported("tRNS not supported")
         elif ctype == b"IDAT":
             idat += body
         elif ctype == b"IEND":
@@ -122,6 +136,12 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
             out[y] = _unfilter_average(line, prev, channels)
         else:  # Paeth — sequential in x, b/c/pa terms prevectorized
             out[y] = _unfilter_paeth(line, prev, channels)
+    if color == 3:  # palette expansion: one fancy-index gather to RGB
+        if palette is None:
+            raise PngUnsupported("palette image without PLTE")
+        if int(out.max()) >= len(palette):
+            raise PngUnsupported("palette index out of range")
+        return width, height, 3, palette[out.reshape(-1)].tobytes()
     return width, height, channels, out.tobytes()
 
 

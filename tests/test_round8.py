@@ -224,3 +224,76 @@ def test_minhash_lsh_pairs_unique_and_sizes_folded(spark):
         r.id: r.n for r in sh.groupBy("id").agg(F.count("*").alias("n")).collect()
     }
     assert sizes == true_sizes
+
+
+def _palette_png(width, height, indices, plte, extra_chunk=None):
+    def chunk(t, body):
+        return (
+            struct.pack(">I", len(body))
+            + t
+            + body
+            + struct.pack(">I", zlib.crc32(t + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 3, 0, 0, 0)
+    raw = bytearray()
+    for y in range(height):
+        raw.append(0)
+        raw += bytes(indices[y * width : (y + 1) * width])
+    png = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(b"PLTE", plte)
+    if extra_chunk:
+        png += chunk(*extra_chunk)
+    return png + chunk(b"IDAT", zlib.compress(bytes(raw), 6)) + chunk(b"IEND", b"")
+
+
+def test_png_palette_decode_expands_to_rgb():
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.png import decode_png
+
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])  # red, green, blue
+    idx = [0, 1, 2, 2, 1, 0]
+    w, h, c, pix = decode_png(_palette_png(3, 2, idx, plte))
+    assert (w, h, c) == (3, 2, 3)
+    expect = b"".join(plte[i * 3 : i * 3 + 3] for i in idx)
+    assert pix == expect
+
+
+def test_png_palette_trns_and_bad_index_rejected():
+    import pytest as _pytest
+
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.png import (
+        PngUnsupported,
+        decode_png,
+    )
+
+    plte = bytes([10, 20, 30, 40, 50, 60])
+    with _pytest.raises(PngUnsupported):  # tRNS refused
+        decode_png(_palette_png(2, 1, [0, 1], plte, extra_chunk=(b"tRNS", b"\x00")))
+    with _pytest.raises(PngUnsupported):  # index beyond palette
+        decode_png(_palette_png(2, 1, [0, 5], plte))
+
+
+def test_ivf_assign_arrow_nprobe2_parity(spark):
+    """ivf_assign_arrow must agree with the expression assignment on
+    BOTH probes (value order and centroid-id tiebreak) at n_probe=2."""
+    from pyspark.sql import functions as F
+
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm import (
+        ivf_assign,
+        ivf_assign_arrow,
+        kmeans_centroids,
+    )
+
+    df = _tiny_vectors(spark, n=40, dim=4).select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+    )
+    cents = kmeans_centroids(df, n_centroids=6, iters=0, vec_col="v")
+    ex = {
+        (r.vec_id, r.centroid_id)
+        for r in ivf_assign(df, cents, n_probe=2, vec_col="v").collect()
+    }
+    ar = {
+        (r.vec_id, r.centroid_id)
+        for r in ivf_assign_arrow(df, cents, n_probe=2, vec_col="v").collect()
+    }
+    assert ex == ar and len(ex) == 80
