@@ -5107,7 +5107,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     # Same order as queries() — see the cap note there.
     return {
-        # Same order as queries() — see the cap note there.
         # ---- r8 top-50 (the driver checks ~50 entries/round).
         # 1-4: the r5-stale twins that spilled past r7's cap;
         # 5-7: the r7 wave-2 entries the driver has never seen;
