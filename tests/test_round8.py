@@ -297,3 +297,26 @@ def test_ivf_assign_arrow_nprobe2_parity(spark):
         for r in ivf_assign_arrow(df, cents, n_probe=2, vec_col="v").collect()
     }
     assert ex == ar and len(ex) == 80
+
+
+def test_resize_images_palette_png_roundtrip(spark):
+    """Palette PNGs flow through the real resize path: decode expands
+    PLTE to RGB, resample, re-encode as color-type-2 RGB."""
+    from pyspark.sql import Row as R
+
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.multimodal import resize_images
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.png import decode_png
+
+    plte = bytes([9, 8, 7, 100, 101, 102])
+    png = _palette_png(2, 2, [0, 1, 1, 0], plte)
+    df = spark.createDataFrame([R(doc_id=0, payload=bytearray(png))])
+    row = resize_images(df, 4, 4).collect()[0]
+    assert row.meta.mime == "image/png"
+    w, h, c, pix = decode_png(bytes(row.payload))
+    assert (w, h, c) == (4, 4, 3)
+    # nearest-neighbor of the [0,1,1,0] checker doubled to 4x4:
+    # top-left keeps color 0, top-right maps to source x=1 -> color 1,
+    # bottom-right maps to source (1,1) -> color 0
+    assert pix[0:3] == plte[0:3]
+    assert pix[2 * 3 : 3 * 3] == plte[3:6]
+    assert pix[-3:] == plte[0:3]
