@@ -458,3 +458,62 @@ def test_prop_winsorize_bounds_and_interior_identity(spark, vals):
         assert r["lo_cut"] in dataset and r["hi_cut"] in dataset
         if r["lo_cut"] <= r["value"] <= r["hi_cut"]:
             assert r["winsorized"] == r["value"]
+
+
+# ---- r8: linear interpolation invariants -----------------------------
+_li_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=60),  # minute offset
+        st.one_of(st.none(), st.floats(allow_nan=False, allow_infinity=False,
+                                       min_value=-100, max_value=100)),
+    ),
+    min_size=1,
+    max_size=25,
+    unique_by=lambda t: t[0],
+)
+
+
+def _li_reference(rows):
+    """Pure-python reference: prev/next non-null neighbor by time."""
+    srt = sorted(rows)
+    out = {}
+    for i, (m, v) in enumerate(srt):
+        if v is not None:
+            out[m] = v
+            continue
+        prev = next(((pm, pv) for pm, pv in reversed(srt[:i]) if pv is not None), None)
+        nxt = next(((nm, nv) for nm, nv in srt[i + 1:] if nv is not None), None)
+        if prev is None or nxt is None:
+            out[m] = None
+        else:
+            (pm, pv), (nm, nv) = prev, nxt
+            out[m] = pv + (nv - pv) * ((m - pm) / (nm - pm))
+    return out
+
+
+@settings(**_SETTINGS)
+@given(rows=_li_rows, nparts=st.integers(min_value=1, max_value=4))
+def test_interpolate_linear_matches_reference_any_partitioning(
+    spark, rows, nparts
+):
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.operators.gapfill import (
+        interpolate_linear,
+    )
+
+    data = [
+        (1, _T0 + datetime.timedelta(minutes=m), v) for m, v in rows
+    ]
+    df = spark.createDataFrame(
+        data, "k int, ts timestamp, v double"
+    ).repartition(nparts)
+    got = {
+        int((r.ts - _T0).total_seconds() // 60): r.v_li
+        for r in interpolate_linear(df, "ts", "k", "v", round6=False).collect()
+    }
+    want = _li_reference(rows)
+    assert set(got) == set(want)
+    for m in want:
+        if want[m] is None:
+            assert got[m] is None
+        else:
+            assert got[m] == __import__("pytest").approx(want[m], abs=1e-9)
