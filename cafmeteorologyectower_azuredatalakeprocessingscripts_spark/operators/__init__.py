@@ -1,5 +1,5 @@
 from .dedup import dedup_keep_richest
-from .gapfill import forward_fill, gap_fill, scd2_intervals, time_spine
+from .gapfill import forward_fill, gap_fill, interpolate_linear, scd2_intervals, time_spine
 from .unions import spread, union_by_name
 from .topk import latest_per_group
 from .skew import salted_join
@@ -18,6 +18,7 @@ __all__ = [
     "gap_fill",
     "time_spine",
     "forward_fill",
+    "interpolate_linear",
     "scd2_intervals",
     "spread",
     "union_by_name",

@@ -107,5 +107,13 @@ except Exception as e:
 # probe: idempotent re-run — pipeline over its own output unioned with raw
 agg2 = aggregate_pipeline(raw, previous_aggregate=back.drop("site", "wateryear"), table="Flux", freq_minutes=30, qc=True)
 print(f"[probe] re-run over prev output: rows={agg2.count()} (want 97 again)")
+# probe: opt-in resample — the mid-series NAN (RH at day-2 03:00, the
+# keep-richest survivor's NAN tick) interpolates between its neighbors;
+# trailing spine ticks (no next observation) correctly stay NULL
+li = aggregate_pipeline(raw, table="Flux", freq_minutes=30, qc=False, interpolate=["RH_Avg"])
+nan_row = li.filter(F.col("TIMESTAMP") == dt.datetime(2022, 1, 2, 3, 0)).collect()[0]
+trail = li.filter(F.col("RECORD").isNull()).filter(F.col("RH_Avg_li").isNotNull()).count()
+print(f"[resample] NAN tick RH={nan_row.RH_Avg} interpolated={nan_row.RH_Avg_li} "
+      f"(want non-null between neighbors); trailing ticks filled: {trail} (want 0)")
 shutil.rmtree(workdir)
 print("DONE")
