@@ -397,6 +397,15 @@ def kmeans_centroids(
                 F.transform("__s", lambda s: s["__m"]).alias("__ctr"),
             )
         )
+    if iters > 0:
+        # the trained quantizer is <= n_centroids rows but its LINEAGE
+        # is `iters` full corpus passes; every consumer (cell
+        # assignment, query probes — typically 2+) would re-execute the
+        # whole Lloyd chain un-persisted (r8 sweep: ann_ivf_kmeans_topk
+        # ran 8 corpus scans). Persisting k rows is free; the
+        # first-N (iters=0) seed stays lazy — its lineage is one
+        # TakeOrderedAndProject
+        cents = cents.cache()
     return cents
 
 
