@@ -320,3 +320,22 @@ def test_resize_images_palette_png_roundtrip(spark):
     assert pix[0:3] == plte[0:3]
     assert pix[2 * 3 : 3 * 3] == plte[3:6]
     assert pix[-3:] == plte[0:3]
+
+
+def test_rotation_debt_tool_reads_records():
+    """tools/rotation_debt aggregates driver + local correctness
+    records; the current registry must have zero never-checked entries
+    once the local r8 record is counted."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    import rotation_debt
+
+    driver, local, latest = rotation_debt.load_rounds()
+    assert latest >= 8
+    import __spark_entry__ as entrymod
+
+    names = list(entrymod.queries())
+    # every registry entry has SOME green record (driver or local)
+    missing = [n for n in names if n not in driver and n not in local]
+    assert missing == []
