@@ -104,12 +104,21 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
             break
     if width < 0 or not saw_end:
         raise PngUnsupported("missing IHDR/IEND")
+    if width == 0 or height == 0:
+        raise PngUnsupported("zero-dimension image")
+    stride = width * channels
+    expected = (stride + 1) * height
+    # bounded inflate: a crafted IDAT can expand without limit, and this
+    # runs inside Arrow workers — cap at the geometry the header
+    # declares instead of trusting the stream (zip-bomb guard)
     try:
-        raw = zlib.decompress(bytes(idat))
+        dec = zlib.decompressobj()
+        raw = dec.decompress(bytes(idat), expected + 1)
     except zlib.error as e:  # corrupt stream
         raise PngUnsupported(f"zlib: {e}") from e
-    stride = width * channels
-    if len(raw) != (stride + 1) * height:
+    # eof=False means a truncated stream whose adler trailer was never
+    # verified — the old whole-buffer decompress rejected those too
+    if len(raw) != expected or not dec.eof or dec.unconsumed_tail:
         raise PngUnsupported("pixel data size mismatch")
     arr = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
     ftypes = arr[:, 0]

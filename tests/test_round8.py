@@ -339,3 +339,56 @@ def test_rotation_debt_tool_reads_records():
     # every registry entry has SOME green record (driver or local)
     missing = [n for n in names if n not in driver and n not in local]
     assert missing == []
+
+
+def test_png_decode_hostile_payloads_raise_pngunsupported_only():
+    """Workers must see PngUnsupported (-> digest fallback), never a
+    bare numpy/zlib exception: zero-dim headers, oversized IDAT
+    (zip-bomb shape), truncated streams, random garbage, mutations."""
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.png import (
+        PngUnsupported,
+        decode_png,
+        encode_png,
+    )
+
+    def chunk(t, body):
+        return (
+            struct.pack(">I", len(body))
+            + t
+            + body
+            + struct.pack(">I", zlib.crc32(t + body) & 0xFFFFFFFF)
+        )
+
+    sig = b"\x89PNG\r\n\x1a\n"
+
+    def png_of(w, h, raw):
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+        return (
+            sig
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw, 6))
+            + chunk(b"IEND", b"")
+        )
+
+    hostile = [
+        png_of(0, 0, b""),                      # zero-dim
+        png_of(4, 0, b""),                      # zero height
+        png_of(2, 2, b"\x00" * 1_000_000),      # IDAT expands past geometry
+        png_of(2, 2, b"\x00\x01\x02"),          # too short
+        sig + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)),  # no IEND
+    ]
+    good = encode_png(3, 3, 1, bytes(range(9)))
+    # truncations and single-byte mutations of a valid file
+    hostile += [good[:n] for n in (8, 20, 40, len(good) - 5)]
+    for i in (12, 16, 33, 37, 45):
+        if i < len(good):
+            hostile.append(good[:i] + bytes([good[i] ^ 0xFF]) + good[i + 1 :])
+    rng = random.Random(88)
+    hostile += [bytes(rng.randrange(256) for _ in range(64)) for _ in range(5)]
+
+    for p in hostile:
+        try:
+            w, h, c, pix = decode_png(p)
+            assert len(pix) == w * h * c  # decoded despite mutation: fine
+        except PngUnsupported:
+            pass  # the ONLY acceptable exception
