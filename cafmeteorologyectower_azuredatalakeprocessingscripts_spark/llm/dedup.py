@@ -802,6 +802,7 @@ def levenshtein_blocked_pairs(
     max_dist: int = 20,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_block_size: int | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b, dist): edit-distance near-duplicate pairs, blocked
     by a shared normalized-text prefix — the classic record-linkage
@@ -824,6 +825,19 @@ def levenshtein_blocked_pairs(
     The ``threshold`` early-exit returns -1 above ``max_dist``; kept
     rows carry the exact distance, so a no-threshold oracle filtered to
     ``dist <= max_dist`` replays it bit-for-bit.
+
+    ``max_block_size`` is the SKEW VALVE (the r8 100x probe measured
+    why it must exist: at 500k synth docs one 16-char prefix collected
+    10,016 documents — Σ block² ≈ 659M candidate pairs, hours of banded
+    DP; the same disease as a stop-word shingle in the Jaccard index,
+    ``max_doc_freq``). Blocks larger than the cap are dropped from the
+    index entirely: a prefix shared by thousands of documents is
+    boilerplate (common page openings) whose pairs the token-set
+    families catch more cheaply, and keeping it makes pair count grow
+    quadratically in the hot block. Dropped pairs = only those wholly
+    inside an over-cap block, making the result a documented recall
+    floor. Default None = exact semantics (what the oracle checks);
+    SET IT when running at corpus scale.
     """
     if prefix_len < 1 or probe_len < prefix_len:
         raise ValueError(
@@ -835,6 +849,14 @@ def levenshtein_blocked_pairs(
         F.substring(n, 1, prefix_len).alias("bk"),
         F.substring(n, 1, probe_len).alias("probe"),
     )
+    if max_block_size is not None:
+        small = (
+            probes.groupBy("bk")
+            .agg(F.count(F.lit(1)).alias("__bn"))
+            .filter(F.col("__bn") <= max_block_size)
+            .select("bk")
+        )
+        probes = probes.join(small, "bk")
     a = probes.alias("a")
     b = probes.alias("b")
     dist = F.levenshtein(F.col("a.probe"), F.col("b.probe"), max_dist)

@@ -392,3 +392,27 @@ def test_png_decode_hostile_payloads_raise_pngunsupported_only():
             assert len(pix) == w * h * c  # decoded despite mutation: fine
         except PngUnsupported:
             pass  # the ONLY acceptable exception
+
+
+def test_levenshtein_max_block_size_valve(spark):
+    """The prefix-block skew valve: an over-cap block's pairs drop,
+    small blocks are untouched; default (None) keeps exact semantics."""
+    from pyspark.sql import Row as R
+
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm import levenshtein_blocked_pairs
+
+    boiler = "the same boilerplate opening text here "
+    docs = spark.createDataFrame(
+        [R(doc_id=i, text=boiler + f"variant {i}") for i in range(5)]
+        + [
+            R(doc_id=10, text="rare prefix alpha beta gamma"),
+            R(doc_id=11, text="rare prefix alpha beta gamme"),
+        ]
+    )
+    full = {(r.doc_a, r.doc_b) for r in levenshtein_blocked_pairs(docs).collect()}
+    assert (10, 11) in full and len(full) > 1  # boiler pairs present
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in levenshtein_blocked_pairs(docs, max_block_size=3).collect()
+    }
+    assert capped == {(10, 11)}  # hot block dropped, small block kept
