@@ -457,6 +457,8 @@ def charlm_score(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    model: str = "broadcast",
+    cache_out: list | None = None,
 ) -> DataFrame:
     """(id, n_bigrams, avg_neglogprob): CCNet-style language-model
     quality proxy — a character-bigram model trained ON THE CORPUS
@@ -471,22 +473,44 @@ def charlm_score(
     counts (identical doubles in any engine); each document's score is
     an **integer** sum of floor(c · ln(p) · 1e6) micro-units (same
     order-free recipe as :func:`char_entropy`), divided out once at the
-    end and rounded to 6.
+    end and rounded to 6. Both ``model`` forms produce bit-identical
+    output (same integer arithmetic, different physical plan).
 
-    Scale shape (D-28 applied): the model counts feed back into the
-    SAME per-(doc, bigram) rows they aggregate, so an agg + broadcast
-    join-back would re-execute the corpus explode subtree once per
-    model table (measured: 4 scans). Instead the bigram total and the
-    first-char total ride along as unbounded ``sum().over(partitionBy)``
-    windows — the corpus is scanned ONCE for bigrams plus once for the
-    one-row alphabet size, and the model never materializes as a
-    separate table. (A production two-phase variant would persist the
-    tiny model and broadcast it; inside one lazy plan the window form
-    is strictly less work.) Docs with <2 chars get n_bigrams=0, score 0.
+    ``model`` picks the physical shape of the model-count join-back
+    (the counts feed back into the SAME per-(doc, bigram) rows they
+    aggregate):
+
+    - ``'broadcast'`` (default): persist the per-(doc, bigram) counts
+      once (MEMORY_AND_DISK, the semdedup cache pattern), aggregate the
+      two tiny model tables from the cache (≤ alphabet² rows — map-side
+      combine collapses them before the shuffle) and broadcast them
+      back. The corpus-sized rows cross ONE exchange (the pre-explode
+      doc repartition, whose partitioning the final per-doc agg then
+      rides); everything else that shuffles is model-sized. Pass
+      ``cache_out=[]`` to receive the persisted frame and
+      ``.unpersist()`` it after consuming the result.
+    - ``'window'``: the model totals ride along as unbounded
+      ``sum().over(partitionBy)`` windows — nothing persists, but every
+      corpus bigram row crosses the bg-window and first-char-window
+      exchanges too (3 full-size shuffles vs 1), and the first-char
+      window caps parallelism at alphabet size with char-frequency
+      skew. Measured tiers (5k/50k/500k word-shuffled synth docs,
+      local[32], steady-state): window 2.95 / 5.89 / **73.81 s**
+      (12.5x for the last decade — the skew surfacing) vs broadcast
+      2.66 / 3.84 / **13.22 s** (3.4x per decade, 5.6x faster at
+      500k). Use 'window' only when a persist is undesirable
+      (composing into a larger one-shot lazy plan at modest scale).
+
+    Docs with <2 chars get n_bigrams=0, score 0.
     """
+    if model not in ("broadcast", "window"):
+        raise ValueError(f"model must be 'broadcast' or 'window': {model!r}")
     per_doc_bg = _char_bigrams(df, text_col, id_col)
     # corpus alphabet size: one-row agg (map-side partials collapse to
-    # <= alphabet rows per partition), broadcast to every row
+    # <= alphabet rows per partition), broadcast to every row. Computed
+    # from the raw text, NOT the bigram table: a 1-char document
+    # contributes its char to the alphabet but no bigram (the oracle
+    # counts it too).
     alphabet = (
         df.select(
             F.explode(
@@ -495,16 +519,35 @@ def charlm_score(
         )
         .agg(F.countDistinct("ch").alias("v"))
     )
-    cb = F.sum("c").over(Window.partitionBy("bg"))
-    cu = F.sum("c").over(Window.partitionBy(F.substring("bg", 1, 1)))
+    if model == "broadcast":
+        per_doc_bg = per_doc_bg.persist()
+        if cache_out is not None:
+            cache_out.append(per_doc_bg)
+        model_bg = per_doc_bg.groupBy("bg").agg(F.sum("c").alias("cb"))
+        model_cu = (
+            model_bg.groupBy(F.substring("bg", 1, 1).alias("c1"))
+            .agg(F.sum("cb").alias("cu"))
+        )
+        joined = (
+            per_doc_bg.join(F.broadcast(model_bg), "bg")
+            .join(
+                F.broadcast(model_cu),
+                F.substring(per_doc_bg["bg"], 1, 1) == F.col("c1"),
+            )
+        )
+    else:
+        joined = per_doc_bg.withColumn(
+            "cb", F.sum("c").over(Window.partitionBy("bg"))
+        ).withColumn(
+            "cu",
+            F.sum("c").over(Window.partitionBy(F.substring("bg", 1, 1))),
+        )
     lp = F.log(
         (F.col("cb") + F.lit(1)).cast("double")
         / (F.col("cu") + F.col("v")).cast("double")
     )
     scored = (
-        per_doc_bg.withColumn("cb", cb)
-        .withColumn("cu", cu)
-        .crossJoin(F.broadcast(alphabet))
+        joined.crossJoin(F.broadcast(alphabet))
         .groupBy(id_col)
         .agg(
             F.sum(F.floor(F.col("c") * lp * 1e6).cast("bigint")).alias("s"),

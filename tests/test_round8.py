@@ -416,3 +416,34 @@ def test_levenshtein_max_block_size_valve(spark):
         for r in levenshtein_blocked_pairs(docs, max_block_size=3).collect()
     }
     assert capped == {(10, 11)}  # hot block dropped, small block kept
+
+
+def test_charlm_model_forms_bit_identical(spark):
+    """charlm_score('broadcast') vs ('window'): same integer
+    micro-unit arithmetic through two physical shapes — results must
+    be bit-identical, and cache_out must hand back the persisted
+    per-(doc, bigram) frame for lifecycle control."""
+    from pyspark.sql import Row as R
+
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.curation import charlm_score
+
+    texts = [
+        "the cat sat on the mat and the dog sat on the log",
+        "zq xv jk qz wx kj zzqqxxvvjj",
+        "",
+        "a",
+        "ab",
+        "the the the the the",
+    ]
+    docs = spark.createDataFrame(
+        [R(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+    co = []
+    b = charlm_score(docs, model="broadcast", cache_out=co).orderBy("doc_id").collect()
+    w = charlm_score(docs, model="window").orderBy("doc_id").collect()
+    assert b == w
+    assert len(co) == 1 and co[0].is_cached
+    co[0].unpersist()
+    assert not co[0].is_cached
+    with pytest.raises(ValueError):
+        charlm_score(docs, model="nope")
