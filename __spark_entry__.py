@@ -4964,20 +4964,80 @@ FROM p
 """
 
 
+# ORDER MATTERS: the driver's correctness gate evaluates at most ~50
+# entries per round (r2 and r3 both stopped at exactly 50), so the
+# rotation policy is: no query goes more than 2 rounds without a driver
+# row. The rotation order is defined ONCE here and applied to BOTH
+# queries() and oracle_sql() so the two can never drift. r9 rotation
+# (109 entries, registry FROZEN — VERDICT r8 #6): positions 1-9 = the
+# 9 entries whose last driver row is r6 (the VERDICT r8 #1 mandate,
+# exactly `tools/rotation_debt.py --suggest 50` order); 10-50 = the
+# oldest 41 of the r7-green cohort; 51-59 = the 9 r7-greens that don't
+# fit the cap (re-verified locally in CORRECTNESS_LOCAL_r09.json, first
+# claim on r10 slots); 60-109 = driver-green in r8.
+_R9_ORDER = [
+    # ---- 1-9: last driver row r6 — 2 rounds stale, the SLA ceiling.
+    "hard_negatives", "sliding_window_counts", "html_strip",
+    "json_props_extract", "text_repetition_family", "dedup_clusters",
+    "embed_neardup", "ann_ivf_topk", "stream_interval_join",
+    # ---- 10-50: r7-green cohort, due back under the 2-round rule.
+    "state_durations", "flatline_runs", "stream_interval_join_left",
+    "ann_recall_report", "multimodal_png_pixels", "sessionize",
+    "range_join_windows", "flagship_tower_pipeline",
+    "flagship_partitioned", "toa5_roundtrip", "sink_roundtrip",
+    "dedup_keep_richest", "gapfill_spine", "lag_spike_qc",
+    "day_flatline_qc", "flag_strings", "bounds_filtered",
+    "wateryear_rollup", "union_overlap_dedup", "mslp_barometric",
+    "latest_per_user", "anti_join_processed", "rollup_summary",
+    "type_summary_stats", "embed_label_centroids", "pivot_daily_counts",
+    "session_window_native", "null_profile", "last10d_window",
+    "pricing_summary", "top_revenue", "text_stats", "text_lang_id",
+    "text_fingerprint", "text_tfidf_topk", "dedup_ngram_jaccard",
+    "dedup_minhash_lsh", "dedup_exact", "salted_skew_join",
+    "training_data_pipeline", "asof_join_checkpoint",
+    # ---- 51-59: the 9 r7-greens that don't fit the cap — verified
+    # locally this round; they lead the r10 claims.
+    "sketch_accuracy", "train_val_test_split", "corpus_curation",
+    "text_entropy", "decontaminate_ngrams", "sample_shard_pack",
+    "redact_pii", "dedup_simhash", "dedup_simhash64",
+    # ---- 60-109: driver-green in r8 (CORRECTNESS_r08 50/50), due r10.
+    "dedup_ngram_jaccard_capped", "text_repetition",
+    "dedup_simhash_pairs", "dedup_simhash64_pairs", "interpolate_linear",
+    "stream_dedup_within_wm", "variant_props_extract",
+    "ann_ivf_arrow_recall", "flagship_interpolated", "forward_fill_locf",
+    "scd2_history", "percentile_norm", "cusum_level_shift",
+    "sample_per_group", "winsorize_values", "climatology_anomaly",
+    "semantic_dedup", "soft_dedup_weights", "temperature_mix",
+    "unicode_scrub", "token_compression", "trend_slope_qc",
+    "unpivot_profile", "bm25_topk", "exact_quantiles", "topk_per_group",
+    "zorder_layout_key", "intersect_active_users", "chunk_documents",
+    "charlm_quality", "oov_rate", "dedup_levenshtein_pairs",
+    "corpus_cube_stats", "rolling_despike", "dedup_span_corpus",
+    "c4_line_filter", "vocab_top_terms", "incremental_corpus_dedup",
+    "embed_cosine_topk", "embed_neardup_blocked",
+    "embed_neardup_clusters", "multimodal_features", "multimodal_frames",
+    "ann_lsh_topk", "ann_ivf_kmeans_topk", "stream_incremental_dedup",
+    "stream_windowed_agg", "stream_keep_richest_state",
+    "stream_corpus_dedup", "except_churned_users",
+]
+
+
+def _apply_rotation(base: dict) -> dict:
+    """Reorder a registry dict to the round's rotation order.
+
+    Keys absent from the order list (there should be none — tested)
+    keep their definition order at the tail rather than being dropped.
+    """
+    out = {k: base[k] for k in _R9_ORDER if k in base}
+    for k, v in base.items():
+        out.setdefault(k, v)
+    return out
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # ORDER MATTERS: the driver's correctness gate evaluates at most ~50
-    # entries per round (r2 and r3 both stopped at exactly 50), so the
-    # rotation policy is: no query goes more than 2 rounds without a
-    # driver row. r8 rotation (109 entries; registry FROZEN apart from
-    # the 2 VERDICT-mandated additions): positions 1-50 = everything
-    # whose last driver row is r5-or-never (4 spilled twins, 3 wave-2
-    # entries, 2 new) + 41 of the 50 r6-greens due under the 2-round
-    # rule. The 9 due entries that don't fit (51-59) each have a
-    # same-family twin inside the checked 50 and are re-verified
-    # locally (the committed CORRECTNESS_LOCAL_r08.json covers EVERY
-    # position past 50 — the ADVICE r7 auditability item); they lead
-    # the r9 claims. 60+ = driver-green in r7.
-    return {
+    # Definition order below is historical (r8); the driver-visible
+    # order comes from _R9_ORDER via _apply_rotation.
+    return _apply_rotation({
         # ---- r8 top-50 (the driver checks ~50 entries/round).
         # 1-4: the r5-stale twins that spilled past r7's cap;
         # 5-7: the r7 wave-2 entries the driver has never seen;
@@ -5101,12 +5161,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_pii": q_redact_pii,
         "dedup_simhash": q_simhash,
         "dedup_simhash64": q_simhash64,
-    }
+    })
 
 
 def oracle_sql() -> dict[str, str]:
-    # Same order as queries() — see the cap note there.
-    return {
+    # Same rotation order as queries() — applied from the shared list.
+    return _apply_rotation({
         # ---- r8 top-50 (the driver checks ~50 entries/round).
         # 1-4: the r5-stale twins that spilled past r7's cap;
         # 5-7: the r7 wave-2 entries the driver has never seen;
@@ -5230,4 +5290,4 @@ def oracle_sql() -> dict[str, str]:
         "redact_pii": _REDACT_SQL,
         "dedup_simhash": _simhash_sql(),
         "dedup_simhash64": _simhash64_sql(),
-    }
+    })
