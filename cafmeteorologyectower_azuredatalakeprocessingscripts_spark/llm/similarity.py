@@ -607,12 +607,13 @@ def _warn_if_expr_assign_quadratic(corpus: DataFrame, n_centroids: int) -> None:
     side (Catalyst ``sizeInBytes``) — no job, no count."""
     est_bytes = None
     try:
+        # py4j maps scala.math.BigInt to a Python int on some builds
+        # and to a JavaObject on others — str() handles both (the
+        # .toString() form raised AttributeError on the int mapping and
+        # silently disabled the byte trigger; caught by the r9 gapfill
+        # guard's test).
         est_bytes = int(
-            corpus._jdf.queryExecution()
-            .optimizedPlan()
-            .stats()
-            .sizeInBytes()
-            .toString()
+            str(corpus._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
         )
     except Exception:  # stats unavailable — fall back to the k trigger
         est_bytes = None
