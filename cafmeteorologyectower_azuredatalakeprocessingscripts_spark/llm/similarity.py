@@ -615,6 +615,8 @@ def _warn_if_expr_assign_quadratic(corpus: DataFrame, n_centroids: int) -> None:
         est_bytes = int(
             str(corpus._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
         )
+        if est_bytes >= (1 << 62):  # Long.MaxValue-ish = stats unknown
+            est_bytes = None
     except Exception:  # stats unavailable — fall back to the k trigger
         est_bytes = None
     if n_centroids >= _EXPR_ASSIGN_WARN_K or (

@@ -40,6 +40,8 @@ def _warn_if_global_window(df: DataFrame, op: str) -> None:
         est_bytes = int(
             str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
         )
+        if est_bytes >= (1 << 62):  # Long.MaxValue-ish = stats unknown
+            return
     except Exception:  # stats unavailable — stay silent, not wrong
         return
     if est_bytes > _GLOBAL_WINDOW_WARN_BYTES:
