@@ -26,7 +26,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .png import PngUnsupported, decode_png, encode_png, is_png, resize_nearest
+from .png import (
+    PngUnsupported,
+    decode_png,
+    decode_png_batch,
+    encode_png,
+    is_png,
+    resize_nearest,
+)
 
 FEATURE_SCHEMA = T.StructType(
     [
@@ -82,7 +89,11 @@ def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             digests, dims, sums = [], [], []
-            for p in pdf["payload"]:
+            # whole-batch decode: same-geometry Paeth/Average images
+            # share one wavefront (llm/png.py); non-PNG/corrupt/NULL
+            # rows come back None and keep digest-only features
+            decoded = decode_png_batch(list(pdf["payload"]))
+            for p, dec in zip(pdf["payload"], decoded):
                 # NULL payload → NULL features (SQL semantics: the
                 # DuckDB oracle's octet_length/md5 of NULL is NULL)
                 if p is None:
@@ -90,18 +101,14 @@ def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     dims.append((None, None, None))
                     sums.append(None)
                     continue
-                b = bytes(p)
-                digests.append(hashlib.md5(b).digest())
-                if is_png(b):
-                    try:
-                        w, h, c, pix = decode_png(b)
-                        dims.append((w, h, c))
-                        sums.append(sum(pix))
-                        continue
-                    except PngUnsupported:
-                        pass
-                dims.append((None, None, None))
-                sums.append(None)
+                digests.append(hashlib.md5(bytes(p)).digest())
+                if dec is not None:
+                    w, h, c, pix = dec
+                    dims.append((w, h, c))
+                    sums.append(sum(pix))
+                else:
+                    dims.append((None, None, None))
+                    sums.append(None)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
@@ -160,29 +167,27 @@ def resize_images(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out_payload, out_meta = [], []
-            for p in pdf["payload"]:
+            decoded = decode_png_batch(list(pdf["payload"]))
+            for p, dec in zip(pdf["payload"], decoded):
                 b = bytes(p) if p is not None else b""
-                if is_png(b):
-                    try:
-                        w0, h0, c, pix = decode_png(b)
-                        resized = encode_png(
-                            width,
-                            height,
-                            c,
-                            resize_nearest(w0, h0, c, pix, width, height),
-                        )
-                        out_payload.append(resized)
-                        out_meta.append(
-                            {
-                                "mime": "image/png",
-                                "n_bytes": len(resized),
-                                "width": width,
-                                "height": height,
-                            }
-                        )
-                        continue
-                    except PngUnsupported:
-                        pass
+                if dec is not None:
+                    w0, h0, c, pix = dec
+                    resized = encode_png(
+                        width,
+                        height,
+                        c,
+                        resize_nearest(w0, h0, c, pix, width, height),
+                    )
+                    out_payload.append(resized)
+                    out_meta.append(
+                        {
+                            "mime": "image/png",
+                            "n_bytes": len(resized),
+                            "width": width,
+                            "height": height,
+                        }
+                    )
+                    continue
                 scaled = (b * (target // max(len(b), 1) + 1))[:target]
                 out_payload.append(scaled)
                 out_meta.append(

@@ -51,13 +51,10 @@ def is_png(payload: bytes) -> bool:
     return payload is not None and bytes(payload[:8]) == _SIGNATURE
 
 
-def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
-    """Decode a PNG into (width, height, channels, pixels).
-
-    ``pixels`` is row-major, channel-interleaved, 1 byte per sample —
-    exactly the IDAT layout after unfiltering.
-    """
-    data = bytes(payload)
+def _parse_png(data: bytes):
+    """Chunk walk + bounded inflate: returns (width, height, channels,
+    color, palette, lines, ftypes) with ``lines`` the (H, stride) raw
+    filtered scanline bytes and ``ftypes`` the per-row filter ids."""
     if not is_png(data):
         raise PngUnsupported("bad signature")
     pos = 8
@@ -124,7 +121,15 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
     ftypes = arr[:, 0]
     if int(ftypes.max()) > 4:
         raise PngUnsupported(f"filter {int(ftypes.max())}")
-    lines = arr[:, 1:]
+    return width, height, channels, color, palette, arr[:, 1:], ftypes
+
+
+def _unfilter_rows(lines, ftypes, width: int, channels: int):
+    """Row-at-a-time unfilter — fully vectorized for None/Sub/Up rows,
+    scalar-loop fallback for Average/Paeth. The fast path when no
+    sequential-in-x filter appears (this repo's own encoder emits
+    filter-0 only); mixed/Paeth-heavy images take the wavefront."""
+    height, stride = lines.shape
     out = np.empty((height, stride), dtype=np.uint8)
     zero_row = np.zeros(stride, dtype=np.uint8)
     for y in range(height):
@@ -145,13 +150,214 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
             out[y] = _unfilter_average(line, prev, channels)
         else:  # Paeth — sequential in x, b/c/pa terms prevectorized
             out[y] = _unfilter_paeth(line, prev, channels)
-    if color == 3:  # palette expansion: one fancy-index gather to RGB
-        if palette is None:
-            raise PngUnsupported("palette image without PLTE")
-        if int(out.max()) >= len(palette):
-            raise PngUnsupported("palette index out of range")
-        return width, height, 3, palette[out.reshape(-1)].tobytes()
+    return out
+
+
+def _unfilter_wavefront(L, FT):
+    """Batch-lockstep unfilter over an anti-diagonal wavefront
+    (VERDICT r8 #4 — the Paeth/Average residual).
+
+    ``L``: (B, H, W) int16 filtered bytes, one lane per (image,
+    channel); ``FT``: (B, H) per-row filter ids. Every PNG predictor
+    reads only o[y][j-1] (a), o[y-1][j] (b), o[y-1][j-1] (c) in
+    channel-lane coordinates j = x // channels — all three have a
+    strictly smaller anti-diagonal index y + j, so the cells on one
+    anti-diagonal are mutually independent REGARDLESS of each row's
+    filter type. Processing diagonal-by-diagonal turns the per-byte
+    Python x-walk into H + W - 1 numpy steps, each vectorized over
+    (lanes x diagonal length): per-image Python iterations drop from
+    H*stride to H+W, and a whole same-geometry batch shares the steps.
+
+    Zero-padding row 0 / col 0 of the output grid makes the boundary
+    terms (a = b = c = 0) fall out of the indexing with no branches.
+    Arithmetic is int16 (range fits: a+b-2c in [-510, 510]) with a
+    final & 0xFF — identical to the spec's mod-256 byte math and
+    byte-exact against the scalar oracle (tested).
+    """
+    B, H, W = L.shape
+    # SKEWED (diagonal-major) storage: D[d + 2][:, y + 1] holds output
+    # cell (y, x) of anti-diagonal d = y + x. In this layout the three
+    # predictor operands of every cell on diagonal d are CONTIGUOUS
+    # slices of two already-written rows —
+    #   a = (y, x-1)   -> D[d + 1][:, y0+1 : y1+2]
+    #   b = (y-1, x)   -> D[d + 1][:, y0   : y1+1]
+    #   c = (y-1, x-1) -> D[d     ][:, y0   : y1+1]
+    # — and the boundary cells (x == 0 or y == 0) land on never-written
+    # pre-zeroed slots, so a = b = c = 0 falls out with no branches.
+    # The first cut of this routine used strided diagonal views into a
+    # row-major grid; at 512^2 successive diagonal elements sit a full
+    # row apart, every element is a cache miss, and the batch ran
+    # SLOWER than per-image decode. Diagonal-major keeps each step's
+    # working set to ~3 rows (~150 KB for a 16-image batch).
+    ND = H + W + 1
+    D = np.zeros((ND, B, H + 2), dtype=np.int16)
+    Ls = np.zeros((ND, B, H + 2), dtype=np.int16)
+    dd = np.arange(W)
+    for y in range(H):  # skew the filtered bytes once: Ls[y+x][:, y+1]
+        Ls[y + dd, :, y + 1] = L[:, y, :].transpose(1, 0)
+    FT = np.ascontiguousarray(FT, dtype=np.uint8)
+    present = set(int(v) for v in np.unique(FT))
+    paeth_only = present <= {4}
+    # per-step temporaries reused via out= (allocation per step measured
+    # ~2x the arithmetic at thumbnail lane sizes)
+    kmax = min(H, W)
+    t_u = np.empty((B, kmax), dtype=np.int16)
+    t_v = np.empty((B, kmax), dtype=np.int16)
+    t_pc = np.empty((B, kmax), dtype=np.int16)
+    t_m1 = np.empty((B, kmax), dtype=bool)
+    t_m2 = np.empty((B, kmax), dtype=bool)
+    t_w = np.empty((B, kmax), dtype=np.int16)
+    for d in range(H + W - 1):
+        y0 = max(0, d - W + 1)
+        y1 = min(H - 1, d)
+        k = y1 - y0 + 1
+        cur = D[d + 2][:, y0 + 1 : y1 + 2]
+        a = D[d + 1][:, y0 + 1 : y1 + 2]
+        b = D[d + 1][:, y0 : y1 + 1]
+        c = D[d][:, y0 : y1 + 1]
+        l = Ls[d][:, y0 + 1 : y1 + 2]
+        u = np.subtract(a, c, out=t_u[:, :k])
+        v = np.subtract(b, c, out=t_v[:, :k])
+        pc = np.abs(np.add(u, v, out=t_pc[:, :k]), out=t_pc[:, :k])
+        pa = np.abs(v, out=t_v[:, :k])
+        pb = np.abs(u, out=t_u[:, :k])
+        m1 = np.logical_and(pa <= pb, pa <= pc, out=t_m1[:, :k])
+        m2 = np.less_equal(pb, pc, out=t_m2[:, :k])
+        w = t_w[:, :k]
+        np.copyto(w, c)
+        np.copyto(w, b, where=m2)
+        np.copyto(w, a, where=m1)  # w = paeth predictor
+        if not paeth_only:
+            f = FT[:, y0 : y1 + 1]  # slot j <-> row y0+j: already aligned
+            if 3 in present:
+                np.copyto(w, (a + b) >> 1, where=(f == 3))
+            if 2 in present:
+                np.copyto(w, b, where=(f == 2))
+            if 1 in present:
+                np.copyto(w, a, where=(f == 1))
+            if 0 in present:
+                np.copyto(w, np.int16(0), where=(f == 0))
+        np.add(l, w, out=w)
+        np.bitwise_and(w, 0xFF, out=w)
+        cur[:] = w
+    out = np.empty((B, H, W), dtype=np.int16)
+    for y in range(H):  # un-skew: O[:, y, x] = D[y + x + 2][:, y + 1]
+        out[:, y, :] = D[y + 2 + dd, :, y + 1].transpose(1, 0)
+    return out
+
+
+def _lanes(lines, ftypes, width: int, channels: int):
+    """(H, stride) scanline bytes -> per-channel lanes (ch, H, W) int16
+    + per-lane filter rows (ch, H)."""
+    height = lines.shape[0]
+    L = (
+        lines.reshape(height, width, channels)
+        .transpose(2, 0, 1)
+        .astype(np.int16)
+    )
+    FT = np.broadcast_to(ftypes, (channels, height))
+    return L, FT
+
+
+def _lanes_to_pixels(O, width: int, channels: int) -> bytes:
+    """(ch, H, W) int16 output grid -> interleaved row-major bytes."""
+    return (
+        O.astype(np.uint8).transpose(1, 2, 0).reshape(O.shape[1], width * channels).tobytes()
+    )
+
+
+def _expand_palette(color: int, palette, width: int, height: int, out):
+    """Palette expansion: one fancy-index gather to RGB."""
+    if palette is None:
+        raise PngUnsupported("palette image without PLTE")
+    if int(out.max()) >= len(palette):
+        raise PngUnsupported("palette index out of range")
+    return width, height, 3, palette[out.reshape(-1)].tobytes()
+
+
+def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Decode a PNG into (width, height, channels, pixels).
+
+    ``pixels`` is row-major, channel-interleaved, 1 byte per sample —
+    exactly the IDAT layout after unfiltering. Rows with only
+    None/Sub/Up filters take the row-vectorized path; any
+    Average/Paeth row switches the whole image to the anti-diagonal
+    wavefront (same bytes, H+W numpy steps instead of a per-byte
+    Python walk).
+    """
+    width, height, channels, color, palette, lines, ftypes = _parse_png(
+        bytes(payload)
+    )
+    if bool((ftypes >= 3).any()):
+        L, FT = _lanes(lines, ftypes, width, channels)
+        out = np.frombuffer(
+            _lanes_to_pixels(_unfilter_wavefront(L, FT), width, channels),
+            dtype=np.uint8,
+        ).reshape(height, width * channels)
+    else:
+        out = _unfilter_rows(lines, ftypes, width, channels)
+    if color == 3:
+        return _expand_palette(color, palette, width, height, out)
     return width, height, channels, out.tobytes()
+
+
+def decode_png_batch(
+    payloads,
+) -> list[tuple[int, int, int, bytes] | None]:
+    """Decode MANY PNGs at once; unsupported/corrupt payloads yield
+    ``None`` at their position (callers route those to the digest
+    fallback, exactly as a per-image ``PngUnsupported`` would).
+
+    Same-geometry (H, W) images that need the wavefront are STACKED
+    into one lane tensor and unfiltered together — the corpus decode
+    shape: an Arrow batch of thumbnails shares one set of H+W
+    diagonal steps instead of paying them per image. Fast-filter-only
+    images keep the row-vectorized path (cheaper than any stacking).
+    """
+    parsed: list = [None] * len(payloads)
+    groups: dict[tuple[int, int], list[int]] = {}
+    for i, p in enumerate(payloads):
+        try:
+            meta = _parse_png(bytes(p))
+        except (PngUnsupported, TypeError):
+            continue
+        parsed[i] = meta
+        if bool((meta[6] >= 3).any()):
+            groups.setdefault((meta[1], meta[0]), []).append(i)
+    results: list = [None] * len(payloads)
+    grouped = {i for idxs in groups.values() for i in idxs}
+    for i, meta in enumerate(parsed):
+        if meta is None or i in grouped:
+            continue
+        width, height, channels, color, palette, lines, ftypes = meta
+        out = _unfilter_rows(lines, ftypes, width, channels)
+        results[i] = (
+            _expand_palette(color, palette, width, height, out)
+            if color == 3
+            else (width, height, channels, out.tobytes())
+        )
+    for (height, width), idxs in groups.items():
+        lane_parts, ft_parts, spans = [], [], []
+        off = 0
+        for i in idxs:
+            _, _, channels, _, _, lines, ftypes = parsed[i]
+            L, FT = _lanes(lines, ftypes, width, channels)
+            lane_parts.append(L)
+            ft_parts.append(FT)
+            spans.append((off, off + channels))
+            off += channels
+        O = _unfilter_wavefront(
+            np.concatenate(lane_parts, axis=0), np.concatenate(ft_parts, axis=0)
+        )
+        for i, (lo, hi) in zip(idxs, spans):
+            w_i, h_i, channels, color, palette, _, _ = parsed[i]
+            pix = _lanes_to_pixels(O[lo:hi], w_i, channels)
+            if color == 3:
+                out = np.frombuffer(pix, dtype=np.uint8).reshape(h_i, w_i)
+                results[i] = _expand_palette(color, palette, w_i, h_i, out)
+            else:
+                results[i] = (w_i, h_i, channels, pix)
+    return results
 
 
 def _unfilter_average(line, prev, channels: int) -> list:
