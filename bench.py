@@ -41,7 +41,6 @@ EXTRA_QUERIES = [
     "c4_line_filter",
     "vocab_top_terms",
     "chunk_documents",
-    "charlm_quality",
     "oov_rate",
     "dedup_levenshtein_pairs",
     "corpus_cube_stats",
@@ -54,7 +53,6 @@ EXTRA_QUERIES = [
     "html_strip",
     "json_props_extract",
     "intersect_active_users",
-    "semantic_dedup",
     "hard_negatives",
     "soft_dedup_weights",
     "temperature_mix",
@@ -99,7 +97,17 @@ HEADLINE = [
     "embed_cosine_topk",
     "embed_neardup_blocked",
     "multimodal_features",
+    # promoted from the extra section in r9 (VERDICT r8 #3): the two
+    # hottest LLM ops were judged on min-of-3 singles; they now get the
+    # full n=5 + spread treatment. The parsed line also carries
+    # "value_r8_basis" (total over the 16 pre-r9 headline queries) so
+    # round-over-round totals stay apples-to-apples.
+    "charlm_quality",
+    "semantic_dedup",
 ]
+
+# the pre-r9 headline set: basis for cross-round total comparison
+_R8_BASIS = HEADLINE[:16]
 
 
 def main() -> None:
@@ -146,15 +154,23 @@ def main() -> None:
         ]
     total = round(sum(times.values()), 3)
     total_median = round(sum(medians.values()), 3)
+    total_r8_basis = round(sum(times[n] for n in _R8_BASIS), 3)
+    # extras keep n=3 but now record the FULL [min, median, max] spread
+    # (VERDICT r8 #3: min-of-3 singles could not distinguish co-tenant
+    # load from a real regression — the three samples were already being
+    # taken, only the min was kept)
     extra: dict[str, float] = {}
+    extra_spread: dict[str, list[float]] = {}
     for name in EXTRA_QUERIES:
-        best = float("inf")
+        samples = []
         for _ in range(N_RUNS_EXTRA):
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        extra[name] = round(best, 3)
+            samples.append(time.perf_counter() - t0)
+        samples.sort()
+        extra[name] = round(samples[0], 3)
+        extra_spread[name] = [round(x, 3) for x in samples]
     # The driver tail-captures stdout and parses the LAST JSON line; in
     # r3 and r6 a single giant line (headline + spread + extra) outgrew
     # the capture window and truncated away the "value" field (VERDICT r6
@@ -163,6 +179,7 @@ def main() -> None:
     sidecar = {
         "spread": spread,
         "extra": extra,
+        "extra_spread": extra_spread,
         "sf": sf,
         "n": N_RUNS,
         "n_extra": N_RUNS_EXTRA,
@@ -182,6 +199,7 @@ def main() -> None:
                 "metric": "headline_queries_total",
                 "value": total,
                 "median": total_median,
+                "value_r8_basis": total_r8_basis,
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,
