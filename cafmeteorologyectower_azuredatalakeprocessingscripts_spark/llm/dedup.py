@@ -146,26 +146,72 @@ def cross_doc_span_fraction(
         .select(id_col, md5_int(F.col("__sp")).alias("sp_h"))
     )
     per_doc_span = spans.groupBy(id_col, "sp_h").agg(F.count("*").alias("c"))
-    # document frequency as an unbounded window count over the span hash
-    # rather than an agg + self-join: the join form computes the whole
-    # scan→explode→agg subtree TWICE (no exchange reuse); the window
-    # form is one pipeline — shuffle by sp_h, count, shuffle by doc
-    n_docs = F.count("*").over(Window.partitionBy("sp_h"))
-    frac = (
-        per_doc_span.withColumn("n_docs", n_docs)
-        .groupBy(id_col)
-        .agg(
-            F.round(
-                F.sum(
-                    F.when(
-                        F.col("n_docs") >= min_docs, F.col("c")
-                    ).otherwise(F.lit(0))
-                )
-                / F.sum("c"),
-                6,
-            ).alias("dup_span_frac")
+    if min_docs == 2:
+        # COMPLEMENT form (default; the r9 tier probe measured the
+        # window form super-linear at 1-2M docs — 2.5-2.8x per doubling
+        # — because WindowExec must SORT the full ~115-slots-per-doc
+        # row set by sp_h before counting; external sort spill is the
+        # drifting term). For the df >= 2 case the dup mass has an
+        # exact complement: a slot is duplicated iff its span's
+        # doc-frequency > 1, and a df == 1 span belongs to exactly ONE
+        # document — so
+        #   dup_mass(doc) = total_slots(doc) - unique_mass(doc)
+        # where unique_mass comes from a HASH aggregation by sp_h
+        # (no sort) followed by a doc-keyed sum of the df == 1 rows.
+        # total_slots needs no explode at all: max(tokens - (n-1), 0)
+        # straight off the text column. Counts are exact integers and
+        # the final division is the same two doubles as the window
+        # form, so results are bit-identical (parity-tested) and the
+        # oracle is unchanged.
+        uniq = (
+            per_doc_span.groupBy("sp_h")
+            .agg(
+                F.count("*").alias("df"),
+                F.max(id_col).alias(id_col),  # exact: the only doc when df==1
+                F.max("c").alias("c"),
+            )
+            .filter(F.col("df") == 1)
+            .groupBy(id_col)
+            .agg(F.sum("c").alias("__uniq"))
         )
-    )
+        total = F.greatest(
+            F.size(toks) - F.lit(n - 1), F.lit(0)
+        ).cast("long")
+        frac = (
+            df.select(F.col(id_col), total.alias("__tot"))
+            .join(uniq, id_col, "left")
+            .filter(F.col("__tot") > 0)
+            .select(
+                F.col(id_col),
+                F.round(
+                    (F.col("__tot") - F.coalesce(F.col("__uniq"), F.lit(0)))
+                    / F.col("__tot"),
+                    6,
+                ).alias("dup_span_frac"),
+            )
+        )
+    else:
+        # general min_docs: document frequency as an unbounded window
+        # count over the span hash rather than an agg + self-join (the
+        # join form computes the whole scan→explode→agg subtree TWICE
+        # with no exchange reuse). A df < min_docs span can belong to
+        # several docs, so the complement trick above does not apply.
+        n_docs = F.count("*").over(Window.partitionBy("sp_h"))
+        frac = (
+            per_doc_span.withColumn("n_docs", n_docs)
+            .groupBy(id_col)
+            .agg(
+                F.round(
+                    F.sum(
+                        F.when(
+                            F.col("n_docs") >= min_docs, F.col("c")
+                        ).otherwise(F.lit(0))
+                    )
+                    / F.sum("c"),
+                    6,
+                ).alias("dup_span_frac")
+            )
+        )
     return df.select(id_col).join(frac, id_col, "left").select(
         id_col,
         F.coalesce("dup_span_frac", F.lit(0.0)).alias("dup_span_frac"),
