@@ -268,12 +268,47 @@ def ivf_assign(
     )
 
 
+def _coarse_partition(C: "object", k_coarse: int, iters: int = 4):
+    """Group the k fine-centroid rows of ``C`` (k x d float64) under
+    ``k_coarse`` coarse cells with a tiny deterministic driver-side
+    Lloyd (init = first ``k_coarse`` rows in centroid-id order, cosine
+    affinity, argmax keeps the FIRST maximum so ties break by
+    ascending id). Returns ``(Qn, members)``: the unit-row coarse
+    matrix and, per kept coarse cell, the fine-row indices it holds —
+    empty cells are dropped so every probed cell yields candidates.
+
+    k is thousands at most (the fine quantizer is broadcast-sized by
+    construction), so this is microseconds of numpy on the driver."""
+    import numpy as np
+
+    k = C.shape[0]
+    k_coarse = max(1, min(k_coarse, k))
+    cn = np.sqrt((C * C).sum(axis=1))
+    cn[cn == 0.0] = 1.0
+    Cn = C / cn[:, None]
+    Qn = Cn[:k_coarse].copy()
+    assign = None
+    for _ in range(max(1, iters)):
+        assign = np.argmax(Cn @ Qn.T, axis=1)
+        for g in range(k_coarse):
+            m = assign == g
+            if m.any():
+                v = Cn[m].mean(axis=0)
+                nv = float(np.sqrt((v * v).sum()))
+                if nv > 0.0:
+                    Qn[g] = v / nv
+    members = [np.nonzero(assign == g)[0] for g in range(k_coarse)]
+    keep = [g for g in range(k_coarse) if len(members[g])]
+    return Qn[keep], [members[g] for g in keep]
+
+
 def ivf_assign_arrow(
     df: DataFrame,
     centroids: DataFrame,
     n_probe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    coarse_probe: int = 0,
 ) -> DataFrame:
     """Arrow/numpy variant of :func:`ivf_assign` — the THROUGHPUT path
     for large corpora. Same contract (input columns + ``centroid_id``,
@@ -298,7 +333,20 @@ def ivf_assign_arrow(
 
     The quantizer is driver-collected here (it is tiny by construction
     — the same rows every executor would get via broadcast), which
-    makes this builder EAGER on the centroids frame."""
+    makes this builder EAGER on the centroids frame.
+
+    ``coarse_probe`` (opt-in; 0 = exact full scoring, the default):
+    two-level assignment for corpora sized by the SemDeDup rule
+    k ∝ n, where the flat n·k matmul itself turns O(n²/c)
+    (SCALING.md round-9 addendum 3 — 8.2x wall for 4x data at 2M
+    vectors). The k fine centroids are grouped under ~√k coarse
+    cells (driver-side deterministic Lloyd, :func:`_coarse_partition`);
+    each vector scores the √k coarse cells, then ONLY the fine
+    centroids of its top-``coarse_probe`` cells — O(n·(1+p)·√k)
+    total. APPROXIMATE: the true nearest fine centroid can sit
+    outside the probed cells (measured agreement vs exact in
+    tests + SCALING.md); with ``coarse_probe >= #cells`` every fine
+    centroid is scored and the output matches the exact path."""
     cents = centroids.select("centroid_id", "__ctr").toPandas()
     cents = cents.sort_values("centroid_id")  # stable-argsort tiebreak
     cent_ids = [int(x) for x in cents["centroid_id"]]
@@ -307,6 +355,13 @@ def ivf_assign_arrow(
     out_schema = T.StructType(
         list(df.schema.fields) + [T.StructField("centroid_id", T.IntegerType())]
     )
+
+    if coarse_probe:
+        import numpy as np
+
+        _C0 = np.asarray(cent_rows, dtype=np.float64)
+        _k_coarse = max(1, int(np.ceil(np.sqrt(len(cent_rows)))))
+        coarse_Qn, coarse_members = _coarse_partition(_C0, _k_coarse)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -322,15 +377,49 @@ def ivf_assign_arrow(
                 [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
             )  # b x d
             vn = np.sqrt((V * V).sum(axis=1))
-            aff = np.round((V @ C.T) / np.outer(vn, cn), 6)
-            # ids ascend, stable argsort on -aff => ties break by id
-            order = np.argsort(-aff, axis=1, kind="stable")[:, :k_take]
-            # positional repeat (iloc) — label-based loc would fan out
-            # wrongly if a batch ever carried duplicate index labels
-            rep = pdf.iloc[np.repeat(np.arange(len(pdf)), k_take)].reset_index(
-                drop=True
-            )
-            rep["centroid_id"] = ids[order].ravel()
+            if not coarse_probe:
+                aff = np.round((V @ C.T) / np.outer(vn, cn), 6)
+                # ids ascend, stable argsort on -aff => ties break by id
+                order = np.argsort(-aff, axis=1, kind="stable")[:, :k_take]
+                # positional repeat (iloc) — label-based loc would fan
+                # out wrongly if a batch ever carried duplicate index
+                # labels
+                rep = pdf.iloc[
+                    np.repeat(np.arange(len(pdf)), k_take)
+                ].reset_index(drop=True)
+                rep["centroid_id"] = ids[order].ravel()
+                yield rep
+                continue
+            # two-level: b x √k coarse scores, then exact round-6
+            # scoring limited to the fine centroids of the top-p cells
+            p = min(coarse_probe, len(coarse_members))
+            affc = (V @ coarse_Qn.T) / vn[:, None]  # coarse rows are unit
+            top_cells = np.argsort(-affc, axis=1, kind="stable")[:, :p]
+            rows_l, fidx_l, affs_l = [], [], []
+            for g, mem in enumerate(coarse_members):
+                rsel = np.nonzero((top_cells == g).any(axis=1))[0]
+                if not len(rsel):
+                    continue
+                sub = np.round(
+                    (V[rsel] @ C[mem].T) / np.outer(vn[rsel], cn[mem]), 6
+                )
+                rows_l.append(np.repeat(rsel, len(mem)))
+                fidx_l.append(np.tile(mem, len(rsel)))
+                affs_l.append(sub.ravel())
+            rows = np.concatenate(rows_l)
+            fidx = np.concatenate(fidx_l)
+            affs = np.concatenate(affs_l)
+            # per-row top-k_take with the exact path's tie rule: fine
+            # indices ascend with centroid_id, lexsort is stable =>
+            # (row asc, aff desc, id asc)
+            order = np.lexsort((fidx, -affs, rows))
+            r_sorted = rows[order]
+            counts = np.bincount(r_sorted, minlength=len(pdf))
+            starts = np.concatenate(([0], np.cumsum(counts[:-1])))
+            rank = np.arange(len(order)) - np.repeat(starts, counts)
+            sel = order[rank < k_take]
+            rep = pdf.iloc[rows[sel]].reset_index(drop=True)
+            rep["centroid_id"] = ids[fidx[sel]]
             yield rep
 
     return df.mapInPandas(run, out_schema)
@@ -646,6 +735,7 @@ def semdedup(
     dim: int | None = None,
     cells_out: list | None = None,
     assign: str = "expr",
+    coarse_probe: int = 0,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication by clustering embeddings and dropping near-identical
@@ -679,9 +769,18 @@ def semdedup(
     corpus (assignment is n·k work; SCALING.md quantifies both). A
     ``RuntimeWarning`` fires when ``'expr'`` is requested at a shape
     where the n·k term dominates (see ``_warn_if_expr_assign_quadratic``).
+
+    ``coarse_probe`` (arrow only; 0 = exact full scoring): two-level
+    quantizer assignment for the k ∝ n sizing regime where even the
+    arrow matmul is O(n²/c) — see :func:`ivf_assign_arrow` and
+    SCALING.md round-9 addendum 3. Approximate (a vector can land in
+    a neighboring cluster), so keep/drop decisions can differ near
+    cluster boundaries; the dedup *rule* stays deterministic.
     """
     if assign not in ("expr", "arrow"):
         raise ValueError(f"assign must be 'expr' or 'arrow', got {assign!r}")
+    if coarse_probe and assign != "arrow":
+        raise ValueError("coarse_probe requires assign='arrow'")
     if assign == "expr":
         _warn_if_expr_assign_quadratic(corpus, n_centroids)
     cents = kmeans_centroids(
@@ -697,7 +796,12 @@ def semdedup(
     )
     if assign == "arrow":
         assigned = ivf_assign_arrow(
-            cast_corpus, cents, n_probe=1, id_col=id_col, vec_col="__cv"
+            cast_corpus,
+            cents,
+            n_probe=1,
+            id_col=id_col,
+            vec_col="__cv",
+            coarse_probe=coarse_probe,
         )
     else:
         assigned = ivf_assign(

@@ -157,3 +157,103 @@ def test_span_fraction_complement_form_matches_window_form(spark):
         for r in cross_doc_span_fraction(docs, n=4, min_docs=3).collect()
     }
     assert strict == {1: 0.6, 2: 0.6, 3: 0.6, 4: 0.0, 5: 0.0, 6: 0.0}
+
+
+# ----------------------------------------- two-level arrow assignment
+def _clustered_vecs(spark, n, dim=16, n_centers=8, seed=7):
+    import random
+
+    from pyspark.sql import Row
+
+    rng = random.Random(seed)
+    centers = [
+        [rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_centers)
+    ]
+    rows = []
+    for i in range(n):
+        c = centers[i % n_centers]
+        rows.append(
+            Row(
+                vec_id=i,
+                embedding=[x + rng.gauss(0, 0.05) for x in c],
+            )
+        )
+    return spark.createDataFrame(rows)
+
+
+def test_ivf_arrow_full_coarse_probe_matches_exact(spark):
+    """coarse_probe >= #coarse cells scores every fine centroid, so the
+    two-level path must reproduce the exact path bit-for-bit (same
+    round-6 affinity, same ascending-id tie rule)."""
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.similarity import (
+        ivf_assign_arrow,
+        kmeans_centroids,
+    )
+
+    df = _clustered_vecs(spark, 240)
+    cents = kmeans_centroids(df, n_centroids=25)
+    for n_probe in (1, 3):
+        exact = sorted(
+            (r["vec_id"], r["centroid_id"])
+            for r in ivf_assign_arrow(df, cents, n_probe=n_probe).collect()
+        )
+        hier = sorted(
+            (r["vec_id"], r["centroid_id"])
+            for r in ivf_assign_arrow(
+                df, cents, n_probe=n_probe, coarse_probe=99
+            ).collect()
+        )
+        assert hier == exact
+
+
+def test_ivf_arrow_coarse_probe_agreement_and_determinism(spark):
+    """With p << #cells the assignment is approximate — on clustered
+    data agreement with the exact path stays high, row count is
+    unchanged, and the result is partition-invariant."""
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.similarity import (
+        ivf_assign_arrow,
+        kmeans_centroids,
+    )
+
+    df = _clustered_vecs(spark, 400)
+    cents = kmeans_centroids(df, n_centroids=36)
+    exact = {
+        r["vec_id"]: r["centroid_id"]
+        for r in ivf_assign_arrow(df, cents).collect()
+    }
+    hier = {
+        r["vec_id"]: r["centroid_id"]
+        for r in ivf_assign_arrow(df, cents, coarse_probe=2).collect()
+    }
+    assert len(hier) == len(exact) == 400
+    agree = sum(hier[i] == exact[i] for i in exact) / len(exact)
+    assert agree >= 0.9, f"two-level agreement {agree:.3f} < 0.9"
+    again = {
+        r["vec_id"]: r["centroid_id"]
+        for r in ivf_assign_arrow(
+            df.repartition(7), cents, coarse_probe=2
+        ).collect()
+    }
+    assert again == hier
+
+
+def test_semdedup_coarse_probe_forwarding(spark):
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.similarity import (
+        semdedup,
+    )
+
+    df = _clustered_vecs(spark, 120, n_centers=4)
+    base = sorted(
+        map(tuple, semdedup(df, n_centroids=9, assign="arrow").collect())
+    )
+    full = sorted(
+        map(
+            tuple,
+            semdedup(
+                df, n_centroids=9, assign="arrow", coarse_probe=99
+            ).collect(),
+        )
+    )
+    assert full == base
+    with pytest.raises(ValueError, match="coarse_probe requires"):
+        semdedup(df, n_centroids=9, assign="expr", coarse_probe=2)
