@@ -509,6 +509,8 @@ def ivf_ann_topk(
     query_id_col: str = "query_id",
     train_iters: int = 0,
     dim: int | None = None,
+    assign: str = "expr",
+    coarse_probe: int = 0,
 ) -> DataFrame:
     """IVF-style approximate top-k: a coarse quantizer partitions the
     corpus into cells; each query probes only its ``n_probe`` nearest
@@ -522,7 +524,19 @@ def ivf_ann_topk(
     (broadcast centroids), the probe join is keyed by cell id
     (≤ n_probe × |q| build rows), and per-query top-k is a bounded
     window — the corpus is never self-joined and never shuffled whole.
+
+    ``assign='arrow'`` swaps both assignment passes for
+    :func:`ivf_assign_arrow` (numpy matmul — the throughput path once
+    ``n_centroids`` grows with the corpus), and ``coarse_probe=p``
+    additionally engages the two-level quantizer there — the same
+    options :func:`semdedup` exposes, so the whole ANN dataflow has a
+    k ∝ n scale path. Defaults keep the engine-exact expression form
+    the oracle replays.
     """
+    if assign not in ("expr", "arrow"):
+        raise ValueError(f"assign must be 'expr' or 'arrow', got {assign!r}")
+    if coarse_probe and assign != "arrow":
+        raise ValueError("coarse_probe requires assign='arrow'")
     cents = kmeans_centroids(
         corpus,
         n_centroids=n_centroids,
@@ -531,22 +545,42 @@ def ivf_ann_topk(
         vec_col=vec_col,
         dim=dim,
     )
-    cells = ivf_assign(
-        corpus.select(F.col(id_col), F.col(vec_col).alias("__cv")),
-        cents,
-        n_probe=1,
-        id_col=id_col,
-        vec_col="__cv",
-        dim=dim,
-    )
-    probes = ivf_assign(
-        queries.select(F.col(query_id_col), F.col(vec_col).alias("__qv")),
-        cents,
-        n_probe=n_probe,
-        id_col=query_id_col,
-        vec_col="__qv",
-        dim=dim,
-    )
+    if assign == "arrow":
+        cells = ivf_assign_arrow(
+            corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("__cv")),
+            cents,
+            n_probe=1,
+            id_col=id_col,
+            vec_col="__cv",
+            coarse_probe=coarse_probe,
+        )
+        probes = ivf_assign_arrow(
+            queries.select(
+                F.col(query_id_col), _as_double(F.col(vec_col)).alias("__qv")
+            ),
+            cents,
+            n_probe=n_probe,
+            id_col=query_id_col,
+            vec_col="__qv",
+            coarse_probe=coarse_probe,
+        )
+    else:
+        cells = ivf_assign(
+            corpus.select(F.col(id_col), F.col(vec_col).alias("__cv")),
+            cents,
+            n_probe=1,
+            id_col=id_col,
+            vec_col="__cv",
+            dim=dim,
+        )
+        probes = ivf_assign(
+            queries.select(F.col(query_id_col), F.col(vec_col).alias("__qv")),
+            cents,
+            n_probe=n_probe,
+            id_col=query_id_col,
+            vec_col="__qv",
+            dim=dim,
+        )
     sim = (
         cells.join(F.broadcast(probes), "centroid_id")
         .filter(F.col(id_col) != F.col(query_id_col))

@@ -257,3 +257,32 @@ def test_semdedup_coarse_probe_forwarding(spark):
     assert full == base
     with pytest.raises(ValueError, match="coarse_probe requires"):
         semdedup(df, n_centroids=9, assign="expr", coarse_probe=2)
+
+
+def test_ivf_ann_topk_arrow_assign_parity(spark):
+    """ivf_ann_topk(assign='arrow') must reproduce the expression form
+    (round-6 assignment agreement is proven above; downstream cosine +
+    top-k is the same plan), with and without the two-level path at
+    full probe."""
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.similarity import (
+        ivf_ann_topk,
+    )
+
+    corpus = _clustered_vecs(spark, 200)
+    queries = (
+        _clustered_vecs(spark, 12, seed=13)
+        .withColumnRenamed("vec_id", "query_id")
+    )
+    def rows(**kw):
+        return sorted(
+            (r["query_id"], r["vec_id"], r["cosine"])
+            for r in ivf_ann_topk(
+                corpus, queries, n_centroids=10, n_probe=3, k=4, **kw
+            ).collect()
+        )
+
+    base = rows()
+    assert rows(assign="arrow") == base
+    assert rows(assign="arrow", coarse_probe=99) == base
+    with pytest.raises(ValueError, match="coarse_probe requires"):
+        ivf_ann_topk(corpus, queries, coarse_probe=2)
