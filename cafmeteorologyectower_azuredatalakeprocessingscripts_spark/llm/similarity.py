@@ -287,7 +287,6 @@ def _coarse_partition(C: "object", k_coarse: int, iters: int = 4):
     cn[cn == 0.0] = 1.0
     Cn = C / cn[:, None]
     Qn = Cn[:k_coarse].copy()
-    assign = None
     for _ in range(max(1, iters)):
         assign = np.argmax(Cn @ Qn.T, axis=1)
         for g in range(k_coarse):
@@ -297,6 +296,9 @@ def _coarse_partition(C: "object", k_coarse: int, iters: int = 4):
                 nv = float(np.sqrt((v * v).sum()))
                 if nv > 0.0:
                     Qn[g] = v / nv
+    # final assignment AFTER the last update so the membership map is
+    # consistent with the coarse matrix probes actually score against
+    assign = np.argmax(Cn @ Qn.T, axis=1)
     members = [np.nonzero(assign == g)[0] for g in range(k_coarse)]
     keep = [g for g in range(k_coarse) if len(members[g])]
     return Qn[keep], [members[g] for g in keep]
