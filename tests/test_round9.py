@@ -259,6 +259,33 @@ def test_semdedup_coarse_probe_forwarding(spark):
         semdedup(df, n_centroids=9, assign="expr", coarse_probe=2)
 
 
+def test_coarse_partition_members_consistent_with_returned_matrix():
+    """The membership map must be the argmax assignment against the
+    RETURNED coarse matrix (not the pre-final-update one): workers
+    score probes against Qn, so a fine centroid filed under a cell its
+    final affinity doesn't pick would never be probed where it should
+    be. Pure-numpy invariant over several shapes/iteration counts."""
+    import numpy as np
+
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.similarity import (
+        _coarse_partition,
+    )
+
+    rng = np.random.RandomState(11)
+    for k, kc, iters in [(25, 5, 1), (64, 8, 4), (100, 10, 2), (7, 3, 6)]:
+        C = rng.randn(k, 12)
+        Qn, members = _coarse_partition(C, kc, iters=iters)
+        cn = np.sqrt((C * C).sum(axis=1))
+        cn[cn == 0.0] = 1.0
+        expect = np.argmax((C / cn[:, None]) @ Qn.T, axis=1)
+        got = np.empty(k, dtype=np.int64)
+        for g, idx in enumerate(members):
+            got[idx] = g
+        assert (got == expect).all(), (k, kc, iters)
+        assert sorted(np.concatenate(members).tolist()) == list(range(k))
+        assert all(len(m) for m in members)  # empty cells dropped
+
+
 def test_ivf_ann_topk_arrow_assign_parity(spark):
     """ivf_ann_topk(assign='arrow') must reproduce the expression form
     (round-6 assignment agreement is proven above; downstream cosine +
