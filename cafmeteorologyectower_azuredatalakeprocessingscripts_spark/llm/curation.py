@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 
 from .dedup import shingles
 from .text import _c, norm_text, token_count
+from ..operators.skew import repartition_pinned
 
 # ------------------------------------------------------- deterministic hash
 
@@ -240,7 +241,7 @@ def top_ngram_share(
             lambda x, y: F.concat(x, F.lit(" "), y),
         )
     grams = (
-        df.repartition(F.col(id_col))
+        repartition_pinned(df, F.col(id_col))
         .select(F.col(id_col), F.explode(arr).alias("g"))
         .filter(F.col("g").isNotNull())
     )
@@ -333,7 +334,7 @@ def repetition_signals(
     """
     all_ns = sorted(set(top_ns) | set(dup_ns))
     mx = max(all_ns)
-    base = df.repartition(F.col(id_col)).select(
+    base = repartition_pinned(df, F.col(id_col)).select(
         F.col(id_col),
         F.posexplode(F.split(norm_text(text_col), " ")).alias("pos", "t"),
     )
@@ -417,7 +418,7 @@ def char_entropy(
     chars, two doc-keyed aggs — char rows never cross the wire.
     """
     chars = (
-        df.repartition(F.col(id_col))
+        repartition_pinned(df, F.col(id_col))
         .select(F.col(id_col), F.explode(F.split(norm_text(text_col), "")).alias("ch"))
         .filter(F.col("ch") != "")
     )
@@ -444,7 +445,7 @@ def _char_bigrams(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         "i -> concat(element_at(cs, i), element_at(cs, i + 1)))"
     )
     return (
-        df.repartition(F.col(id_col))
+        repartition_pinned(df, F.col(id_col))
         .select(F.col(id_col), cs.alias("cs"))
         .filter(F.size("cs") >= 2)
         .select(id_col, F.explode(bgs).alias("bg"))

@@ -37,6 +37,7 @@ from .params import (
     SIMHASH_BITS,
 )
 from .text import fingerprint_md5, norm_text
+from ..operators.skew import repartition_pinned
 
 
 def md5_int(c: Column) -> Column:
@@ -98,7 +99,7 @@ def shingles(
             lambda x, y: F.concat(x, F.lit(" "), y),
         )
     return (
-        df.repartition(F.col(id_col))
+        repartition_pinned(df, F.col(id_col))
         .select(F.col(id_col).alias("id"), F.explode(arr).alias("shingle"))
         .filter(F.col("shingle").isNotNull())
         .select("id", md5_int(F.col("shingle")).alias("sh_h"))
@@ -140,7 +141,7 @@ def cross_doc_span_fraction(
             lambda x, y: F.concat(x, F.lit(" "), y),
         )
     spans = (
-        df.repartition(F.col(id_col))
+        repartition_pinned(df, F.col(id_col))
         .select(F.col(id_col), F.explode(arr).alias("__sp"))
         .filter(F.col("__sp").isNotNull())
         .select(id_col, md5_int(F.col("__sp")).alias("sp_h"))
@@ -583,7 +584,7 @@ def simhash(
         raise ValueError(f"bits must be in [1, 59], got {bits}")
     toks = F.split(norm_text(text_col), " ")
     tok = (
-        df.repartition(F.col(id_col))
+        repartition_pinned(df, F.col(id_col))
         .select(F.col(id_col).alias("id"), F.explode(toks).alias("tok"))
         .select("id", (md5_int(F.col("tok")) % F.lit(2 ** bits)).alias("h"))
     )
@@ -625,7 +626,7 @@ def simhash64(
     map-side-collapses to one row per document before the exchange."""
     toks = F.split(norm_text(text_col), " ")
     tok = (
-        df.repartition(F.col(id_col))
+        repartition_pinned(df, F.col(id_col))
         .select(F.col(id_col).alias("id"), F.explode(toks).alias("tok"))
         .select(
             "id",

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .dedup import md5_int
+from ..operators.skew import repartition_pinned
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -87,7 +88,7 @@ def cosine_topk(
     # the per-row dot products are the dominant cost. Norms carried —
     # computed once per vector, per-pair work is one dot (dot/(qn*cn)
     # is the exact cosine() expression: bit-identical, oracle unchanged)
-    c = corpus.repartition(F.col(id_col)).select(
+    c = repartition_pinned(corpus, F.col(id_col)).select(
         F.col(id_col),
         F.col(vec_col).alias("__cv"),
         _norm(_as_double(F.col(vec_col))).alias("__cn"),
@@ -700,7 +701,7 @@ def embed_neardup_pairs(
             .agg(F.max("cosine").alias("cosine"))
             .select("id_a", "id_b", "cosine")
         )
-    a = df.repartition(F.col(id_col)).select(
+    a = repartition_pinned(df, F.col(id_col)).select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")
     )
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))

@@ -14,6 +14,7 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 from .params import LANG_MARKERS, LANG_PRECEDENCE
+from ..operators.skew import repartition_pinned
 
 
 def _c(c: Column | str) -> Column:
@@ -116,7 +117,7 @@ def tfidf_top_terms(
     from pyspark.sql import Window
 
     toks = F.split(norm_text(text_col), " ")
-    t = df.repartition(F.col(id_col)).select(
+    t = repartition_pinned(df, F.col(id_col)).select(
         F.col(id_col).alias("id"), F.explode(toks).alias("term")
     )
     tf = t.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
@@ -167,7 +168,7 @@ def vocab_top_terms(
     """
     from pyspark.sql import Window
 
-    t = df.repartition(F.col(id_col)).select(
+    t = repartition_pinned(df, F.col(id_col)).select(
         F.col(id_col).alias("id"),
         F.explode(F.split(norm_text(text_col), " ")).alias("term"),
     ).filter(F.col("term") != "")
@@ -208,7 +209,7 @@ def oov_rate(
     from pyspark.sql import functions as F
 
     toks = (
-        df.repartition(F.col(id_col))
+        repartition_pinned(df, F.col(id_col))
         .select(
             F.col(id_col),
             F.explode(F.split(norm_text(text_col), " ")).alias("term"),

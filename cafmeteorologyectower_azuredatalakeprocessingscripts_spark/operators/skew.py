@@ -64,3 +64,32 @@ def salted_join(
     )
     out = lhs.join(rhs, [on, "__salt"], how)
     return out.drop("__salt")
+
+
+def repartition_pinned(df: DataFrame, *cols, factor: int = 1) -> DataFrame:
+    """``df.repartition(N, *cols)`` with ``N`` pinned to the session's
+    shuffle width — the pre-amplification exchange AQE gets wrong.
+
+    ``repartition(col)`` with no explicit count lets AQE pick the
+    partition number from the exchange's INPUT bytes. That heuristic is
+    blind to downstream row amplification: a corpus of docs is a few MB
+    of parquet on the wire, so AQE coalesces the doc-keyed exchange to
+    ~1 partition — and then the tokenizer explode (~10²-10³ rows per
+    doc) and every window/agg/vector op after it run in ONE task. The
+    same applies to embedding tables: 10⁵ vectors are "small" as bytes
+    but each row costs O(dim) math downstream. Measured at sf0.1: the
+    whole Gopher repetition family (posexplode → 9-way gram explode →
+    2.2M-row agg) executed as a single task until this pin.
+
+    An explicit ``numPartitions`` disables AQE coalescing for this one
+    exchange while keeping the column clustering (downstream doc-keyed
+    aggs stay exchange-free). ``N = factor × spark.sql.shuffle.partitions``
+    — the user's cluster-sizing knob, so a 1000-executor job spreads
+    exactly as wide as its other shuffles; ``factor`` is for callers
+    whose amplification is extreme enough to warrant finer tasks.
+    """
+    try:
+        n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(max(1, n * factor), *cols)

@@ -46,10 +46,15 @@ def test_top_revenue_broadcasts_dims(spark):
 
 def test_repetition_family_single_generate(spark):
     # all nine gram lengths ride ONE explode; doc repartition satisfies
-    # both aggregations so gram rows never reshuffle
+    # both aggregations so gram rows never reshuffle. The repartition
+    # must be the PINNED form (explicit numPartitions): AQE sizes the
+    # exchange by its pre-explode input bytes and would coalesce the
+    # doc exchange to ~1 partition, serializing the whole gram pipeline
+    # through one task (repartition_pinned docstring).
     plan = _plan(spark, "text_repetition_family")
     assert plan.count("Generate explode") == 1
-    assert "REPARTITION_BY_COL" in plan
+    assert "REPARTITION_BY_NUM" in plan
+    assert "REPARTITION_BY_COL" not in plan
 
 
 def test_span_corpus_single_generate_no_self_join(spark):

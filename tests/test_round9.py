@@ -313,3 +313,42 @@ def test_ivf_ann_topk_arrow_assign_parity(spark):
     assert rows(assign="arrow", coarse_probe=99) == base
     with pytest.raises(ValueError, match="coarse_probe requires"):
         ivf_ann_topk(corpus, queries, coarse_probe=2)
+
+
+def test_repartition_pinned_defeats_aqe_coalesce(spark):
+    """A doc-keyed exchange whose input is a few KB must still spread
+    the post-explode work across the session's shuffle width: AQE's
+    coalescing sees only pre-amplification bytes, so the unpinned form
+    lands the whole pipeline in one task (the sf0.1 repetition family
+    ran 4x slower that way)."""
+    from pyspark.sql import functions as F
+
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.operators.skew import (
+        repartition_pinned,
+    )
+
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("w "), F.repeat(F.lit("tok "), 50)).alias("text"),
+    )
+    width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    pinned = repartition_pinned(docs, F.col("doc_id")).select(
+        "doc_id", F.explode(F.split("text", " ")).alias("t")
+    )
+    n_parts = (
+        pinned.select(F.spark_partition_id().alias("p")).distinct().count()
+    )
+    # every doc's tokens stay together (clustering preserved) but the
+    # corpus spreads over the full shuffle width, not AQE's 1
+    assert n_parts > 1
+    assert pinned.rdd.getNumPartitions() == width
+
+    per_doc_parts = (
+        pinned.select("doc_id", F.spark_partition_id().alias("p"))
+        .groupBy("doc_id")
+        .agg(F.countDistinct("p").alias("np"))
+        .agg(F.max("np"))
+        .first()[0]
+    )
+    assert per_doc_parts == 1
