@@ -307,6 +307,7 @@ def repetition_signals(
     dup_ns: tuple[int, ...] = (5, 6, 7, 8, 9, 10),
     text_col: str = "text",
     id_col: str = "doc_id",
+    hash_grams: bool = True,
 ) -> DataFrame:
     """The published Gopher repetition-filter family (Rae et al. 2021,
     table A1) in ONE pass: ``top_{n}gram_share`` for n=2-4 (fraction of
@@ -319,9 +320,11 @@ def repetition_signals(
     Scale shape: tokens explode ONCE (posexplode after a doc
     repartition); one codegen window pass computes ``lead(token, k)``
     for every needed offset (all leads share a single WindowExec whose
-    (doc, pos) sort is partition-local), and each gram is a flat
-    ``concat`` of lead columns — a trailing incomplete gram has a null
-    lead component, so ``concat`` nulls it out. This replaces per-n
+    (doc, pos) sort is partition-local), and each gram is an
+    ``xxhash64`` over its lead columns (``hash_grams=True``, default) or
+    a flat ``concat`` of them — a trailing incomplete gram nulls out
+    either way (``concat`` propagates the null lead; the hash form
+    guards on the last token explicitly, see ``gram()``). This replaces per-n
     ``zip_with`` chains: interpreted higher-order lambdas get no
     common-subexpression elimination, so the chained form re-evaluates
     every shorter chain per n (O(Σn²) array passes/row); the lead form
@@ -349,6 +352,23 @@ def repetition_signals(
     ]
 
     def gram(n: int) -> Column:
+        if hash_grams:
+            # the gram never leaves this function (only its count
+            # matters), so group by xxhash64 of the n lead columns
+            # instead of materializing the string: the (doc, n, g) agg
+            # — the operator's biggest hash map — keys on 8 bytes
+            # instead of an n=10 gram's ~60-80 chars. Column-seeded
+            # xxhash64 has no concat-boundary ambiguity (each column is
+            # folded with the previous hash as seed). xxhash64 SKIPS
+            # null inputs, so the trailing-incomplete-gram null-out that
+            # concat gave for free needs the explicit isNotNull guard on
+            # the gram's LAST token (leads go null monotonically at the
+            # partition tail). Collision risk: G grams/doc → P ≈
+            # G²/2⁶⁵ per (doc, n); at G=10⁴ that is 5e-12 per doc, ~5e-3
+            # expected collisions across 10⁹ docs, each perturbing one
+            # doc's share by ~1/G. hash_grams=False keeps the exact
+            # string-keyed twin.
+            return F.when(cols[n - 1].isNotNull(), F.xxhash64(*cols[:n]))
         parts: list[Column] = []
         for i in range(n):
             if i:

@@ -352,3 +352,35 @@ def test_repartition_pinned_defeats_aqe_coalesce(spark):
         .first()[0]
     )
     assert per_doc_parts == 1
+
+
+def test_repetition_hash_grams_parity(spark):
+    """hash_grams=True (8-byte agg keys) must reproduce the exact
+    string-keyed shares bit-for-bit — the hash only renames groups, and
+    the isNotNull guard must null out trailing incomplete grams exactly
+    like concat's null propagation does."""
+    from pyspark.sql import functions as F
+
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.curation import (
+        repetition_signals,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a b a b"),          # heavy 2-gram repetition
+            (2, "x y z w v u t s r q p o"),  # all unique
+            (3, "spam spam spam spam spam spam spam spam spam spam spam"),
+            (4, "one two"),                  # shorter than most n
+            (5, "solo"),                     # shorter than every n
+            (6, ""),                         # empty
+        ],
+        ["doc_id", "text"],
+    )
+    a = repetition_signals(docs, hash_grams=True).orderBy("doc_id").collect()
+    b = repetition_signals(docs, hash_grams=False).orderBy("doc_id").collect()
+    assert a == b
+    # sanity on the semantics themselves, not just parity
+    row1 = {r["doc_id"]: r for r in a}[1]
+    assert row1["top_2gram_share"] > 0.5
+    row5 = {r["doc_id"]: r for r in a}[5]
+    assert row5["dup_10gram_frac"] == 0.0
