@@ -1418,6 +1418,116 @@ WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) <= {h}
 """
 
 
+# occupancy cap for the driver-checked simhash128 valve query — chosen
+# so the cap demonstrably BITES at sf0.01 (drops hot vote-saturated
+# buckets) while keeping most true pairs; the probe-measured loss curve
+# lives in SCALING.md.
+_SIMHASH128_BUCKET_CAP_Q = 24
+
+_SIMHASH128_SLICES_Q = (("s0", 1), ("s1", 9), ("s2", 17), ("s3", 25))
+
+
+def q_simhash128_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """128-bit SimHash near-dup pairs WITH the occupancy valve — the
+    corpus-scale SimHash pair-former (llm/dedup.py:simhash128_pairs).
+    The tier probe (tools/simhash_tier_probe.py) measured the 64-bit
+    layout quadratic with a catastrophic constant (375G candidate pairs
+    at 2M docs); this path widens the pigeonhole blocks to 16-32 bits
+    from the SAME md5 the projection already computes and drops
+    vote-saturated over-cap buckets — both replayed exactly by the
+    DuckDB oracle, making the valve semantics themselves hash-checked
+    (the dedup_ngram_jaccard_capped pattern)."""
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm import (
+        simhash128_pairs,
+    )
+
+    d = T(spark, sf_dir, "documents")
+    return simhash128_pairs(
+        d,
+        max_hamming=_SIMHASH_MAX_HAMMING_Q,
+        max_bucket_size=_SIMHASH128_BUCKET_CAP_Q,
+    )
+
+
+def _simhash128_sql() -> str:
+    votes = ", ".join(
+        f"SUM(CASE WHEN ((h_{name} >> {i}) & 1) = 1 THEN w ELSE -w END) "
+        f"AS v_{name}_{i}"
+        for name, _ in _SIMHASH128_SLICES_Q
+        for i in range(32)
+    )
+    rec = {
+        name: " + ".join(
+            f"CASE WHEN v_{name}_{i} > 0 THEN CAST({2 ** i} AS BIGINT) ELSE 0 END"
+            for i in range(32)
+        )
+        for name, _ in _SIMHASH128_SLICES_Q
+    }
+    hashes = ",\n         ".join(
+        f"CAST(('0x' || substr(md5(tok), {off}, 8)) AS BIGINT) AS h_{name}"
+        for name, off in _SIMHASH128_SLICES_Q
+    )
+    outs = ", ".join(
+        f"({rec[name]}) AS simhash_{name}" for name, _ in _SIMHASH128_SLICES_Q
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id AS id, unnest(string_split({_NORM_SQL}, ' ')) AS tok FROM documents
+),
+counted AS (SELECT id, tok, count(*) AS w FROM toks GROUP BY 1, 2),
+hashed AS (
+  SELECT id, w,
+         {hashes}
+  FROM counted
+),
+sig AS (SELECT id, {votes} FROM hashed GROUP BY id)
+SELECT id, {outs} FROM sig
+"""
+
+
+def _simhash128_pairs_sql() -> str:
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.dedup import (
+        simhash128_blocks,
+    )
+
+    sig = _simhash128_sql().strip()
+    h = _SIMHASH_MAX_HAMMING_Q
+    cap = _SIMHASH128_BUCKET_CAP_Q
+    cols = ", ".join(f"simhash_{n}" for n, _ in _SIMHASH128_SLICES_Q)
+    tagged = "\n  UNION ALL ".join(
+        f"SELECT id, {cols}, {j} AS blk, "
+        f"({col} >> {s}) & {(1 << w) - 1} AS val FROM sig"
+        for j, (col, s, w) in enumerate(simhash128_blocks(h))
+    )
+    ab = ", ".join(
+        f"a.simhash_{n} AS {n}_a, b.simhash_{n} AS {n}_b"
+        for n, _ in _SIMHASH128_SLICES_Q
+    )
+    ham = " + ".join(f"bit_count(xor({n}_a, {n}_b))" for n, _ in _SIMHASH128_SLICES_Q)
+    return f"""
+WITH sig AS ({sig}),
+tagged AS (
+  {tagged}
+),
+kept AS (
+  SELECT t.id, {", ".join("t." + f"simhash_{n}" for n, _ in _SIMHASH128_SLICES_Q)},
+         t.blk, t.val
+  FROM tagged t
+  JOIN (
+    SELECT blk, val FROM tagged GROUP BY blk, val HAVING count(*) <= {cap}
+  ) ok USING (blk, val)
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b, {ab}
+  FROM kept a JOIN kept b USING (blk, val)
+  WHERE a.id < b.id
+)
+SELECT id_a, id_b, {ham} AS hamming
+FROM cand
+WHERE {ham} <= {h}
+"""
+
+
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = T(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
@@ -4980,7 +5090,11 @@ _R9_ORDER = [
     "hard_negatives", "sliding_window_counts", "html_strip",
     "json_props_extract", "text_repetition_family", "dedup_clusters",
     "embed_neardup", "ann_ivf_topk", "stream_interval_join",
-    # ---- 10-50: r7-green cohort, due back under the 2-round rule.
+    # ---- 10: NEW this round (simhash128 valve — the probe-mandated
+    # scale path needs a driver row in its first round); displaces
+    # asof_join_checkpoint to 51 (locally green, leads the r10 claims).
+    "dedup_simhash128_pairs",
+    # ---- 11-50: r7-green cohort, due back under the 2-round rule.
     "state_durations", "flatline_runs", "stream_interval_join_left",
     "ann_recall_report", "multimodal_png_pixels", "sessionize",
     "range_join_windows", "flagship_tower_pipeline",
@@ -5049,6 +5163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "dedup_simhash_pairs": q_simhash_pairs,
         "dedup_simhash64_pairs": q_simhash64_pairs,
+        "dedup_simhash128_pairs": q_simhash128_pairs,
         "interpolate_linear": q_interpolate_linear,
         "stream_dedup_within_wm": q_stream_dedup_within_wm,
         "variant_props_extract": q_variant_props,
@@ -5178,6 +5293,7 @@ def oracle_sql() -> dict[str, str]:
         "text_repetition": _TEXT_REPETITION_SQL,
         "dedup_simhash_pairs": _simhash_pairs_sql(),
         "dedup_simhash64_pairs": _simhash64_pairs_sql(),
+        "dedup_simhash128_pairs": _simhash128_pairs_sql(),
         "interpolate_linear": _INTERPOLATE_SQL,
         "stream_dedup_within_wm": _STREAM_DDWM_SQL,
         "variant_props_extract": _VARIANT_PROPS_SQL,

@@ -680,28 +680,20 @@ def simhash64_blocks(max_hamming: int) -> list[tuple[str, int, int]]:
     return blocks
 
 
-def simhash64_pairs(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    max_hamming: int = 6,
+def _pigeonhole_pairs(
+    sig: DataFrame,
+    slice_cols: list[str],
+    blocks: list[tuple[str, int, int]],
+    max_hamming: int,
+    max_bucket_size: int | None,
 ) -> DataFrame:
-    """Near-dup pairs on the 64-bit two-half signature with pigeonhole
-    blocking. ``max_hamming + 1`` disjoint bit blocks are distributed
-    across the halves (never straddling the 32-bit seam); the pigeonhole
-    argument needs only DISJOINT blocks — a pair differing in at most
-    ``max_hamming`` bits leaves at least one of the ``max_hamming + 1``
-    blocks untouched — so recall is 1.0 exactly as in
-    :func:`simhash_pairs`, while 64-bit blocks are ~9 bits wide at
-    h=6 (vs ~4-5 for 32-bit signatures): each bucket is ~16-32× more
-    selective, which is the whole point of the wider signature at corpus
-    scale. Exact Hamming is the sum of the two halves' bit_count(xor)."""
-    blocks = simhash64_blocks(max_hamming)
-    sig = simhash64(df, text_col, id_col)
+    """Shared pigeonhole pair join for the multi-slice SimHash families:
+    tag each signature with its (blk, val) keys, optionally drop
+    over-cap buckets (the occupancy valve), self-equi-join on the key,
+    dedup candidates, exact-filter on the summed per-slice Hamming."""
     tagged = sig.select(
         "id",
-        "simhash_hi",
-        "simhash_lo",
+        *slice_cols,
         F.explode(
             F.array(
                 *[
@@ -716,38 +708,220 @@ def simhash64_pairs(
             )
         ).alias("b"),
     ).select(
-        "id",
-        "simhash_hi",
-        "simhash_lo",
-        F.col("b.blk").alias("blk"),
-        F.col("b.val").alias("val"),
+        "id", *slice_cols, F.col("b.blk").alias("blk"), F.col("b.val").alias("val")
     )
+    if max_bucket_size is not None:
+        # occupancy valve as a count-over-window on the join key: the
+        # window's (blk, val) exchange is the SAME clustering the
+        # self-join needs, so the cap rides the join's own shuffle. The
+        # alternative (count-aggregate → broadcast anti-join, the
+        # max_doc_freq pattern) re-plans the signature subtree into the
+        # hot-key branch — and the 128-conditional-sum signature agg is
+        # the expensive stage here, so the extra passes made the CAPPED
+        # run slower than exact at 500k docs (62 s vs 41 s, A/B in
+        # SCALING.md round-9 addendum 5; window form 38 s).
+        tagged = (
+            tagged.withColumn(
+                "__bn", F.count(F.lit(1)).over(Window.partitionBy("blk", "val"))
+            )
+            .filter(F.col("__bn") <= max_bucket_size)
+            .drop("__bn")
+        )
     a = tagged.select(
         F.col("id").alias("id_a"),
-        F.col("simhash_hi").alias("hi_a"),
-        F.col("simhash_lo").alias("lo_a"),
+        *[F.col(c).alias(f"{c}_a") for c in slice_cols],
         "blk",
         "val",
     )
     b = tagged.select(
         F.col("id").alias("id_b"),
-        F.col("simhash_hi").alias("hi_b"),
-        F.col("simhash_lo").alias("lo_b"),
+        *[F.col(c).alias(f"{c}_b") for c in slice_cols],
         "blk",
         "val",
     )
+    hamming = None
+    for c in slice_cols:
+        term = F.bit_count(F.col(f"{c}_a").bitwiseXOR(F.col(f"{c}_b")))
+        hamming = term if hamming is None else hamming + term
     return (
         a.join(b, ["blk", "val"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "hi_a", "lo_a", "hi_b", "lo_b")
-        .distinct()
-        .withColumn(
-            "hamming",
-            F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
-            + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b"))),
+        .select(
+            "id_a",
+            "id_b",
+            *[F.col(f"{c}_a") for c in slice_cols],
+            *[F.col(f"{c}_b") for c in slice_cols],
         )
+        .distinct()
+        .withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+    )
+
+
+def simhash64_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 6,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs on the 64-bit two-half signature with pigeonhole
+    blocking. ``max_hamming + 1`` disjoint bit blocks are distributed
+    across the halves (never straddling the 32-bit seam); the pigeonhole
+    argument needs only DISJOINT blocks — a pair differing in at most
+    ``max_hamming`` bits leaves at least one of the ``max_hamming + 1``
+    blocks untouched — so recall is 1.0 exactly as in
+    :func:`simhash_pairs`, while 64-bit blocks are ~9 bits wide at
+    h=6 (vs ~4-5 for 32-bit signatures): each bucket is ~16-32× more
+    selective. Exact Hamming is the sum of the two halves'
+    bit_count(xor).
+
+    SCALE CEILING (measured, tools/simhash_tier_probe.py): 9-bit blocks
+    mean at most 2^9 buckets per block forever, so candidate mass is
+    Θ(n²/2^9) — 236M candidates at 50k docs, 375 BILLION at 2M. Above
+    ~10^5 docs use :func:`simhash128_pairs` (wider blocks from the same
+    md5) and/or ``max_bucket_size`` (the occupancy valve — over-cap
+    buckets are vote-saturated boilerplate clusters carrying no
+    discriminative signal, the same disease as a stop-word shingle in
+    the Jaccard index). ``None`` keeps exact pigeonhole recall."""
+    return _pigeonhole_pairs(
+        simhash64(df, text_col, id_col),
+        ["simhash_hi", "simhash_lo"],
+        simhash64_blocks(max_hamming),
+        max_hamming,
+        max_bucket_size,
+    )
+
+
+# 128-bit SimHash slice layout: md5 hex offsets of the four 32-bit
+# slices, lowest slice first (s0 = hex chars 1-8, matching simhash64's
+# "lo" = chars 1-8 / "hi" = chars 9-16 convention).
+_SIMHASH128_SLICES = (
+    ("simhash_s0", 1),
+    ("simhash_s1", 9),
+    ("simhash_s2", 17),
+    ("simhash_s3", 25),
+)
+
+
+def simhash128(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, simhash_s0..simhash_s3): 128-bit SimHash as FOUR 32-bit
+    slices — the full width of the md5 the token projection already
+    computes, so the wider signature costs zero extra hashing.
+
+    Why width matters (measured, tools/simhash_tier_probe.py): pigeonhole
+    blocking keys on a fixed bit-slice of the signature, so the bucket
+    space per block is 2^width FOREVER — candidate mass is
+    Θ(n²/2^width). At 64 bits / max_hamming=6 the blocks are ~9 bits
+    (512 buckets): 50k synthetic docs already produced 236M candidate
+    pairs (vote-bias skew puts the max bucket 37× above the uniform
+    floor). At 128 bits the same 7 blocks are 16-32 bits wide — 17×
+    less candidate mass at 50k, and the gap doubles every doubling.
+    Sizing rule: signature bits ≳ (max_hamming+1) · log2(n/occupancy),
+    so 128 bits covers ~2^16·occ docs per block at h=6 where 64 bits
+    covers ~2^9·occ.
+
+    Same execution shape as :func:`simhash64`: explode → one codegen
+    md5 per token (all four slices are substrings of it) → one hash
+    aggregation with 128 conditional sums that map-side-collapses to
+    one row per document before the exchange."""
+    toks = F.split(norm_text(text_col), " ")
+    tok = (
+        repartition_pinned(df, F.col(id_col))
+        .select(F.col(id_col).alias("id"), F.explode(toks).alias("tok"))
+        .select(
+            "id",
+            *[
+                F.conv(F.substring(F.md5(F.col("tok")), off, 8), 16, 10)
+                .cast("bigint")
+                .alias(f"__h_{name}")
+                for name, off in _SIMHASH128_SLICES
+            ],
+        )
+    )
+    votes = [
+        F.sum(
+            F.when(
+                F.shiftright(F.col(f"__h_{name}"), i).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+        ).alias(f"v_{name}_{i}")
+        for name, _ in _SIMHASH128_SLICES
+        for i in range(32)
+    ]
+    sig = tok.groupBy("id").agg(*votes)
+    outs = []
+    for name, _ in _SIMHASH128_SLICES:
+        acc = F.lit(0).cast("bigint")
+        for i in range(32):
+            acc = acc + F.when(
+                F.col(f"v_{name}_{i}") > 0, F.lit(2**i).cast("bigint")
+            ).otherwise(F.lit(0).cast("bigint"))
+        outs.append(acc.alias(name))
+    return sig.select("id", *outs)
+
+
+def simhash128_blocks(max_hamming: int) -> list[tuple[str, int, int]]:
+    """(slice_column, start_bit, width) layout of the ``max_hamming+1``
+    pigeonhole blocks over the four 32-bit slices — balanced across the
+    slices and never straddling a 32-bit seam, exactly like
+    :func:`simhash64_blocks` over its two halves. Shared by
+    :func:`simhash128_pairs` and the SQL oracle builder so both replay
+    the identical buckets."""
+    n = max_hamming + 1
+    if not 1 <= n <= 128:
+        raise ValueError(
+            f"max_hamming must be in [0, 127] for 128-bit signatures, got "
+            f"{max_hamming}"
+        )
+    cols = [name for name, _ in _SIMHASH128_SLICES]
+    # balanced split of n blocks over 4 slices (earlier slices take the
+    # remainder), each slice's blocks laid out by pigeonhole_blocks
+    per = [n // 4 + (1 if i < n % 4 else 0) for i in range(4)]
+    out: list[tuple[str, int, int]] = []
+    for col, k in zip(cols, per):
+        if k:
+            out += [(col, s, w) for s, w in pigeonhole_blocks(32, k)]
+    return out
+
+
+def simhash128_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 6,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs on the 128-bit signature with pigeonhole blocking
+    — the corpus-scale SimHash pair-former. Recall is 1.0 by the same
+    disjoint-blocks pigeonhole argument as :func:`simhash64_pairs`, but
+    the blocks are 16-32 bits wide at the default ``max_hamming=6``
+    (vs ~9 bits for 64-bit signatures): candidate mass drops by the
+    bucket-space ratio, measured 17× at 50k docs and growing with n
+    (tools/simhash_tier_probe.py — the 64-bit layout is quadratic with
+    a small constant and is the wrong default above ~10^5 docs).
+
+    ``max_bucket_size`` is the SKEW VALVE (same contract as
+    ``levenshtein_blocked_pairs``): SimHash bits are majority votes over
+    Zipf-distributed token hashes, so near-boilerplate corpora collapse
+    many documents onto shared slice values; buckets larger than the cap
+    are dropped from the candidate index (hot keys are collected by a
+    tiny over-cap aggregate and removed with a broadcast anti-join).
+    Dropping a bucket breaks the pigeonhole exactness for pairs whose
+    ONLY untouched block landed in it — ``None`` (default) keeps exact
+    recall; a probe-measured cap trades a documented pair loss for a
+    bounded join. Exact Hamming is the sum of the four slices'
+    ``bit_count(xor)``."""
+    return _pigeonhole_pairs(
+        simhash128(df, text_col, id_col),
+        [name for name, _ in _SIMHASH128_SLICES],
+        simhash128_blocks(max_hamming),
+        max_hamming,
+        max_bucket_size,
     )
 
 

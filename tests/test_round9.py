@@ -384,3 +384,114 @@ def test_repetition_hash_grams_parity(spark):
     assert row1["top_2gram_share"] > 0.5
     row5 = {r["doc_id"]: r for r in a}[5]
     assert row5["dup_10gram_frac"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# simhash128: the corpus-scale pigeonhole pair-former (r9 session 3)
+# ---------------------------------------------------------------------------
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_simhash128_slices_extend_simhash64(spark):
+    """The 128-bit signature's low two slices ARE simhash64's halves:
+    s0 = md5 hex chars 1-8 (= lo), s1 = chars 9-16 (= hi), same votes,
+    same recombine — bit-for-bit. The wider signature only ADDS slices;
+    it never changes the bits the 64-bit family already published."""
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm import (
+        simhash64,
+        simhash128,
+    )
+
+    d = _docs(
+        spark,
+        ["alpha beta gamma delta", "alpha beta gamma epsilon", "x y z"],
+    )
+    s64 = {r.id: (r.simhash_lo, r.simhash_hi) for r in simhash64(d).collect()}
+    s128 = {
+        r.id: (r.simhash_s0, r.simhash_s1, r.simhash_s2, r.simhash_s3)
+        for r in simhash128(d).collect()
+    }
+    assert set(s64) == set(s128)
+    for i in s64:
+        assert s128[i][0] == s64[i][0], "s0 must equal simhash64 lo"
+        assert s128[i][1] == s64[i][1], "s1 must equal simhash64 hi"
+        assert all(0 <= v < 2**32 for v in s128[i])
+
+
+def test_simhash128_pairs_exact_recall_vs_brute(spark):
+    """Pigeonhole blocking over the four slices must return EXACTLY the
+    brute-force all-pairs Hamming result (recall 1.0 by disjoint
+    blocks), for h values that leave slices uncovered (h=0: one block
+    on s0 only) and h values that split mid-slice (h=6: 16-bit blocks)."""
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm import (
+        simhash128,
+        simhash128_pairs,
+    )
+
+    base = " ".join(
+        w for w in "alpha beta gamma delta epsilon zeta".split() for _ in range(5)
+    )
+    d = _docs(spark, [base, base + " lambda", base, "x y z w v u t s r q"])
+    rows = {
+        r.id: (r.simhash_s0, r.simhash_s1, r.simhash_s2, r.simhash_s3)
+        for r in simhash128(d).collect()
+    }
+    assert rows[0] == rows[2]
+
+    def brute(h):
+        out = set()
+        ids = sorted(rows)
+        for i in ids:
+            for j in ids:
+                if i < j:
+                    ham = sum(
+                        bin(a ^ b).count("1") for a, b in zip(rows[i], rows[j])
+                    )
+                    if ham <= h:
+                        out.add((i, j))
+        return out
+
+    for h in (0, 6, 12):
+        got = {
+            (r.id_a, r.id_b)
+            for r in simhash128_pairs(d, max_hamming=h).collect()
+        }
+        assert got == brute(h), h
+    assert (0, 2) in brute(0)
+    with pytest.raises(ValueError, match="max_hamming"):
+        simhash128_pairs(d, max_hamming=128)
+
+
+def test_simhash128_bucket_valve_is_subset_of_exact(spark):
+    """max_bucket_size drops over-cap buckets from the candidate index:
+    output must be a SUBSET of the exact result (never invents pairs),
+    surviving pairs keep their exact hamming, and a cap of 1 on a
+    corpus of identical docs (every doc in one bucket per block) drops
+    everything — the valve's worst case is empty, not wrong."""
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm import (
+        simhash128_pairs,
+    )
+
+    same = ["alpha beta gamma delta epsilon"] * 6 + ["q r s t u v w"]
+    d = _docs(spark, same)
+    exact = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash128_pairs(d, max_hamming=4).collect()
+    }
+    assert len(exact) == 15  # C(6,2) identical-doc pairs
+    capped = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash128_pairs(d, max_hamming=4, max_bucket_size=8).collect()
+    }
+    assert capped == exact  # cap above every bucket: no-op
+    gone = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash128_pairs(d, max_hamming=4, max_bucket_size=1).collect()
+    }
+    assert set(gone) <= set(exact)
+    assert not gone  # the 6-doc bucket exceeds cap 1 in every block
