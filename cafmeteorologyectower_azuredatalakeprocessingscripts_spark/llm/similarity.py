@@ -66,7 +66,33 @@ def _norm_static_sql(a: str, dim: int) -> str:
 
 
 def _as_double(c: Column) -> Column:
-    return F.transform(c, lambda x: x.cast("double"))
+    # native element-wise Cast, not a transform lambda: one expression
+    # node (codegen-friendly and immune to ProjectCollapse inlining a
+    # per-element lambda into every unrolled element reference)
+    return c.cast("array<double>")
+
+
+# Above this width the unrolled static-SQL forms below become fragile:
+# Catalyst's project collapse inlines the producing expression into
+# every element reference, and codegen recursion over the resulting
+# tree overflows the JVM stack (measured: StackOverflowError at
+# dim=512 behind a cast; dim<=128 is comfortably safe). The lambda
+# left-fold forms are bit-identical (same fold order — parity-tested)
+# and depth-constant, just interpreted per element — the right trade
+# for wide production embeddings.
+_STATIC_EXPR_MAX_DIM = 128
+
+
+def _norm_expr(a: str, dim: int) -> Column:
+    if dim <= _STATIC_EXPR_MAX_DIM:
+        return F.expr(_norm_static_sql(a, dim))
+    return _norm(F.col(a))
+
+
+def _dot_expr(a: str, b: str, dim: int) -> Column:
+    if dim <= _STATIC_EXPR_MAX_DIM:
+        return F.expr(_dot_static_sql(a, b, dim))
+    return _dot(F.col(a), F.col(b))
 
 
 def cosine_topk(
@@ -656,7 +682,7 @@ def embed_neardup_pairs(
                 F.col(id_col).alias("__id"),
                 _as_double(F.col(vec_col)).alias("__v"),
             )
-        ).withColumn("__n", F.expr(_norm_static_sql("__v", dim)))
+        ).withColumn("__n", _norm_expr("__v", dim))
         # norms computed ONCE per vector and carried as scalars — the
         # per-pair cosine is then a single unrolled dot (bit-identical
         # to recomputing norms inline, so the oracle form is unchanged);
@@ -691,9 +717,10 @@ def embed_neardup_pairs(
             .filter(F.col("id_a") < F.col("id_b"))
             .withColumn(
                 "cosine",
-                F.expr(
-                    f"round({_dot_static_sql('__va', '__vb', dim)}"
-                    " / (__na * __nb), 6)"
+                F.round(
+                    _dot_expr("__va", "__vb", dim)
+                    / (F.col("__na") * F.col("__nb")),
+                    6,
                 ),
             )
             .filter(F.col("cosine") >= threshold)
