@@ -625,6 +625,58 @@ def ivf_ann_topk(
     )
 
 
+def _bucket_pairs_arrow(tagged: DataFrame, threshold: float) -> DataFrame:
+    """Bucket-local BLAS scoring — the wide-dim scale path for
+    ``embed_neardup_pairs(score='arrow')``: ``applyInPandas`` over the
+    (table, bucket) groups, each group shipping its m vectors through
+    Arrow ONCE and scoring the m x m cosine block with one numpy
+    matmul. Transfer is n·tables·dim (the same rows the self-join
+    shuffles anyway), compute is BLAS.
+
+    Two rejected alternatives, both measured at dim=512 / 20k vectors /
+    6.2M candidates (DECISIONS r9s3): a per-candidate pandas_udf ships
+    BOTH vectors per pair — 50 GB through Arrow, 4x slower than the
+    interpreted expression; the interpreted lambda fold keeps data
+    JVM-side but burns ~22 s of per-element interpretation. Bucket-
+    local BLAS beats both (measured 5.1x vs the expression form:
+    22.7 -> 4.5 s).
+
+    Skew note: one task holds one bucket's m x m block, so memory is
+    max_bucket². SRP buckets are auto-sized to ~256 occupancy
+    (``srp_planes_for``) and sign-projection buckets have no
+    vote-saturation mode, so m stays near the design occupancy.
+    Rounding is numpy HALF_EVEN vs the expression form's HALF_UP —
+    differs only at exact half-microunit midpoints (same caveat as
+    ``ivf_assign_arrow``)."""
+
+    def _score(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        m = len(pdf)
+        if m < 2:
+            return pd.DataFrame(
+                {"id_a": pd.Series(dtype="int64"),
+                 "id_b": pd.Series(dtype="int64"),
+                 "cosine": pd.Series(dtype="float64")}
+            )
+        ids = pdf["__id"].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        v = np.stack(pdf["__v"].to_numpy())[order]
+        nrm = pdf["__n"].to_numpy()[order]
+        g = (v @ v.T) / np.outer(nrm, nrm)
+        iu = np.triu_indices(m, k=1)
+        cos = np.round(g[iu], 6)
+        keep = cos >= threshold
+        return pd.DataFrame(
+            {"id_a": ids[iu[0][keep]], "id_b": ids[iu[1][keep]], "cosine": cos[keep]}
+        )
+
+    return tagged.groupBy("__tbl", "__bkt").applyInPandas(
+        _score, "id_a long, id_b long, cosine double"
+    )
+
+
 def embed_neardup_pairs(
     df: DataFrame,
     threshold: float = 0.95,
@@ -635,8 +687,22 @@ def embed_neardup_pairs(
     planes: int | None = None,
     tables: int = 8,
     approx_count: int | None = None,
+    score: str = "expr",
 ) -> DataFrame:
     """Embedding near-duplicate pairs (cosine >= threshold).
+
+    ``score`` picks the candidate-pair cosine implementation:
+    ``'expr'`` (default) is the engine-exact expression form the DuckDB
+    oracle replays — unrolled static SQL at dim <= 128, the
+    bit-identical lambda left fold above (see ``_dot_expr``). The
+    lambda fold runs INTERPRETED per element, so at production widths
+    (dim 384-1536) the candidate scoring dominates the whole operator;
+    ``'arrow'`` swaps the whole candidate stage for bucket-local BLAS
+    (``applyInPandas`` per (table, bucket) group, one numpy matmul per
+    bucket — measured 5.1x whole-operator at dim=512 on 6.2M
+    candidates, SCALING.md) at the cost of strict engine-exactness:
+    numpy HALF_EVEN rounding can flip a round-6 tie at exact midpoints
+    (~never on real data; same caveat as ``ivf_assign_arrow``).
 
     NOTE on laziness: with ``block=True`` and ``planes=None`` (the
     defaults) this builder runs an EAGER ``df.count()`` Spark job at
@@ -662,6 +728,8 @@ def embed_neardup_pairs(
     tables are deduped by a (id_a,id_b) groupBy before emission, so
     output pairs are unique and each cosine is computed per-collision
     but emitted once. Requires ``dim``."""
+    if score not in ("expr", "arrow"):
+        raise ValueError(f"score must be 'expr' or 'arrow', got {score!r}")
     if block:
         if dim is None:
             raise ValueError("block=True requires dim=")
@@ -698,6 +766,13 @@ def embed_neardup_pairs(
             "__n",
             F.posexplode(F.expr(f"array({buckets})")).alias("__tbl", "__bkt"),
         )
+        if score == "arrow":
+            return (
+                _bucket_pairs_arrow(tagged, threshold)
+                .groupBy("id_a", "id_b")
+                .agg(F.max("cosine").alias("cosine"))
+                .select("id_a", "id_b", "cosine")
+            )
         a = tagged.select(
             F.col("__id").alias("id_a"),
             F.col("__v").alias("__va"),

@@ -495,3 +495,20 @@ def test_simhash128_bucket_valve_is_subset_of_exact(spark):
     }
     assert set(gone) <= set(exact)
     assert not gone  # the 6-doc bucket exceeds cap 1 in every block
+
+
+def test_embed_neardup_arrow_scorer_parity(spark):
+    """score='arrow' (bucket-local BLAS) must return the same pairs and
+    round-6 cosines as the engine-exact expression form on the real
+    test embeddings — and reject unknown score values."""
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.similarity import (
+        embed_neardup_pairs,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    kw = dict(threshold=0.45, block=True, dim=64, planes=4, tables=8)
+    expr = embed_neardup_pairs(emb, score="expr", **kw).orderBy("id_a", "id_b")
+    arrow = embed_neardup_pairs(emb, score="arrow", **kw).orderBy("id_a", "id_b")
+    assert expr.collect() == arrow.collect()
+    with pytest.raises(ValueError, match="score"):
+        embed_neardup_pairs(emb, score="numpy", **kw)
