@@ -512,3 +512,39 @@ def test_embed_neardup_arrow_scorer_parity(spark):
     assert expr.collect() == arrow.collect()
     with pytest.raises(ValueError, match="score"):
         embed_neardup_pairs(emb, score="numpy", **kw)
+
+
+def test_embed_neardup_wide_dim_compiles_and_runs(spark):
+    """dim=512 (production embedding width) used to crash whole-stage
+    codegen with StackOverflowError — project collapse inlined the cast
+    into every element reference of the unrolled static dot/norm. The
+    _dot_expr/_norm_expr auto-switch above dim 128 must keep the
+    operator runnable at any width, in both scorer forms."""
+    from pyspark.sql import functions as F
+
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.similarity import (
+        _STATIC_EXPR_MAX_DIM,
+        embed_neardup_pairs,
+    )
+
+    assert _STATIC_EXPR_MAX_DIM == 128
+    dim = 512
+    vec = F.transform(
+        F.sequence(F.lit(1), F.lit(dim)),
+        lambda i: (
+            F.conv(
+                F.substring(F.md5(F.concat(F.col("id"), F.lit(":"), i)), 1, 8),
+                16,
+                10,
+            ).cast("double")
+            / F.lit(2**31)
+            - F.lit(1.0)
+        ).cast("float"),
+    )
+    emb = spark.range(300).select(F.col("id").alias("vec_id"), vec.alias("embedding"))
+    for score in ("expr", "arrow"):
+        out = embed_neardup_pairs(
+            emb, threshold=0.2, block=True, dim=dim, planes=4, tables=4, score=score
+        )
+        assert out.count() >= 0  # runs without codegen StackOverflow
+        assert out.columns == ["id_a", "id_b", "cosine"]
