@@ -493,18 +493,27 @@ def connected_components(
     pair graph by iterative min-label propagation — the step that turns
     pairwise similarity into keep/drop groups (one keeper per cluster).
 
-    Each round every node adopts the smallest label among itself and its
-    neighbors; convergence is reached within the graph diameter. Dedup
-    graphs are overwhelmingly tiny star/clique clusters (diameter ≤ a
-    few), so the loop exits after 2-3 rounds; ``max_iter`` bounds
-    pathological chains. Per round: one join + one groupBy, both keyed
-    by node id — shuffle scales with edge count. The driver-side loop
-    holds only a changed-row *count* (no collect of data rows), the
-    standard shape for iterative algorithms on Spark.
+    Each round every node adopts the smallest label among itself and
+    its neighbors, then a POINTER-DOUBLING step shortcuts label chains
+    (label(u) ← min(label(u), label(label(u)))) — the PRAM path-halving
+    idea, so convergence needs O(log diameter) rounds, not diameter
+    rounds: ``max_iter=30`` covers any graph a 2^30-hop chain could
+    produce. Without the doubling step a 5,000-hop chain (transitive
+    near-dup drift A~B~C~…) needed 5,000 propagation rounds, and the
+    old loop SILENTLY returned split clusters once ``max_iter`` ran out
+    — wrong keep/drop decisions; the loop now raises if it ever
+    exhausts ``max_iter`` unconverged instead of returning a wrong
+    answer. Dedup graphs are overwhelmingly tiny star/clique clusters
+    (diameter ≤ a few), so the loop still exits after 2-3 rounds. Per
+    round: two id-keyed joins + one groupBy — shuffle scales with edge
+    count. The driver-side loop holds only a changed-row *count* (no
+    collect of data rows), the standard shape for iterative algorithms
+    on Spark.
 
     Labels are the node ids themselves, so the result is deterministic
-    (cluster id = smallest member id) and replayable by a recursive-CTE
-    oracle.
+    (cluster id = smallest member id) — independent of the iteration
+    schedule, so the recursive-CTE oracle and every cluster test are
+    unchanged by the doubling step.
     """
     edges = pairs.select(
         F.col(id_a).alias("src"), F.col(id_b).alias("dst")
@@ -534,11 +543,25 @@ def connected_components(
             .agg(F.min("nlabel").alias("nlabel"))
             .withColumnRenamed("src", "id")
         )
+        propagated = labels.join(neigh, "id", "left").select(
+            "id",
+            F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
+        )
+        # pointer doubling: label(u) <- min(label(u), label(label(u))).
+        # Every label IS a node id, so the self-join resolves each
+        # label's own current label — one extra id-keyed join per round
+        # turns diameter-round convergence into log2(diameter) rounds
         new_labels = (
-            labels.join(neigh, "id", "left")
+            propagated.join(
+                propagated.select(
+                    F.col("id").alias("label"), F.col("label").alias("plabel")
+                ),
+                "label",
+                "left",
+            )
             .select(
                 "id",
-                F.least(F.col("label"), F.coalesce("nlabel", "label")).alias(
+                F.least(F.col("label"), F.coalesce("plabel", "label")).alias(
                     "label"
                 ),
             )
@@ -553,8 +576,13 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
-            break
-    return labels.select("id", F.col("label").alias("cluster"))
+            return labels.select("id", F.col("label").alias("cluster"))
+    raise RuntimeError(
+        f"connected_components did not converge in max_iter={max_iter} "
+        "rounds — with pointer doubling that needs a component of "
+        f"diameter > 2^{max_iter}; raise max_iter rather than use the "
+        "non-converged (split-cluster) labels"
+    )
 
 
 def simhash(

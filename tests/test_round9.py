@@ -548,3 +548,28 @@ def test_embed_neardup_wide_dim_compiles_and_runs(spark):
         )
         assert out.count() >= 0  # runs without codegen StackOverflow
         assert out.columns == ["id_a", "id_b", "cosine"]
+
+
+def test_connected_components_long_chain_and_raise(spark):
+    """Pointer doubling: a 60-hop chain (diameter 60 > the 12 rounds
+    granted) must still converge to ONE cluster labeled by the minimum
+    id — plain min-label propagation would need 60 rounds and the old
+    code SILENTLY returned split clusters when max_iter ran out. The
+    unconverged case must now raise, never return wrong labels."""
+    from pyspark.sql import functions as F
+
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.dedup import (
+        connected_components,
+    )
+
+    edges = spark.range(60).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    labs = {
+        r.id: r.cluster
+        for r in connected_components(edges, max_iter=12).collect()
+    }
+    assert len(labs) == 61
+    assert set(labs.values()) == {0}
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=1).collect()
