@@ -543,8 +543,11 @@ def connected_components(
             .agg(F.min("nlabel").alias("nlabel"))
             .withColumnRenamed("src", "id")
         )
+        # the old label rides along so convergence detection below is a
+        # filter over the checkpointed frame, not another id-keyed join
         propagated = labels.join(neigh, "id", "left").select(
             "id",
+            F.col("label").alias("__old"),
             F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
         )
         # pointer doubling: label(u) <- min(label(u), label(label(u))).
@@ -561,6 +564,7 @@ def connected_components(
             )
             .select(
                 "id",
+                "__old",
                 F.least(F.col("label"), F.coalesce("plabel", "label")).alias(
                     "label"
                 ),
@@ -569,12 +573,8 @@ def connected_components(
             # doubles per iteration and analysis time explodes
             .localCheckpoint()
         )
-        changed = (
-            new_labels.join(labels.withColumnRenamed("label", "old"), "id")
-            .filter(F.col("label") != F.col("old"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("label") != F.col("__old")).count()
+        labels = new_labels.select("id", "label")
         if changed == 0:
             return labels.select("id", F.col("label").alias("cluster"))
     raise RuntimeError(
