@@ -292,3 +292,17 @@ def test_flatline_runs_two_exchanges_no_join(spark):
 def test_state_durations_no_self_join(spark):
     plan = _plan(spark, "state_durations")
     assert "Join" not in plan  # intervals + durations all ride windows/aggs
+
+
+def test_simhash128_valve_is_window_not_antijoin(spark):
+    """The occupancy valve must stay the count-over-window form riding
+    the join's own (blk, val) exchange: the count-aggregate →
+    broadcast-anti-join form re-plans the 128-conditional-sum signature
+    agg into the hot-key branch and made CAPPED slower than EXACT
+    (62 vs 41 s at 500k — SCALING.md round-9 addendum 5)."""
+    plan = _plan(spark, "dedup_simhash128_pairs")
+    assert "Window" in plan  # the valve's count-over-window
+    assert "LeftAnti" not in plan  # the rejected broadcast anti-join form
+    assert "CartesianProduct" not in plan
+    # pigeonhole join keyed by (blk, val) — pair stage is an equi-join
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan

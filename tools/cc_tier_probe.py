@@ -1,0 +1,49 @@
+"""Connected-components tier probe (round 9): the cluster-former
+behind minhash/embedding/incremental dedup, probed at 0.5M/2M/8M edges
+on a dedup-shaped synthetic graph (80% 2-cliques + star clusters +
+bounded 10-hop chains — component diameter <= 10 by construction; an
+UNBOUNDED chain variant of this probe is what exposed the silent
+max_iter split-cluster bug fixed in r9 session 3, see SCALING.md
+round-9 addendum 8).
+
+Usage: PYTHONPATH=/root/repo python tools/cc_tier_probe.py
+Writes /tmp/cc_tier.json; edge parquet tiers land in /tmp/cc_edges_*.
+"""
+
+import os
+import sys, time, json
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
+from pyspark.sql import functions as F
+from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.session import get_spark
+from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.dedup import connected_components
+spark = get_spark("cc-tier")
+spark.sparkContext.setLogLevel("ERROR")
+out = {}
+for n_edges in (500_000, 2_000_000, 8_000_000):
+    parts = max(32, n_edges // 50_000)
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    # dedup-shaped graph: 80% 2-cliques, star clusters (size ~2-20),
+    # plus a 1000-node chain (the diameter adversary) — md5-deterministic
+    e = spark.range(n_edges).select(
+        F.when(F.col("id") % 100 == 0,  # chain edges within a 1000-block
+            F.struct((F.col("id")).alias("a"), (F.col("id")+100).alias("b"))
+        ).otherwise(
+            F.struct(
+                (F.conv(F.substring(F.md5(F.concat(F.lit("s"), F.col("id"))), 1, 10), 16, 10).cast("bigint") % (3*n_edges)).alias("a"),
+                (F.conv(F.substring(F.md5(F.concat(F.lit("s"), F.col("id"))), 1, 10), 16, 10).cast("bigint") % (3*n_edges)
+                 + 1 + F.col("id") % 17).alias("b"),
+            )
+        ).alias("e")
+    ).select(F.col("e.a").alias("id_a"), F.col("e.b").alias("id_b"))
+    e.write.mode("overwrite").parquet(f"/tmp/cc_edges_{n_edges}")
+    edges = spark.read.parquet(f"/tmp/cc_edges_{n_edges}")
+    best = 1e9
+    for _ in range(2):
+        t0 = time.perf_counter()
+        nc = connected_components(edges).agg(F.countDistinct("cluster")).first()[0]
+        best = min(best, time.perf_counter() - t0)
+    out[str(n_edges)] = {"sec": round(best, 2), "clusters": int(nc)}
+    print(json.dumps({"tier": n_edges, **out[str(n_edges)]}), flush=True)
+json.dump(out, open("/tmp/cc_tier.json", "w"))
+spark.stop()
