@@ -985,6 +985,7 @@ def simhash_pairs(
     id_col: str = "doc_id",
     bits: int = SIMHASH_BITS,
     max_hamming: int = 6,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash with pigeonhole blocking: split the
     signature into ``max_hamming + 1`` disjoint bit blocks. Any pair
@@ -1006,41 +1007,12 @@ def simhash_pairs(
             "differing in every bit would be within max_hamming yet agree "
             "on no block, so pigeonhole recall 1.0 would not hold"
         )
-    sig = simhash(df, text_col, id_col, bits)
-    blocks = pigeonhole_blocks(bits, max_hamming + 1)
-    tagged = sig.select(
-        "id",
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("blk"),
-                        F.shiftright(F.col("simhash"), s)
-                        .bitwiseAND(F.lit((1 << w) - 1))
-                        .alias("val"),
-                    )
-                    for j, (s, w) in enumerate(blocks)
-                ]
-            )
-        ).alias("b"),
-    ).select("id", "simhash", F.col("b.blk").alias("blk"), F.col("b.val").alias("val"))
-    a = tagged.select(
-        F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"), "blk", "val"
-    )
-    b = tagged.select(
-        F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"), "blk", "val"
-    )
-    return (
-        a.join(b, ["blk", "val"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
-        .distinct()
-        .withColumn(
-            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-        )
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+    return _pigeonhole_pairs(
+        simhash(df, text_col, id_col, bits),
+        ["simhash"],
+        [("simhash", st, w) for st, w in pigeonhole_blocks(bits, max_hamming + 1)],
+        max_hamming,
+        max_bucket_size,
     )
 
 
