@@ -13,8 +13,12 @@ Scale design (the point of each op):
            pairs. At 100 TB only the banding join shuffles, keyed by
            (band, bucket-hash) — near-uniform; candidates then verified
            with true Jaccard. This is the scale path for fuzzy dedup.
-- simhash: one 32-bit signature per doc via bit-vote aggregation;
-           blocking on a signature prefix bounds the pair join.
+- simhash: 32/64/128-bit signatures per doc via bit-vote aggregation;
+           pigeonhole blocking (disjoint bit blocks, exact recall)
+           bounds the pair join. Block bucket space is FIXED at 2^width
+           so candidate mass is Θ(n²/2^w) — use the 128-bit family at
+           corpus scale and the max_bucket_size occupancy valve for
+           vote-saturated boilerplate (SCALING.md round-9 addendum 5).
 
 Determinism: all hashes derive from md5 → first-15-hex-digits int
 (llm/params.py) so the DuckDB oracles reproduce results bit-for-bit.
