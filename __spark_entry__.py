@@ -5085,19 +5085,40 @@ FROM p
 # oldest 41 of the r7-green cohort; 51-59 = the 9 r7-greens that don't
 # fit the cap (re-verified locally in CORRECTNESS_LOCAL_r09.json, first
 # claim on r10 slots); 60-109 = driver-green in r8.
-_R9_ORDER = [
-    # ---- 1-9: last driver row r6 — 2 rounds stale, the SLA ceiling.
+_R10_ORDER = [
+    # ---- 1-50: exactly `tools/rotation_debt.py --suggest 50` (VERDICT
+    # r9 #6): asof_join_checkpoint leads (displaced to 51 in r9,
+    # driver-green r7 = 2 rounds stale, the SLA ceiling), then the rest
+    # of the r7 cohort (pos 2-10), then the r8-green cohort (11-50).
+    # ---- 51-60: r8-greens past the cap — re-verified locally in
+    # CORRECTNESS_LOCAL_r10.json, first claim on r11 slots.
+    # ---- 61-110: driver-green in r9 (CORRECTNESS_r09 50/50), due r11.
+    "asof_join_checkpoint", "sketch_accuracy", "train_val_test_split",
+    "corpus_curation", "text_entropy", "decontaminate_ngrams",
+    "sample_shard_pack", "redact_pii", "dedup_simhash",
+    "dedup_simhash64", "dedup_ngram_jaccard_capped", "text_repetition",
+    "dedup_simhash_pairs", "dedup_simhash64_pairs", "interpolate_linear",
+    "stream_dedup_within_wm", "variant_props_extract", "ann_ivf_arrow_recall",
+    "flagship_interpolated", "forward_fill_locf", "scd2_history",
+    "percentile_norm", "cusum_level_shift", "sample_per_group",
+    "winsorize_values", "climatology_anomaly", "semantic_dedup",
+    "soft_dedup_weights", "temperature_mix", "unicode_scrub",
+    "token_compression", "trend_slope_qc", "unpivot_profile",
+    "bm25_topk", "exact_quantiles", "topk_per_group",
+    "zorder_layout_key", "intersect_active_users", "chunk_documents",
+    "charlm_quality", "oov_rate", "dedup_levenshtein_pairs",
+    "corpus_cube_stats", "rolling_despike", "dedup_span_corpus",
+    "c4_line_filter", "vocab_top_terms", "incremental_corpus_dedup",
+    "embed_cosine_topk", "embed_neardup_blocked", "embed_neardup_clusters",
+    "multimodal_features", "multimodal_frames", "ann_lsh_topk",
+    "ann_ivf_kmeans_topk", "stream_incremental_dedup", "stream_windowed_agg",
+    "stream_keep_richest_state", "stream_corpus_dedup", "except_churned_users",
     "hard_negatives", "sliding_window_counts", "html_strip",
     "json_props_extract", "text_repetition_family", "dedup_clusters",
     "embed_neardup", "ann_ivf_topk", "stream_interval_join",
-    # ---- 10: NEW this round (simhash128 valve — the probe-mandated
-    # scale path needs a driver row in its first round); displaces
-    # asof_join_checkpoint to 51 (locally green, leads the r10 claims).
-    "dedup_simhash128_pairs",
-    # ---- 11-50: r7-green cohort, due back under the 2-round rule.
-    "state_durations", "flatline_runs", "stream_interval_join_left",
-    "ann_recall_report", "multimodal_png_pixels", "sessionize",
-    "range_join_windows", "flagship_tower_pipeline",
+    "dedup_simhash128_pairs", "state_durations", "flatline_runs",
+    "stream_interval_join_left", "ann_recall_report", "multimodal_png_pixels",
+    "sessionize", "range_join_windows", "flagship_tower_pipeline",
     "flagship_partitioned", "toa5_roundtrip", "sink_roundtrip",
     "dedup_keep_richest", "gapfill_spine", "lag_spike_qc",
     "day_flatline_qc", "flag_strings", "bounds_filtered",
@@ -5105,35 +5126,10 @@ _R9_ORDER = [
     "latest_per_user", "anti_join_processed", "rollup_summary",
     "type_summary_stats", "embed_label_centroids", "pivot_daily_counts",
     "session_window_native", "null_profile", "last10d_window",
-    "pricing_summary", "top_revenue", "text_stats", "text_lang_id",
-    "text_fingerprint", "text_tfidf_topk", "dedup_ngram_jaccard",
-    "dedup_minhash_lsh", "dedup_exact", "salted_skew_join",
-    "training_data_pipeline", "asof_join_checkpoint",
-    # ---- 51-59: the 9 r7-greens that don't fit the cap — verified
-    # locally this round; they lead the r10 claims.
-    "sketch_accuracy", "train_val_test_split", "corpus_curation",
-    "text_entropy", "decontaminate_ngrams", "sample_shard_pack",
-    "redact_pii", "dedup_simhash", "dedup_simhash64",
-    # ---- 60-109: driver-green in r8 (CORRECTNESS_r08 50/50), due r10.
-    "dedup_ngram_jaccard_capped", "text_repetition",
-    "dedup_simhash_pairs", "dedup_simhash64_pairs", "interpolate_linear",
-    "stream_dedup_within_wm", "variant_props_extract",
-    "ann_ivf_arrow_recall", "flagship_interpolated", "forward_fill_locf",
-    "scd2_history", "percentile_norm", "cusum_level_shift",
-    "sample_per_group", "winsorize_values", "climatology_anomaly",
-    "semantic_dedup", "soft_dedup_weights", "temperature_mix",
-    "unicode_scrub", "token_compression", "trend_slope_qc",
-    "unpivot_profile", "bm25_topk", "exact_quantiles", "topk_per_group",
-    "zorder_layout_key", "intersect_active_users", "chunk_documents",
-    "charlm_quality", "oov_rate", "dedup_levenshtein_pairs",
-    "corpus_cube_stats", "rolling_despike", "dedup_span_corpus",
-    "c4_line_filter", "vocab_top_terms", "incremental_corpus_dedup",
-    "embed_cosine_topk", "embed_neardup_blocked",
-    "embed_neardup_clusters", "multimodal_features", "multimodal_frames",
-    "ann_lsh_topk", "ann_ivf_kmeans_topk", "stream_incremental_dedup",
-    "stream_windowed_agg", "stream_keep_richest_state",
-    "stream_corpus_dedup", "except_churned_users",
-]
+    "pricing_summary", "top_revenue", "text_stats",
+    "text_lang_id", "text_fingerprint", "text_tfidf_topk",
+    "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_exact",
+    "salted_skew_join", "training_data_pipeline",]
 
 
 def _apply_rotation(base: dict) -> dict:
@@ -5142,7 +5138,7 @@ def _apply_rotation(base: dict) -> dict:
     Keys absent from the order list (there should be none — tested)
     keep their definition order at the tail rather than being dropped.
     """
-    out = {k: base[k] for k in _R9_ORDER if k in base}
+    out = {k: base[k] for k in _R10_ORDER if k in base}
     for k, v in base.items():
         out.setdefault(k, v)
     return out
@@ -5150,7 +5146,7 @@ def _apply_rotation(base: dict) -> dict:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Definition order below is historical (r8); the driver-visible
-    # order comes from _R9_ORDER via _apply_rotation.
+    # order comes from _R10_ORDER via _apply_rotation.
     return _apply_rotation({
         # ---- r8 top-50 (the driver checks ~50 entries/round).
         # 1-4: the r5-stale twins that spilled past r7's cap;

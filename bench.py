@@ -3,7 +3,14 @@
 
 FINAL stdout line is the compact headline JSON the driver parses:
 {"metric": ..., "value": min_total_sec, "median": median_total_sec,
-"unit": "sec", "queries": {name: min_sec}, "sf": ..., "n": ...}. The per-query [min, median, max] spread and the
+"unit": "sec", "queries": {name: min_sec}, "sf": ..., "n": ...},
+plus drift fields (r10): "drift_probe" = min-of-3 of the fixed probe
+query (pricing_summary, unchanged since r6) timed IMMEDIATELY before
+the headline phase, "drift_factor" = probe / 0.987 (the r8-record box),
+and "value_normalized" / "value_r8_basis_normalized" = raw totals
+divided by the factor. Rule: cross-round comparisons use the
+*_normalized totals; raw stays authoritative within a single phase
+(interleaved A/Bs). The per-query [min, median, max] spread and the
 extra-section timings are emitted on a PRECEDING line and mirrored to
 BENCH_extra.json (the driver's tail capture truncated the old single
 giant line in r3 and r6, losing the headline "value"). Each query is
@@ -109,6 +116,32 @@ HEADLINE = [
 # the pre-r9 headline set: basis for cross-round total comparison
 _R8_BASIS = HEADLINE[:16]
 
+# --- drift probe (VERDICT r9 #2) -------------------------------------
+# The box slows uniformly over session hours (DECISIONS r9s3: identical
+# code totals drifted 10.9 -> 12.2 -> 14.3 s; r9's recorded 1.25x
+# "regression" was weather). Fix: immediately before EACH bench phase,
+# time a fixed probe query and publish (a) the raw probe numbers and
+# (b) drift-normalized totals = raw_total / (probe_min / PROBE_REF).
+# PROBE_REF is pinned to the r8-record box's pricing_summary min
+# (BENCH_r08.json) — the same box state the cross-round records were
+# set on. pricing_summary is the probe because it has had ZERO code
+# changes since r6, a pushed-predicate 6-column scan + one agg (pure
+# engine+box throughput), and its r9 drift (1.42x with no code change)
+# matched the builder's measured same-code drift band.
+DRIFT_PROBE = "pricing_summary"
+DRIFT_PROBE_REF_SEC = 0.987  # r8-record box, min of 5
+N_RUNS_PROBE = 3
+
+
+def _probe(qs, spark, sf_dir) -> float:
+    samples = []
+    for _ in range(N_RUNS_PROBE):
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        qs[DRIFT_PROBE](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        samples.append(time.perf_counter() - t0)
+    return round(min(samples), 3)
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -134,6 +167,7 @@ def main() -> None:
     # blip (±30% load drift documented in DECISIONS round-5) is
     # self-diagnosing: a high max with a steady min = machine load, a
     # shifted min = a real plan change.
+    probe_headline = _probe(qs, spark, sf_dir)
     times: dict[str, float] = {}
     medians: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
@@ -159,6 +193,7 @@ def main() -> None:
     # (VERDICT r8 #3: min-of-3 singles could not distinguish co-tenant
     # load from a real regression — the three samples were already being
     # taken, only the min was kept)
+    probe_extra = _probe(qs, spark, sf_dir)
     extra: dict[str, float] = {}
     extra_spread: dict[str, list[float]] = {}
     for name in EXTRA_QUERIES:
@@ -176,10 +211,17 @@ def main() -> None:
     # the capture window and truncated away the "value" field (VERDICT r6
     # item 1). So: spread + extra go to a sidecar file AND a preceding
     # stdout line, and the FINAL line is the compact headline only.
+    drift_headline = round(probe_headline / DRIFT_PROBE_REF_SEC, 3)
+    drift_extra = round(probe_extra / DRIFT_PROBE_REF_SEC, 3)
     sidecar = {
         "spread": spread,
         "extra": extra,
         "extra_spread": extra_spread,
+        "drift_probe_extra": probe_extra,
+        "drift_factor_extra": drift_extra,
+        "extra_normalized": {
+            k: round(v / drift_extra, 3) for k, v in extra.items()
+        },
         "sf": sf,
         "n": N_RUNS,
         "n_extra": N_RUNS_EXTRA,
@@ -200,6 +242,13 @@ def main() -> None:
                 "value": total,
                 "median": total_median,
                 "value_r8_basis": total_r8_basis,
+                "drift_probe": probe_headline,
+                "drift_probe_ref": DRIFT_PROBE_REF_SEC,
+                "drift_factor": drift_headline,
+                "value_normalized": round(total / drift_headline, 3),
+                "value_r8_basis_normalized": round(
+                    total_r8_basis / drift_headline, 3
+                ),
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,

@@ -941,8 +941,11 @@ def simhash128_pairs(
     ``levenshtein_blocked_pairs``): SimHash bits are majority votes over
     Zipf-distributed token hashes, so near-boilerplate corpora collapse
     many documents onto shared slice values; buckets larger than the cap
-    are dropped from the candidate index (hot keys are collected by a
-    tiny over-cap aggregate and removed with a broadcast anti-join).
+    are dropped from the candidate index by a ``count() over
+    (partition by slice, value)`` filter inside :func:`_pigeonhole_pairs`
+    (the broadcast-anti-join form was measured SLOWER — 62 vs 41 s at
+    the 2M tier — and is plan-guarded against by
+    ``test_simhash128_valve_is_window_not_antijoin``).
     Dropping a bucket breaks the pigeonhole exactness for pairs whose
     ONLY untouched block landed in it — ``None`` (default) keeps exact
     recall; a probe-measured cap trades a documented pair loss for a

@@ -730,6 +730,11 @@ def embed_neardup_pairs(
     but emitted once. Requires ``dim``."""
     if score not in ("expr", "arrow"):
         raise ValueError(f"score must be 'expr' or 'arrow', got {score!r}")
+    if score == "arrow" and not block:
+        # arrow scoring is bucket-local BLAS: without SRP buckets there
+        # is no (table, bucket) group to matmul over, and silently
+        # falling back to the expression scorer would misreport what ran
+        raise ValueError("score='arrow' requires block=True (bucket-local BLAS)")
     if block:
         if dim is None:
             raise ValueError("block=True requires dim=")
@@ -740,6 +745,25 @@ def embed_neardup_pairs(
             # One count() job at construction time buys the right
             # bucket structure; pass planes= or approx_count= to skip
             # it (see the docstring NOTE).
+            if approx_count is None:
+                est = _plan_size_bytes(df)
+                if est is None or est > _EAGER_COUNT_WARN_BYTES:
+                    # Loud foot-gun guard (VERDICT r9 #5): the eager
+                    # count is a full upstream pass at exactly the scale
+                    # where it hurts, re-run per call. Silent only when
+                    # Catalyst can prove the input small.
+                    warnings.warn(
+                        "embed_neardup_pairs(planes=None) runs an EAGER "
+                        "df.count() at plan-construction time to "
+                        f"auto-size the SRP buckets (est. input "
+                        f"~{est if est is not None else 'unknown'} bytes)"
+                        " — a full upstream pass before the real job. "
+                        "Pass planes= to pin the structure or "
+                        "approx_count= (any within-2x estimate) to size "
+                        "it without the job.",
+                        RuntimeWarning,
+                        stacklevel=2,
+                    )
             planes = srp_planes_for(
                 approx_count if approx_count is not None else df.count()
             )
@@ -827,13 +851,15 @@ def embed_neardup_pairs(
 #  - or Catalyst's sizeInBytes estimate x k > 4 GB of assignment rows
 _EXPR_ASSIGN_WARN_K = 128
 _EXPR_ASSIGN_WARN_BYTES_K = 4_000_000_000
+# embed_neardup_pairs eager-count guard (VERDICT r9 #5): stay silent
+# only when Catalyst proves the input below this — test frames are KBs,
+# any real corpus slice is GBs, so 64 MB cleanly separates the two
+_EAGER_COUNT_WARN_BYTES = 64_000_000
 
 
-def _warn_if_expr_assign_quadratic(corpus: DataFrame, n_centroids: int) -> None:
-    """Loud foot-gun guard (VERDICT r7 #6): the default ``assign='expr'``
-    is the oracle-exact path, NOT the scale path. Estimation stays plan
-    side (Catalyst ``sizeInBytes``) — no job, no count."""
-    est_bytes = None
+def _plan_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst ``sizeInBytes`` estimate of ``df``, or ``None`` when the
+    stats are unavailable/unknown. Plan-side only — no job, no count."""
     try:
         # py4j maps scala.math.BigInt to a Python int on some builds
         # and to a JavaObject on others — str() handles both (the
@@ -841,12 +867,20 @@ def _warn_if_expr_assign_quadratic(corpus: DataFrame, n_centroids: int) -> None:
         # silently disabled the byte trigger; caught by the r9 gapfill
         # guard's test).
         est_bytes = int(
-            str(corpus._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+            str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
         )
         if est_bytes >= (1 << 62):  # Long.MaxValue-ish = stats unknown
-            est_bytes = None
-    except Exception:  # stats unavailable — fall back to the k trigger
-        est_bytes = None
+            return None
+        return est_bytes
+    except Exception:  # stats unavailable
+        return None
+
+
+def _warn_if_expr_assign_quadratic(corpus: DataFrame, n_centroids: int) -> None:
+    """Loud foot-gun guard (VERDICT r7 #6): the default ``assign='expr'``
+    is the oracle-exact path, NOT the scale path. Estimation stays plan
+    side (Catalyst ``sizeInBytes``) — no job, no count."""
+    est_bytes = _plan_size_bytes(corpus)
     if n_centroids >= _EXPR_ASSIGN_WARN_K or (
         est_bytes is not None
         and est_bytes * n_centroids > _EXPR_ASSIGN_WARN_BYTES_K

@@ -153,18 +153,19 @@ def test_utc_alias_sessions_do_not_warn():
 
 
 def test_rotation_order_covers_full_registry():
-    """The r9 rotation list must cover exactly the registry: a new
+    """The r10 rotation list must cover exactly the registry: a new
     query added without a rotation slot would silently land at the
     tail (never driver-checked first), and a stale name in the list
     would shrink the checked window."""
     q = entrymod.queries()
-    assert set(q) == set(entrymod._R9_ORDER)
-    assert list(q) == entrymod._R9_ORDER
-    assert list(entrymod.oracle_sql()) == entrymod._R9_ORDER
-    # VERDICT r8 #1: the 9 r6-stale entries lead the top-50.
-    assert entrymod._R9_ORDER[:9] == [
-        "hard_negatives", "sliding_window_counts", "html_strip",
-        "json_props_extract", "text_repetition_family",
-        "dedup_clusters", "embed_neardup", "ann_ivf_topk",
-        "stream_interval_join",
+    assert set(q) == set(entrymod._R10_ORDER)
+    assert list(q) == entrymod._R10_ORDER
+    assert list(entrymod.oracle_sql()) == entrymod._R10_ORDER
+    # VERDICT r9 #6: asof_join_checkpoint (displaced in r9, r7-green)
+    # leads, followed by the rest of the r7-green cohort.
+    assert entrymod._R10_ORDER[:10] == [
+        "asof_join_checkpoint", "sketch_accuracy",
+        "train_val_test_split", "corpus_curation", "text_entropy",
+        "decontaminate_ngrams", "sample_shard_pack", "redact_pii",
+        "dedup_simhash", "dedup_simhash64",
     ]

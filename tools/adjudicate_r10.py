@@ -1,0 +1,164 @@
+"""Adjudicate the seven ~2x extra-query regressions from VERDICT r9 #1
+(`multimodal_png_pixels`, `interpolate_linear`, `state_durations`,
+`variant_props_extract`, `ann_ivf_arrow_recall`, `ann_recall_report`,
+`flagship_interpolated`) — all within ONE process so box drift cancels.
+
+Method (per DECISIONS r9s3: cross-phase totals are weather; only
+interleaved same-process measurements adjudicate):
+
+1. RATIO TEST, every query: interleave [probe, query] x N_REP where the
+   probe is `pricing_summary` (zero code changes since r6). Verdict is
+   on the DRIFT-FREE ratio min(query)/min(probe) compared to the same
+   ratio on the r8-record box (BENCH_r08 extras / 0.987). A ratio that
+   reproduces r8's => the recorded 2x was uniform box drift; a ratio
+   still elevated => a real plan/code change, go fix it.
+2. DIRECT A/B, the one path where r9 genuinely changed the executed
+   code: extract_features' whole-batch `decode_png_batch` vs the r8
+   per-image scalar decode, ABAB in-process (the scalar form is
+   injected by monkeypatching the module global with a __main__-local
+   shim — cloudpickle ships __main__ functions by value, so workers see
+   the patch).
+
+Code-reading notes folded into the verdict (checked this session):
+- `q_interpolate_linear` and `flagship_interpolated` pass key_col, so
+  the r9 `_warn_if_global_window` guard (key-less branch only) is NOT
+  on their executed path — ratio test alone decides them.
+- `ivf_assign_arrow` r9 changes are behind `coarse_probe` (default 0 =
+  the old exact path, early-outs at similarity.py:388/409) — the
+  recall queries run coarse_probe=0, so their executed dataflow is the
+  r8 one; ratio test decides.
+
+Usage: PYTHONPATH=/root/repo python tools/adjudicate_r10.py
+Writes /tmp/adjudicate_r10.json and prints one JSON line per verdict.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod
+from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.session import get_spark
+from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm import multimodal as mm
+from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.png import (
+    PngUnsupported,
+    decode_png,
+)
+
+PROBE = "pricing_summary"
+PROBE_REF_R8 = 0.987  # BENCH_r08.json, the box state the records were set on
+N_REP = 3
+# a reproduced ratio within this factor of r8's = drift; beyond = real.
+# Sub-second queries on this box carry ~±20-30% min-of-3 noise
+# (BENCH_extra spreads), so the bound is 1.35x.
+TOL = 1.35
+
+SEVEN = [
+    "multimodal_png_pixels",
+    "interpolate_linear",
+    "state_durations",
+    "variant_props_extract",
+    "ann_ivf_arrow_recall",
+    "ann_recall_report",
+    "flagship_interpolated",
+]
+
+
+def _r8_extras() -> dict[str, float]:
+    # the r8 extras live in the BENCH_r08 tail: one JSON line with
+    # {"extra": {...}} preceding the headline line
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH_r08.json"
+    )
+    tail = json.load(open(path))["tail"]
+    for line in tail.splitlines():
+        try:
+            obj = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        if "extra" in obj:
+            return obj["extra"]
+    raise RuntimeError("no extra section in BENCH_r08.json tail")
+
+
+def scalar_decode_batch(payloads):
+    """The r8 form of the decode stage: one decode_png call per image,
+    no geometry grouping. Injected via monkeypatch for the ABAB."""
+    out = []
+    for p in payloads:
+        try:
+            out.append(decode_png(bytes(p)))
+        except (PngUnsupported, TypeError):
+            out.append(None)
+    return out
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("caf-adjudicate-r10")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+    r8 = _r8_extras()
+    r8["flagship_interpolated"] = r8.get("flagship_interpolated", 1.003)
+
+    def t(name: str) -> float:
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    # warm exactly like bench.py
+    qs["wateryear_rollup"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    spark.range(32).repartition(32).mapInPandas(
+        lambda it: it, "id long"
+    ).write.format("noop").mode("overwrite").save()
+
+    out: dict[str, dict] = {}
+    for name in SEVEN:
+        p_s, q_s = [], []
+        for _ in range(N_REP):
+            p_s.append(t(PROBE))
+            q_s.append(t(name))
+        ratio_now = min(q_s) / min(p_s)
+        ratio_r8 = r8[name] / PROBE_REF_R8
+        verdict = "drift" if ratio_now <= TOL * ratio_r8 else "regression"
+        out[name] = {
+            "probe_min": round(min(p_s), 3),
+            "q_min": round(min(q_s), 3),
+            "q_samples": [round(x, 3) for x in q_s],
+            "ratio_now": round(ratio_now, 3),
+            "ratio_r8": round(ratio_r8, 3),
+            "rel": round(ratio_now / ratio_r8, 3),
+            "verdict": verdict,
+        }
+        print(json.dumps({"query": name, **out[name]}), flush=True)
+
+    # direct ABAB: batch vs scalar PNG decode on the real query
+    batch_s, scalar_s = [], []
+    orig = mm.decode_png_batch
+    for _ in range(N_REP):
+        mm.decode_png_batch = orig
+        batch_s.append(t("multimodal_png_pixels"))
+        mm.decode_png_batch = scalar_decode_batch
+        scalar_s.append(t("multimodal_png_pixels"))
+    mm.decode_png_batch = orig
+    out["png_batch_vs_scalar_abab"] = {
+        "batch": [round(x, 3) for x in batch_s],
+        "scalar": [round(x, 3) for x in scalar_s],
+        "batch_min": round(min(batch_s), 3),
+        "scalar_min": round(min(scalar_s), 3),
+    }
+    print(json.dumps({"abab": out["png_batch_vs_scalar_abab"]}), flush=True)
+
+    json.dump(out, open("/tmp/adjudicate_r10.json", "w"), indent=1)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
