@@ -68,21 +68,22 @@ SEVEN = [
 ]
 
 
+_R8_EXTRAS = {
+    # BENCH_extra.json as committed at the r8 round close (git show
+    # 1b5a03f:BENCH_extra.json, "extra" section) — the BENCH_r08 tail
+    # truncates the sidecar line, so the values are pinned here.
+    "multimodal_png_pixels": 0.400,
+    "interpolate_linear": 0.380,
+    "state_durations": 0.376,
+    "variant_props_extract": 0.317,
+    "ann_ivf_arrow_recall": 0.683,
+    "ann_recall_report": 1.622,
+    "flagship_interpolated": 1.001,
+}
+
+
 def _r8_extras() -> dict[str, float]:
-    # the r8 extras live in the BENCH_r08 tail: one JSON line with
-    # {"extra": {...}} preceding the headline line
-    path = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH_r08.json"
-    )
-    tail = json.load(open(path))["tail"]
-    for line in tail.splitlines():
-        try:
-            obj = json.loads(line)
-        except json.JSONDecodeError:
-            continue
-        if "extra" in obj:
-            return obj["extra"]
-    raise RuntimeError("no extra section in BENCH_r08.json tail")
+    return dict(_R8_EXTRAS)
 
 
 def scalar_decode_batch(payloads):
