@@ -1,0 +1,162 @@
+"""BMP codec (stdlib struct + numpy) for the multimodal stages — the
+second REAL image format after PNG (VERDICT r9 #8).
+
+BMP is the natural choice for a container with no codec libraries:
+BI_RGB (compression 0) pixel data is raw bytes — the whole decode is
+header parsing + one numpy reshape/slice (row de-padding, bottom-up
+flip, BGR→RGB lane swap). No inflate, no filters, no sequential
+dependency anywhere, so unlike PNG there is no slow path: every BMP
+decodes at memcpy speed.
+
+Scope (everything else raises ``BmpUnsupported`` and callers fall back
+to the digest stub, exactly like ``PngUnsupported``):
+
+- BITMAPINFOHEADER (40-byte) or the larger V4/V5 headers (108/124
+  bytes — parsed for the same leading fields, extra fields ignored);
+  the ancient BITMAPCOREHEADER is refused.
+- bpp 8 (palette; a grayscale identity palette decodes to 1-channel
+  gray, any other palette expands to RGB), 24 (BGR → RGB), and 32
+  (BGRX → RGBA; with plain BI_RGB the 4th byte is padding by spec, but
+  real-world encoders store alpha there — it is preserved).
+- compression 0 (BI_RGB) only: RLE4/RLE8/bitfields refused.
+- positive height = bottom-up storage (the common case), negative =
+  top-down; both handled.
+
+Decode output matches :mod:`.png`: ``(width, height, channels,
+pixel_bytes)`` with pixels row-major top-down and channels
+interleaved — so ``extract_features`` treats both formats identically.
+
+Amplification note: BI_RGB has no compression, so the decoded size is
+bounded by the payload size itself (the row-stride check below refuses
+any header that claims more pixels than the payload carries) — a
+hostile BMP cannot zip-bomb a worker the way a hostile PNG could
+before the bounded-inflate guard.
+
+This runs INSIDE Arrow-batched ``mapInPandas`` workers; nothing here
+touches the driver.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+class BmpUnsupported(ValueError):
+    """Payload is not a BMP this codec handles (bad magic, core header,
+    RLE/bitfield compression, unsupported bpp, or corrupt structure)."""
+
+
+def is_bmp(payload: bytes) -> bool:
+    return payload is not None and bytes(payload[:2]) == b"BM"
+
+
+_DIB_SIZES = (40, 52, 56, 108, 124)  # INFO, V2, V3, V4, V5
+
+
+def decode_bmp(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Decode a BI_RGB BMP → ``(width, height, channels, pixels)`` with
+    pixels row-major TOP-DOWN, channels interleaved (gray / RGB /
+    RGBA) — the same contract as :func:`..png.decode_png`."""
+    data = bytes(payload)
+    if not is_bmp(data):
+        raise BmpUnsupported("bad signature")
+    if len(data) < 54:
+        raise BmpUnsupported("truncated header")
+    pix_off = struct.unpack_from("<I", data, 10)[0]
+    dib = struct.unpack_from("<I", data, 14)[0]
+    if dib not in _DIB_SIZES:
+        raise BmpUnsupported(f"unsupported DIB header size {dib}")
+    width, height = struct.unpack_from("<ii", data, 18)
+    planes, bpp = struct.unpack_from("<HH", data, 26)
+    compression = struct.unpack_from("<I", data, 30)[0]
+    colors_used = struct.unpack_from("<I", data, 46)[0]
+    if planes != 1:
+        raise BmpUnsupported(f"planes={planes}")
+    if compression != 0:
+        raise BmpUnsupported(f"compression={compression} (only BI_RGB)")
+    if bpp not in (8, 24, 32):
+        raise BmpUnsupported(f"bpp={bpp}")
+    top_down = height < 0
+    height = abs(height)
+    if width <= 0 or height == 0:
+        raise BmpUnsupported(f"bad dimensions {width}x{height}")
+    # BI_RGB rows are padded to 4-byte boundaries
+    stride = (width * bpp // 8 + 3) & ~3
+    need = pix_off + stride * height
+    if need > len(data) or pix_off < 14 + dib:
+        raise BmpUnsupported("pixel data out of bounds")
+
+    rows = np.frombuffer(data, dtype=np.uint8, count=stride * height, offset=pix_off)
+    rows = rows.reshape(height, stride)
+    if not top_down:
+        rows = rows[::-1]
+
+    if bpp == 8:
+        n_pal = colors_used or 256
+        pal_off = 14 + dib
+        if pal_off + 4 * n_pal > pix_off:
+            raise BmpUnsupported("palette out of bounds")
+        pal = np.frombuffer(
+            data, dtype=np.uint8, count=4 * n_pal, offset=pal_off
+        ).reshape(n_pal, 4)  # BGRX entries
+        idx = rows[:, :width]
+        if int(idx.max(initial=0)) >= n_pal:
+            raise BmpUnsupported("palette index out of range")
+        bgr = pal[idx.reshape(-1)][:, :3]  # (H*W, BGR)
+        if n_pal == 256 and bool(
+            (pal[:, 0] == pal[:, 1]).all()
+            and (pal[:, 1] == pal[:, 2]).all()
+            and (pal[:, 0] == np.arange(256, dtype=np.uint8)).all()
+        ):
+            # grayscale identity palette → 1-channel gray (matches the
+            # PNG gray layout, so pixel oracles replay from content)
+            return width, height, 1, idx.tobytes()
+        return width, height, 3, bgr[:, ::-1].tobytes()
+    n_ch = bpp // 8
+    px = rows[:, : width * n_ch].reshape(height, width, n_ch)
+    if n_ch == 3:
+        return width, height, 3, px[:, :, ::-1].tobytes()  # BGR → RGB
+    # BGRA → RGBA
+    return width, height, 4, px[:, :, [2, 1, 0, 3]].tobytes()
+
+
+def encode_bmp(width: int, height: int, channels: int, pixels: bytes) -> bytes:
+    """Encode row-major top-down pixels (gray / RGB / RGBA, the decode
+    contract) as a bottom-up BI_RGB BMP: 8-bit + grayscale identity
+    palette for 1 channel, 24-bit for 3, 32-bit for 4."""
+    if channels not in (1, 3, 4):
+        raise BmpUnsupported(f"channels={channels}")
+    if len(pixels) != width * height * channels:
+        raise BmpUnsupported(
+            f"pixel buffer {len(pixels)} != {width}x{height}x{channels}"
+        )
+    bpp = {1: 8, 3: 24, 4: 32}[channels]
+    stride = (width * bpp // 8 + 3) & ~3
+    px = np.frombuffer(bytes(pixels), dtype=np.uint8).reshape(
+        height, width, channels
+    )
+    if channels == 3:
+        px = px[:, :, ::-1]  # RGB → BGR
+    elif channels == 4:
+        px = px[:, :, [2, 1, 0, 3]]  # RGBA → BGRA
+    rows = np.zeros((height, stride), dtype=np.uint8)
+    rows[:, : width * channels] = px.reshape(height, width * channels)
+    body = rows[::-1].tobytes()  # bottom-up
+    palette = b""
+    if channels == 1:
+        g = np.arange(256, dtype=np.uint8)
+        palette = np.stack(
+            [g, g, g, np.zeros(256, dtype=np.uint8)], axis=1
+        ).tobytes()
+    pix_off = 14 + 40 + len(palette)
+    header = b"BM" + struct.pack(
+        "<IHHI", pix_off + len(body), 0, 0, pix_off
+    )
+    dib = struct.pack(
+        "<IiiHHIIiiII",
+        40, width, height, 1, bpp, 0, len(body), 2835, 2835,
+        256 if channels == 1 else 0, 0,
+    )
+    return header + dib + palette + body

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .bmp import BmpUnsupported, decode_bmp, encode_bmp, is_bmp
 from .png import (
     PngUnsupported,
     decode_png,
@@ -90,9 +91,18 @@ def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         for pdf in batches:
             digests, dims, sums = [], [], []
             # whole-batch decode: same-geometry Paeth/Average images
-            # share one wavefront (llm/png.py); non-PNG/corrupt/NULL
-            # rows come back None and keep digest-only features
+            # share one wavefront (llm/png.py); non-PNG rows fall
+            # through to the BMP codec (llm/bmp.py — raw BI_RGB, no
+            # batching needed: decode is one numpy reshape);
+            # non-image/corrupt/NULL rows come back None and keep
+            # digest-only features
             decoded = decode_png_batch(list(pdf["payload"]))
+            for j, p in enumerate(pdf["payload"]):
+                if decoded[j] is None and p is not None and is_bmp(p):
+                    try:
+                        decoded[j] = decode_bmp(p)
+                    except BmpUnsupported:
+                        pass
             for p, dec in zip(pdf["payload"], decoded):
                 # NULL payload → NULL features (SQL semantics: the
                 # DuckDB oracle's octet_length/md5 of NULL is NULL)
@@ -241,6 +251,57 @@ def text_to_png_payload(
                     "payload": payloads,
                     "meta": [
                         {"mime": "image/png", "n_bytes": len(p)} for p in payloads
+                    ],
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField(
+                "meta",
+                T.StructType(
+                    [
+                        T.StructField("mime", T.StringType()),
+                        T.StructField("n_bytes", T.LongType()),
+                    ]
+                ),
+            ),
+        ]
+    )
+    return df.mapInPandas(run, schema)
+
+
+def text_to_bmp_payload(
+    df: DataFrame,
+    src_col: str = "text",
+    width: int = 8,
+    height: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BMP twin of :func:`text_to_png_payload`: the same deterministic
+    codepoints-mod-256 grayscale image, packaged as an 8-bit BI_RGB BMP
+    with a grayscale identity palette — so the pixel oracle replays the
+    identical sum from the text while exercising the BMP decode path
+    end-to-end (bottom-up row order, palette handling, row padding)."""
+    n = width * height
+    df = df.select(id_col, src_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for t in pdf[src_col]:
+                s = ("" if t is None else str(t))[:n].ljust(n)
+                payloads.append(
+                    encode_bmp(width, height, 1, bytes(ord(ch) % 256 for ch in s))
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "payload": payloads,
+                    "meta": [
+                        {"mime": "image/bmp", "n_bytes": len(p)} for p in payloads
                     ],
                 }
             )

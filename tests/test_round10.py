@@ -74,3 +74,135 @@ def test_embed_neardup_arrow_requires_block(spark):
     emb = _synth_emb(spark, 50)
     with pytest.raises(ValueError, match="block=True"):
         embed_neardup_pairs(emb, threshold=0.9, block=False, score="arrow")
+
+
+# ---------------------------------------------------------------------
+# BMP codec (VERDICT r9 #8): the second REAL image format
+# ---------------------------------------------------------------------
+
+import random
+import struct
+
+
+def test_bmp_roundtrip_all_channel_layouts():
+    """encode→decode is identity for gray/RGB/RGBA at widths that
+    exercise the 4-byte row padding (odd widths pad; width 4k doesn't)."""
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.bmp import (
+        decode_bmp,
+        encode_bmp,
+    )
+
+    for w, h, c in [(8, 8, 1), (5, 3, 1), (7, 2, 3), (3, 3, 4), (1, 1, 1), (13, 1, 3), (4, 4, 3)]:
+        px = bytes((i * 37 + 11) % 256 for i in range(w * h * c))
+        assert decode_bmp(encode_bmp(w, h, c, px)) == (w, h, c, px)
+
+
+def test_bmp_top_down_and_palette_expand():
+    """Negative height = top-down row order; a non-identity palette
+    expands to RGB while the grayscale identity palette stays gray."""
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.bmp import (
+        decode_bmp,
+        encode_bmp,
+    )
+
+    w, h, c = 4, 2, 3
+    px = bytes(range(w * h * c))
+    enc = bytearray(encode_bmp(w, h, c, px))
+    pix_off = struct.unpack_from("<I", enc, 10)[0]
+    stride = (w * 3 + 3) & ~3
+    rows = [bytes(enc[pix_off + i * stride : pix_off + (i + 1) * stride]) for i in range(h)]
+    enc2 = bytearray(bytes(enc[:pix_off]) + b"".join(rows[::-1]))
+    struct.pack_into("<i", enc2, 22, -h)
+    assert decode_bmp(bytes(enc2)) == (w, h, c, px)
+
+    e = bytearray(encode_bmp(2, 2, 1, bytes([0, 1, 2, 3])))
+    struct.pack_into("<BBBB", e, 14 + 40 + 4, 255, 0, 0, 0)  # entry 1 = blue
+    dw, dh, dc, dp = decode_bmp(bytes(e))
+    assert dc == 3 and dp[3:6] == bytes([0, 0, 255])
+
+
+def test_bmp_decode_hostile_payloads_raise_bmpunsupported_only():
+    """Workers must see BmpUnsupported (→ digest fallback), never a bare
+    struct/numpy exception: truncations, mutations, RLE/bitfield
+    compression, 16-bpp, dims past the payload, random garbage. BI_RGB
+    has no compression, so the dim check IS the amplification guard."""
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.bmp import (
+        BmpUnsupported,
+        decode_bmp,
+        encode_bmp,
+    )
+
+    good = encode_bmp(3, 3, 1, bytes(range(9)))
+    hostile = [b"", b"BM", b"XX" + bytes(100)]
+    hostile += [good[:n] for n in (2, 14, 30, 54, len(good) - 5)]
+    for i in (2, 10, 14, 18, 22, 26, 28, 30, 46):
+        hostile.append(good[:i] + bytes([good[i] ^ 0xFF]) + good[i + 1 :])
+    for field, off in [("compression=1", 30), ("bpp=16", 28)]:
+        e = bytearray(good)
+        struct.pack_into("<H", e, off, 1 if off == 30 else 16)
+        hostile.append(bytes(e))
+    e = bytearray(good)
+    struct.pack_into("<i", e, 18, 1_000_000)  # width >> payload
+    hostile.append(bytes(e))
+    rng = random.Random(88)
+    hostile += [b"BM" + bytes(rng.randrange(256) for _ in range(62)) for _ in range(5)]
+
+    for p in hostile:
+        try:
+            w, h, c, pix = decode_bmp(p)
+            assert len(pix) == w * h * c  # decoded despite mutation: fine
+        except BmpUnsupported:
+            pass  # the ONLY acceptable exception
+
+
+def test_extract_features_routes_bmp_pixels(spark):
+    """extract_features decodes BMP payloads for real (after the PNG
+    codec declines), keeps PNG behavior, and falls back to digest-only
+    features for non-image bytes."""
+    from pyspark.sql import Row as R
+
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.bmp import encode_bmp
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.multimodal import (
+        extract_features,
+    )
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.png import encode_png
+
+    bmp = encode_bmp(2, 2, 1, bytes([1, 2, 3, 4]))
+    png = encode_png(2, 2, 1, bytes([5, 6, 7, 8]))
+    df = spark.createDataFrame(
+        [
+            R(doc_id=0, payload=bytearray(bmp)),
+            R(doc_id=1, payload=bytearray(png)),
+            R(doc_id=2, payload=bytearray(b"neither format")),
+        ]
+    )
+    out = {r["doc_id"]: r for r in extract_features(df).collect()}
+    assert (out[0]["width"], out[0]["height"], out[0]["channels"]) == (2, 2, 1)
+    assert out[0]["pixel_sum"] == 10
+    assert out[1]["pixel_sum"] == 26
+    assert out[2]["pixel_sum"] is None and out[2]["content_md5"] is not None
+
+
+def test_text_to_bmp_payload_matches_png_twin(spark):
+    """The BMP fixture builder must produce the SAME pixels as the PNG
+    twin for the same text — that identity is what lets the oracle SQL
+    be shared between the two driver queries."""
+    from pyspark.sql import Row as R
+
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.multimodal import (
+        extract_features,
+        text_to_bmp_payload,
+        text_to_png_payload,
+    )
+
+    df = spark.createDataFrame(
+        [R(doc_id=0, text="hello bmp world"), R(doc_id=1, text=None), R(doc_id=2, text="Ж" * 100)]
+    )
+    cols = ["doc_id", "width", "height", "channels", "pixel_sum"]
+    a = sorted(
+        extract_features(text_to_bmp_payload(df, "text")).select(*cols).collect()
+    )
+    b = sorted(
+        extract_features(text_to_png_payload(df, "text")).select(*cols).collect()
+    )
+    assert a == b

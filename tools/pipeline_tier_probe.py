@@ -1,0 +1,244 @@
+"""Tier-probe the COMPOSED pipelines (VERDICT r9 #4):
+`training_data_pipeline` (10 exchanges) and `corpus_curation` (9) have
+only ever run at sf0.1 — and every scale bug so far (semdedup r7,
+levenshtein blocks r8, simhash quadratic + AQE coalesce r9) was
+invisible one decade early. This probe runs BOTH real query functions
+(entrymod's own callables, zero re-implementation) over an
+English-ish synthetic corpus at 125k/500k/2M docs and records tier
+ratios, plus a cumulative stage breakdown at each tier to localize the
+dominant stage.
+
+Synth: the r9 tier synth's skeleton (Zipf body via rank = V^u,
+boilerplate openings, ~5.9 % seeded mutants) but emitted as ALPHABETIC
+pseudo-words with every 4th word an English stopword — so `lang_id`
+resolves 'en', `quality_score` clears 0.6 (alpha ratio ~1, no digits),
+and `dup_token_fraction` sits in natural-prose range; the pipelines'
+filters keep the corpus instead of short-circuiting the probe. Table
+schema matches /root/testdata documents (doc_id, text, lang, source,
+n_chars).
+
+Stage breakdown (training_data_pipeline prefixes, built from the same
+library ops + entrymod constants): enrich+filter -> +exact dedup ->
++near-dup clusters (minhash/CC) -> full (contamination + sample +
+shard + pack). Each prefix timed on a cleared cache so the deltas
+bound each stage's cost.
+
+Usage: PYTHONPATH=/root/repo python tools/pipeline_tier_probe.py [out]
+Env: TIERS="125000,500000,2000000".
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.session import get_spark
+from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm import (
+    connected_components,
+    minhash_lsh_pairs,
+)
+from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.curation import (
+    contamination,
+    dup_token_fraction,
+)
+from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.text import (
+    fingerprint_md5,
+    quality_score,
+    token_count,
+)
+
+VOCAB = 50_000
+# stopwords double as English lang-id markers; hash-rotated per slot
+STOPS = ("the", "and", "of", "to", "in", "is", "with", "for")
+OPEN = ("welcome to the", "about us and", "terms of the", "", "", "", "", "")
+
+
+def synth_docs_en(spark, n: int):
+    """English-ish synth: Zipf rank -> letters (digits transliterated),
+    every 4th word a stopword, ~5.9 % seeded near-dup mutants."""
+    u32 = lambda key: F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("bigint")
+    base = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when((F.col("id") % 17 == 1) & (F.col("id") > 0), F.col("id") - 1)
+        .otherwise(F.col("id"))
+        .alias("seed"),
+    )
+    base = base.select(
+        "doc_id",
+        "seed",
+        (F.col("doc_id") != F.col("seed")).alias("is_mut"),
+        (u32(F.concat(F.lit("len:"), F.col("seed"))) % 60 + 60).cast("int").alias("n_words"),
+        F.element_at(
+            F.array(*[F.lit(o) for o in OPEN]),
+            (u32(F.concat(F.lit("open:"), F.col("seed"))) % 8 + 1).cast("int"),
+        ).alias("op"),
+    )
+
+    def word(i):
+        # rank = VOCAB^u (Zipf-ish), rendered alphabetic: digits -> letters
+        rank = F.pow(
+            F.lit(float(VOCAB)),
+            u32(F.concat(F.col("seed"), F.lit(":"), i)) % 1_000_000 / 1_000_000.0,
+        ).cast("bigint")
+        zipf = F.concat(
+            F.lit("w"), F.translate(rank.cast("string"), "0123456789", "abcdefghij")
+        )
+        stop = F.element_at(
+            F.array(*[F.lit(s) for s in STOPS]),
+            (u32(F.concat(F.lit("s"), F.col("seed"), F.lit(":"), i)) % 8 + 1).cast("int"),
+        )
+        mut = F.concat(
+            F.lit("x"),
+            F.translate(
+                (u32(F.concat(F.col("doc_id"), F.lit("#"), i)) % VOCAB).cast("string"),
+                "0123456789",
+                "abcdefghij",
+            ),
+        )
+        body = F.when(i % 4 == F.lit(0), stop).otherwise(zipf)
+        return F.when(
+            F.col("is_mut")
+            & (u32(F.concat(F.lit("m"), F.col("doc_id"), F.lit(":"), i)) % 25 == 0),
+            mut,
+        ).otherwise(body)
+
+    text = F.concat(
+        F.when(F.col("op") == "", F.lit("")).otherwise(F.concat(F.col("op"), F.lit(" "))),
+        F.array_join(F.transform(F.sequence(F.lit(1), F.col("n_words")), word), " "),
+    )
+    return base.select(
+        "doc_id",
+        text.alias("text"),
+        F.when(u32(F.concat(F.lit("lang:"), F.col("doc_id"))) % 10 < 9, F.lit("en"))
+        .otherwise(F.lit("de"))
+        .alias("lang"),
+        F.lit("synth").alias("source"),
+    ).withColumn("n_chars", F.length("text").cast("long"))
+
+
+def timed(df) -> float:
+    t0 = time.perf_counter()
+    df.write.format("noop").mode("overwrite").save()
+    return round(time.perf_counter() - t0, 2)
+
+
+def tdp_prefixes(spark, sf_dir: str) -> dict:
+    """Cumulative prefixes of the real training_data_pipeline dataflow
+    (same constants, same ops) — deltas localize the dominant stage."""
+    e = entrymod
+    d = e.T(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 20 == 0)
+    corpus = d.filter(F.col("doc_id") % 20 != 0)
+
+    def enr():
+        return corpus.select(
+            "doc_id", "text", "lang",
+            quality_score(F.col("text")).alias("quality"),
+            dup_token_fraction("text").alias("dup_tok"),
+            token_count(F.col("text")).alias("n_tok"),
+            fingerprint_md5(F.col("text")).alias("fp"),
+        ).filter(
+            (F.col("quality") >= e._TDP_QUALITY_MIN)
+            & (F.col("dup_tok") <= e._TDP_MAX_DUP)
+        )
+
+    out = {}
+    spark.catalog.clearCache()
+    out["p1_enrich_filter"] = timed(enr())
+    spark.catalog.clearCache()
+    kept0 = enr().cache()
+    keepers = kept0.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    out["p2_exact_dedup"] = timed(kept0.join(keepers, ["fp", "doc_id"]))
+    kept1 = kept0.join(keepers, ["fp", "doc_id"]).cache()
+    labels = connected_components(
+        minhash_lsh_pairs(kept1, n=e._SHINGLE_N_Q)
+    ).withColumnRenamed("id", "doc_id")
+    kept2 = (
+        kept1.join(labels, "doc_id", "left")
+        .filter(F.coalesce("cluster", F.col("doc_id")) == F.col("doc_id"))
+        .drop("cluster")
+    )
+    out["p3_neardup_clusters"] = timed(kept2)
+    clean = (
+        contamination(kept2.cache(), bench, n=3, flag_threshold=e._TDP_CONTAM_MAX)
+        .filter(~F.col("contaminated"))
+        .select("doc_id")
+    )
+    out["p4_contam_to_end"] = timed(
+        e.pack_chunks(
+            e.assign_shards(
+                e.sample_stratified(
+                    kept2.join(clean, "doc_id"), "doc_id", "lang",
+                    e._TDP_FRACS, e._TDP_DEFAULT_FRAC, seed=e._TDP_SEED,
+                ),
+                "doc_id", e._TDP_SHARDS, seed=e._TDP_SEED,
+            ),
+            "n_tok", budget=e._TDP_BUDGET,
+        )
+    )
+    spark.catalog.clearCache()
+    return out
+
+
+def main() -> None:
+    tiers = [int(x) for x in os.environ.get("TIERS", "125000,500000,2000000").split(",")]
+    spark = get_spark("pipeline-tier-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+    tmp = tempfile.mkdtemp(prefix="caf_ptier_")
+    results: dict = {}
+    try:
+        for n in tiers:
+            tier_dir = os.path.join(tmp, f"t{n}")
+            os.makedirs(tier_dir, exist_ok=True)
+            spark.conf.set("spark.sql.shuffle.partitions", str(max(32, n // 8000)))
+            synth_docs_en(spark, n).repartition(max(8, n // 25_000)).write.parquet(
+                os.path.join(tier_dir, "documents.parquet")
+            )
+            docs = spark.read.parquet(os.path.join(tier_dir, "documents.parquet"))
+            row = docs.select(
+                F.count(F.lit(1)).alias("n"),
+                F.sum((quality_score("text") >= 0.6).cast("int")).alias("q_pass"),
+            ).first()
+            res = {"n_docs": n, "quality_pass_frac": round(row["q_pass"] / row["n"], 3)}
+            for qname in ("corpus_curation", "training_data_pipeline"):
+                spark.catalog.clearCache()
+                best = float("inf")
+                for _ in range(2):
+                    spark.catalog.clearCache()
+                    best = min(best, timed(qs[qname](spark, tier_dir)))
+                res[qname] = best
+            res["tdp_stages"] = tdp_prefixes(spark, tier_dir)
+            results[str(n)] = res
+            print(json.dumps({"tier_done": n, **res}), flush=True)
+            shutil.rmtree(tier_dir, ignore_errors=True)
+        ratios = {}
+        for lo, hi in zip(tiers, tiers[1:]):
+            ratios[f"{hi}/{lo}"] = {
+                k: round(results[str(hi)][k] / max(results[str(lo)][k], 1e-3), 1)
+                for k in ("corpus_curation", "training_data_pipeline")
+            }
+        payload = {"tiers": results, "ratios": ratios}
+        line = json.dumps(payload)
+        print(line)
+        dest = sys.argv[1] if len(sys.argv) > 1 else "/tmp/pipeline_tier.json"
+        with open(dest, "w") as f:
+            f.write(line)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()
