@@ -85,6 +85,8 @@ EXTRA_QUERIES = [
     # new in r8
     "ann_ivf_arrow_recall",
     "flagship_interpolated",
+    # new in r10
+    "multimodal_bmp_pixels",
 ]
 
 HEADLINE = [

@@ -166,32 +166,43 @@ def resize_images(
 ) -> DataFrame:
     """Image-resize stage: Arrow-batched, map-only, schema-preserving.
 
-    PNG payloads are REALLY resized: stdlib decode → nearest-neighbor
-    resample (deterministic integer mapping) → re-encode, emitted with
-    ``mime='image/png'``. Other payloads fall back to the deterministic
-    stand-in (scale to ``width*height`` bytes by repeat/truncate,
-    ``mime='image/raw-stub'``) so batch shapes, output schema, and
-    metadata handling are exercised end-to-end for any media."""
+    PNG and BMP payloads are REALLY resized: stdlib decode →
+    nearest-neighbor resample (deterministic integer mapping) →
+    re-encode IN THE SOURCE FORMAT, emitted with the matching mime.
+    Other payloads fall back to the deterministic stand-in (scale to
+    ``width*height`` bytes by repeat/truncate, ``mime='image/raw-stub'``)
+    so batch shapes, output schema, and metadata handling are exercised
+    end-to-end for any media."""
     target = width * height
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out_payload, out_meta = [], []
             decoded = decode_png_batch(list(pdf["payload"]))
-            for p, dec in zip(pdf["payload"], decoded):
+            mimes = ["image/png"] * len(decoded)
+            for j, p in enumerate(pdf["payload"]):
+                if decoded[j] is None and p is not None and is_bmp(p):
+                    try:
+                        decoded[j] = decode_bmp(p)
+                        mimes[j] = "image/bmp"
+                    except BmpUnsupported:
+                        pass
+            for p, dec, mime in zip(pdf["payload"], decoded, mimes):
                 b = bytes(p) if p is not None else b""
                 if dec is not None:
                     w0, h0, c, pix = dec
-                    resized = encode_png(
-                        width,
-                        height,
-                        c,
-                        resize_nearest(w0, h0, c, pix, width, height),
+                    resampled = resize_nearest(w0, h0, c, pix, width, height)
+                    # gray+alpha has no BMP layout; PNG carries it
+                    enc = (
+                        encode_bmp
+                        if mime == "image/bmp" and c in (1, 3, 4)
+                        else encode_png
                     )
+                    resized = enc(width, height, c, resampled)
                     out_payload.append(resized)
                     out_meta.append(
                         {
-                            "mime": "image/png",
+                            "mime": mime if enc is encode_bmp else "image/png",
                             "n_bytes": len(resized),
                             "width": width,
                             "height": height,

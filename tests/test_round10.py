@@ -206,3 +206,39 @@ def test_text_to_bmp_payload_matches_png_twin(spark):
         extract_features(text_to_png_payload(df, "text")).select(*cols).collect()
     )
     assert a == b
+
+
+def test_resize_images_real_bmp_path(spark):
+    """resize_images round-trips BMP payloads in the SOURCE format:
+    decode → nearest resample → re-encode as BMP with image/bmp mime,
+    while PNG inputs stay PNG and junk keeps the raw-stub path."""
+    from pyspark.sql import Row as R
+
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.bmp import (
+        decode_bmp,
+        encode_bmp,
+    )
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.multimodal import (
+        resize_images,
+    )
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.png import (
+        decode_png,
+        encode_png,
+        resize_nearest,
+    )
+
+    src = bytes([10, 20, 30, 40])  # 2x2 gray
+    df = spark.createDataFrame(
+        [
+            R(doc_id=0, payload=bytearray(encode_bmp(2, 2, 1, src))),
+            R(doc_id=1, payload=bytearray(encode_png(2, 2, 1, src))),
+            R(doc_id=2, payload=bytearray(b"junk")),
+        ]
+    )
+    out = {r["doc_id"]: r for r in resize_images(df, 4, 4).collect()}
+    want = resize_nearest(2, 2, 1, src, 4, 4)
+    assert out[0]["meta"]["mime"] == "image/bmp"
+    assert decode_bmp(bytes(out[0]["payload"])) == (4, 4, 1, want)
+    assert out[1]["meta"]["mime"] == "image/png"
+    assert decode_png(bytes(out[1]["payload"])) == (4, 4, 1, want)
+    assert out[2]["meta"]["mime"] == "image/raw-stub"

@@ -127,9 +127,14 @@ def synth_docs_en(spark, n: int):
     ).withColumn("n_chars", F.length("text").cast("long"))
 
 
-def timed(df) -> float:
+def timed(build) -> float:
+    """Time CONSTRUCTION + execution: `connected_components` (inside
+    training_data_pipeline) runs its iterative label-propagation loop
+    eagerly while the plan is being BUILT, so timing only the noop
+    materialization would let the pipeline's most expensive stage
+    escape the clock (bench.py clocks the same way)."""
     t0 = time.perf_counter()
-    df.write.format("noop").mode("overwrite").save()
+    build().write.format("noop").mode("overwrite").save()
     return round(time.perf_counter() - t0, 2)
 
 
@@ -155,28 +160,37 @@ def tdp_prefixes(spark, sf_dir: str) -> dict:
 
     out = {}
     spark.catalog.clearCache()
-    out["p1_enrich_filter"] = timed(enr())
+    out["p1_enrich_filter"] = timed(enr)
     spark.catalog.clearCache()
     kept0 = enr().cache()
-    keepers = kept0.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
-    out["p2_exact_dedup"] = timed(kept0.join(keepers, ["fp", "doc_id"]))
-    kept1 = kept0.join(keepers, ["fp", "doc_id"]).cache()
-    labels = connected_components(
-        minhash_lsh_pairs(kept1, n=e._SHINGLE_N_Q)
-    ).withColumnRenamed("id", "doc_id")
-    kept2 = (
-        kept1.join(labels, "doc_id", "left")
-        .filter(F.coalesce("cluster", F.col("doc_id")) == F.col("doc_id"))
-        .drop("cluster")
-    )
-    out["p3_neardup_clusters"] = timed(kept2)
-    clean = (
-        contamination(kept2.cache(), bench, n=3, flag_threshold=e._TDP_CONTAM_MAX)
-        .filter(~F.col("contaminated"))
-        .select("doc_id")
-    )
-    out["p4_contam_to_end"] = timed(
-        e.pack_chunks(
+
+    def build_kept1():
+        keepers = kept0.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+        return kept0.join(keepers, ["fp", "doc_id"])
+
+    out["p2_exact_dedup"] = timed(build_kept1)
+    kept1 = build_kept1().cache()
+
+    def build_kept2():
+        labels = connected_components(
+            minhash_lsh_pairs(kept1, n=e._SHINGLE_N_Q)
+        ).withColumnRenamed("id", "doc_id")
+        return (
+            kept1.join(labels, "doc_id", "left")
+            .filter(F.coalesce("cluster", F.col("doc_id")) == F.col("doc_id"))
+            .drop("cluster")
+        )
+
+    out["p3_neardup_clusters"] = timed(build_kept2)
+    kept2 = build_kept2().cache()
+
+    def build_full():
+        clean = (
+            contamination(kept2, bench, n=3, flag_threshold=e._TDP_CONTAM_MAX)
+            .filter(~F.col("contaminated"))
+            .select("doc_id")
+        )
+        return e.pack_chunks(
             e.assign_shards(
                 e.sample_stratified(
                     kept2.join(clean, "doc_id"), "doc_id", "lang",
@@ -186,7 +200,8 @@ def tdp_prefixes(spark, sf_dir: str) -> dict:
             ),
             "n_tok", budget=e._TDP_BUDGET,
         )
-    )
+
+    out["p4_contam_to_end"] = timed(build_full)
     spark.catalog.clearCache()
     return out
 
@@ -213,11 +228,10 @@ def main() -> None:
             ).first()
             res = {"n_docs": n, "quality_pass_frac": round(row["q_pass"] / row["n"], 3)}
             for qname in ("corpus_curation", "training_data_pipeline"):
-                spark.catalog.clearCache()
                 best = float("inf")
                 for _ in range(2):
                     spark.catalog.clearCache()
-                    best = min(best, timed(qs[qname](spark, tier_dir)))
+                    best = min(best, timed(lambda: qs[qname](spark, tier_dir)))
                 res[qname] = best
             res["tdp_stages"] = tdp_prefixes(spark, tier_dir)
             results[str(n)] = res
