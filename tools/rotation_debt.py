@@ -34,7 +34,12 @@ def load_rounds() -> tuple[dict[str, int], dict[str, int], int]:
     driver: dict[str, int] = {}
     local: dict[str, int] = {}
     latest = 0
-    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS*_r0*.json"))):
+    # NOTE: the glob must admit two-digit rounds — "_r0*" silently
+    # dropped CORRECTNESS_LOCAL_r10.json and the registry looked
+    # never-checked (caught by test_rotation_debt_tool_reads_records
+    # the day round 10 landed); the _r(\d+) regex below does the real
+    # filtering.
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS*_r*.json"))):
         m = re.search(r"_r(\d+)\.json$", path)
         if not m:
             continue
