@@ -5,11 +5,13 @@ FINAL stdout line is the compact headline JSON the driver parses:
 {"metric": ..., "value": min_total_sec, "median": median_total_sec,
 "unit": "sec", "queries": {name: min_sec}, "sf": ..., "n": ...},
 plus drift fields (r10): "drift_probe" = min-of-3 of the fixed probe
-query (pricing_summary, unchanged since r6) timed IMMEDIATELY before
-the headline phase, "drift_factor" = probe / 0.987 (the r8-record box),
-and "value_normalized" / "value_r8_basis_normalized" = raw totals
-divided by the factor. Rule: cross-round comparisons use the
-*_normalized totals; raw stays authoritative within a single phase
+query (pricing_summary, unchanged since r6) timed immediately BEFORE
+AND AFTER each phase and averaged ("drift_probe_pre_post" carries the
+bracket — the shakedown run measured 2.10 s pre vs 1.35 s post, 1.5x
+drift WITHIN one bench run), "drift_factor" = probe / 0.987 (the
+r8-record box), and "value_normalized" / "value_r8_basis_normalized" =
+raw totals divided by the factor. Rule: cross-round comparisons use
+the *_normalized totals; raw stays authoritative within a single phase
 (interleaved A/Bs). The per-query [min, median, max] spread and the
 extra-section timings are emitted on a PRECEDING line and mirrored to
 BENCH_extra.json (the driver's tail capture truncated the old single
@@ -169,7 +171,7 @@ def main() -> None:
     # blip (±30% load drift documented in DECISIONS round-5) is
     # self-diagnosing: a high max with a steady min = machine load, a
     # shifted min = a real plan change.
-    probe_headline = _probe(qs, spark, sf_dir)
+    probe_headline_pre = _probe(qs, spark, sf_dir)
     times: dict[str, float] = {}
     medians: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
@@ -195,7 +197,15 @@ def main() -> None:
     # (VERDICT r8 #3: min-of-3 singles could not distinguish co-tenant
     # load from a real regression — the three samples were already being
     # taken, only the min was kept)
-    probe_extra = _probe(qs, spark, sf_dir)
+    # post-phase probe: the r10 shakedown run measured the probe at
+    # 2.10 s BEFORE the headline phase and 1.35 s after it — the box
+    # drifts 1.5x WITHIN one bench run, so a phase is normalized by the
+    # mean of its bracketing probes, not a single pre-phase sample.
+    probe_headline_post = _probe(qs, spark, sf_dir)
+    probe_headline = round(
+        (probe_headline_pre + probe_headline_post) / 2, 3
+    )
+    probe_extra_pre = probe_headline_post  # brackets both phases
     extra: dict[str, float] = {}
     extra_spread: dict[str, list[float]] = {}
     for name in EXTRA_QUERIES:
@@ -213,6 +223,8 @@ def main() -> None:
     # the capture window and truncated away the "value" field (VERDICT r6
     # item 1). So: spread + extra go to a sidecar file AND a preceding
     # stdout line, and the FINAL line is the compact headline only.
+    probe_extra_post = _probe(qs, spark, sf_dir)
+    probe_extra = round((probe_extra_pre + probe_extra_post) / 2, 3)
     drift_headline = round(probe_headline / DRIFT_PROBE_REF_SEC, 3)
     drift_extra = round(probe_extra / DRIFT_PROBE_REF_SEC, 3)
     sidecar = {
@@ -220,6 +232,7 @@ def main() -> None:
         "extra": extra,
         "extra_spread": extra_spread,
         "drift_probe_extra": probe_extra,
+        "drift_probe_extra_pre_post": [probe_extra_pre, probe_extra_post],
         "drift_factor_extra": drift_extra,
         "extra_normalized": {
             k: round(v / drift_extra, 3) for k, v in extra.items()
@@ -245,6 +258,10 @@ def main() -> None:
                 "median": total_median,
                 "value_r8_basis": total_r8_basis,
                 "drift_probe": probe_headline,
+                "drift_probe_pre_post": [
+                    probe_headline_pre,
+                    probe_headline_post,
+                ],
                 "drift_probe_ref": DRIFT_PROBE_REF_SEC,
                 "drift_factor": drift_headline,
                 "value_normalized": round(total / drift_headline, 3),
