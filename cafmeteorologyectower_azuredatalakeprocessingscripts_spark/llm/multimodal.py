@@ -81,6 +81,25 @@ def _fake_embedding(digest: bytes, dim: int = 4) -> list[float]:
     return [round(b / 255.0, 6) for b in digest[:dim]]
 
 
+def _decode_image_batch(payloads: list) -> tuple[list, list]:
+    """Shared decode routing for the Arrow stages: whole-batch PNG
+    first (same-geometry wavefront sharing), then BMP per remaining
+    payload (raw BI_RGB — one reshape, nothing to batch). Returns
+    (decoded, mimes) aligned to the input; non-image/corrupt/NULL rows
+    decode to None. One sniff order for every stage, so feature
+    extraction and resize can never diverge on which payloads decode."""
+    decoded = decode_png_batch(payloads)
+    mimes = ["image/png"] * len(decoded)
+    for j, p in enumerate(payloads):
+        if decoded[j] is None and p is not None and is_bmp(p):
+            try:
+                decoded[j] = decode_bmp(p)
+                mimes[j] = "image/bmp"
+            except BmpUnsupported:
+                pass
+    return decoded, mimes
+
+
 def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Arrow-batched feature extraction over binary payloads. PNG
     payloads additionally emit pixel-derived columns (width, height,
@@ -90,19 +109,10 @@ def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             digests, dims, sums = [], [], []
-            # whole-batch decode: same-geometry Paeth/Average images
-            # share one wavefront (llm/png.py); non-PNG rows fall
-            # through to the BMP codec (llm/bmp.py — raw BI_RGB, no
-            # batching needed: decode is one numpy reshape);
-            # non-image/corrupt/NULL rows come back None and keep
-            # digest-only features
-            decoded = decode_png_batch(list(pdf["payload"]))
-            for j, p in enumerate(pdf["payload"]):
-                if decoded[j] is None and p is not None and is_bmp(p):
-                    try:
-                        decoded[j] = decode_bmp(p)
-                    except BmpUnsupported:
-                        pass
+            # PNG batch first, BMP fallback — shared routing, see
+            # _decode_image_batch; undecodable rows keep digest-only
+            # features
+            decoded, _ = _decode_image_batch(list(pdf["payload"]))
             for p, dec in zip(pdf["payload"], decoded):
                 # NULL payload → NULL features (SQL semantics: the
                 # DuckDB oracle's octet_length/md5 of NULL is NULL)
@@ -178,15 +188,7 @@ def resize_images(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out_payload, out_meta = [], []
-            decoded = decode_png_batch(list(pdf["payload"]))
-            mimes = ["image/png"] * len(decoded)
-            for j, p in enumerate(pdf["payload"]):
-                if decoded[j] is None and p is not None and is_bmp(p):
-                    try:
-                        decoded[j] = decode_bmp(p)
-                        mimes[j] = "image/bmp"
-                    except BmpUnsupported:
-                        pass
+            decoded, mimes = _decode_image_batch(list(pdf["payload"]))
             for p, dec, mime in zip(pdf["payload"], decoded, mimes):
                 b = bytes(p) if p is not None else b""
                 if dec is not None:

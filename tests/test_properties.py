@@ -517,3 +517,31 @@ def test_interpolate_linear_matches_reference_any_partitioning(
             assert got[m] is None
         else:
             assert got[m] == __import__("pytest").approx(want[m], abs=1e-9)
+
+
+@given(
+    w=st.integers(min_value=1, max_value=23),
+    h=st.integers(min_value=1, max_value=17),
+    c=st.sampled_from([1, 3, 4]),
+    data=st.data(),
+)
+@settings(max_examples=60, deadline=None)
+def test_bmp_roundtrip_property(w, h, c, data):
+    """encode_bmp → decode_bmp is identity for ANY pixel buffer at any
+    (width, height, channels) — covers every row-padding residue class
+    and both palette (gray) and direct (RGB/RGBA) layouts."""
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.bmp import (
+        decode_bmp,
+        encode_bmp,
+    )
+
+    px = bytes(
+        data.draw(
+            st.lists(
+                st.integers(min_value=0, max_value=255),
+                min_size=w * h * c,
+                max_size=w * h * c,
+            )
+        )
+    )
+    assert decode_bmp(encode_bmp(w, h, c, px)) == (w, h, c, px)

@@ -51,7 +51,11 @@ from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.png import (
 
 PROBE = "pricing_summary"
 PROBE_REF_R8 = 0.987  # BENCH_r08.json, the box state the records were set on
-N_REP = 3
+# N_REP=3 decided six of the seven; interpolate_linear landed rel 1.385
+# on a noisy phase and was settled by N_REP=8 — regenerate that run
+# with: N_REP=8 FOCUS=interpolate_linear python tools/adjudicate_r10.py
+N_REP = int(os.environ.get("N_REP", "3"))
+FOCUS = os.environ.get("FOCUS")  # restrict to one query (focused rerun)
 # a reproduced ratio within this factor of r8's = drift; beyond = real.
 # Sub-second queries on this box carry ~±20-30% min-of-3 noise
 # (BENCH_extra spreads), so the bound is 1.35x.
@@ -82,10 +86,6 @@ _R8_EXTRAS = {
 }
 
 
-def _r8_extras() -> dict[str, float]:
-    return dict(_R8_EXTRAS)
-
-
 def scalar_decode_batch(payloads):
     """The r8 form of the decode stage: one decode_png call per image,
     no geometry grouping. Injected via monkeypatch for the ABAB."""
@@ -103,8 +103,7 @@ def main() -> None:
     spark = get_spark("caf-adjudicate-r10")
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
-    r8 = _r8_extras()
-    r8["flagship_interpolated"] = r8.get("flagship_interpolated", 1.003)
+    r8 = _R8_EXTRAS
 
     def t(name: str) -> float:
         spark.catalog.clearCache()
@@ -121,7 +120,7 @@ def main() -> None:
     ).write.format("noop").mode("overwrite").save()
 
     out: dict[str, dict] = {}
-    for name in SEVEN:
+    for name in ([FOCUS] if FOCUS else SEVEN):
         p_s, q_s = [], []
         for _ in range(N_REP):
             p_s.append(t(PROBE))
@@ -141,6 +140,10 @@ def main() -> None:
         print(json.dumps({"query": name, **out[name]}), flush=True)
 
     # direct ABAB: batch vs scalar PNG decode on the real query
+    if FOCUS:
+        json.dump(out, open("/tmp/adjudicate_r10.json", "w"), indent=1)
+        spark.stop()
+        return
     batch_s, scalar_s = [], []
     orig = mm.decode_png_batch
     for _ in range(N_REP):

@@ -33,7 +33,7 @@ for n_edges in (500_000, 2_000_000, 8_000_000):
     # unbroken (n_edges/100)-hop chain — the diameter adversary;
     # md5-deterministic
     e = spark.range(n_edges).select(
-        F.when(F.col("id") % 100 == 0,  # chain edges within a 1000-block
+        F.when(F.col("id") % 100 == 0,  # ONE unbroken (n_edges/100)-hop chain
             F.struct((F.col("id")).alias("a"), (F.col("id")+100).alias("b"))
         ).otherwise(
             F.struct(
