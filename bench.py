@@ -89,6 +89,7 @@ EXTRA_QUERIES = [
     "flagship_interpolated",
     # new in r10
     "multimodal_bmp_pixels",
+    "multimodal_tiff_pixels",
 ]
 
 HEADLINE = [

@@ -3,13 +3,14 @@
 Images/audio/video ride through the engine as ``binary`` columns with a
 metadata struct; decode/feature-extraction run as Arrow-batched
 ``mapInPandas`` stages (the only place Python touches data, amortized
-per-batch). PNG payloads are decoded FOR REAL by the pure-stdlib codec
-in :mod:`.png` (zlib scanline inflate + all five filters) — features
-and resizes on PNGs come from actual pixels. Other media formats are
-STUBBED — the container has no codec libs — behind ``decode_stub``
-(raises) and a deterministic feature extractor (byte length, md5,
-md5-derived fake embedding) so the Spark-side plumbing (schema, batch
-shape, partitioning) stays real and testable end-to-end either way.
+per-batch). PNG, BMP and baseline-TIFF payloads are decoded FOR REAL
+by the pure-stdlib codecs in :mod:`.png` / :mod:`.bmp` / :mod:`.tiff`
+— features and resizes on those formats come from actual pixels.
+Other media formats (JPEG/audio/video) are STUBBED — the container
+has no codec libs — behind ``decode_stub`` (raises) and a
+deterministic feature extractor (byte length, md5, md5-derived fake
+embedding) so the Spark-side plumbing (schema, batch shape,
+partitioning) stays real and testable end-to-end either way.
 
 At 100 TB: payloads stay columnar in parquet (no driver collect), the
 mapInPandas stage is map-only (no shuffle), and batch size is governed by
@@ -27,6 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .bmp import BmpUnsupported, decode_bmp, encode_bmp, is_bmp
+from .tiff import TiffUnsupported, decode_tiff, encode_tiff, is_tiff
 from .png import (
     PngUnsupported,
     decode_png,
@@ -67,12 +69,13 @@ def to_binary_payload(df: DataFrame, src_col: str, id_col: str = "doc_id") -> Da
 
 
 def decode_stub(payload: bytes) -> object:
-    """Placeholder for a real NON-PNG media decode (PIL/librosa/ffmpeg
-    are not in this container; PNG decodes for real via :mod:`.png`)."""
+    """Placeholder for a real compressed-media decode — JPEG, audio,
+    video (PIL/librosa/ffmpeg are not in this container; PNG, BMP and
+    baseline TIFF decode for real via the stdlib codecs)."""
     raise NotImplementedError(
-        "non-PNG media decoding requires codec libraries not present in "
-        "this environment; extract_features uses a deterministic fake "
-        "for such payloads (and real pixels for PNGs)"
+        "compressed-media decoding requires codec libraries not present "
+        "in this environment; extract_features uses a deterministic fake "
+        "for such payloads (and real pixels for PNG/BMP/TIFF)"
     )
 
 
@@ -83,33 +86,42 @@ def _fake_embedding(digest: bytes, dim: int = 4) -> list[float]:
 
 def _decode_image_batch(payloads: list) -> tuple[list, list]:
     """Shared decode routing for the Arrow stages: whole-batch PNG
-    first (same-geometry wavefront sharing), then BMP per remaining
-    payload (raw BI_RGB — one reshape, nothing to batch). Returns
-    (decoded, mimes) aligned to the input; non-image/corrupt/NULL rows
-    decode to None. One sniff order for every stage, so feature
-    extraction and resize can never diverge on which payloads decode."""
+    first (same-geometry wavefront sharing), then BMP, then baseline
+    TIFF per remaining payload (both are raw-pixel formats — one
+    reshape each, nothing to batch). Returns (decoded, mimes) aligned
+    to the input; non-image/corrupt/NULL rows decode to None. One
+    sniff order for every stage, so feature extraction and resize can
+    never diverge on which payloads decode."""
     decoded = decode_png_batch(payloads)
     mimes = ["image/png"] * len(decoded)
     for j, p in enumerate(payloads):
-        if decoded[j] is None and p is not None and is_bmp(p):
-            try:
-                decoded[j] = decode_bmp(p)
-                mimes[j] = "image/bmp"
-            except BmpUnsupported:
-                pass
+        if decoded[j] is None and p is not None:
+            if is_bmp(p):
+                try:
+                    decoded[j] = decode_bmp(p)
+                    mimes[j] = "image/bmp"
+                except BmpUnsupported:
+                    pass
+            elif is_tiff(p):
+                try:
+                    decoded[j] = decode_tiff(p)
+                    mimes[j] = "image/tiff"
+                except TiffUnsupported:
+                    pass
     return decoded, mimes
 
 
 def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Arrow-batched feature extraction over binary payloads. PNG
-    payloads additionally emit pixel-derived columns (width, height,
-    channels, exact pixel byte sum) from a REAL stdlib-zlib decode;
-    other payloads carry nulls there and keep the digest features."""
+    """Arrow-batched feature extraction over binary payloads.
+    PNG/BMP/TIFF payloads additionally emit pixel-derived columns
+    (width, height, channels, exact pixel byte sum) from a REAL stdlib
+    decode; other payloads carry nulls there and keep the digest
+    features."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             digests, dims, sums = [], [], []
-            # PNG batch first, BMP fallback — shared routing, see
+            # PNG batch first, BMP/TIFF fallback — shared routing, see
             # _decode_image_batch; undecodable rows keep digest-only
             # features
             decoded, _ = _decode_image_batch(list(pdf["payload"]))
@@ -176,7 +188,7 @@ def resize_images(
 ) -> DataFrame:
     """Image-resize stage: Arrow-batched, map-only, schema-preserving.
 
-    PNG and BMP payloads are REALLY resized: stdlib decode →
+    PNG/BMP/TIFF payloads are REALLY resized: stdlib decode →
     nearest-neighbor resample (deterministic integer mapping) →
     re-encode IN THE SOURCE FORMAT, emitted with the matching mime.
     Other payloads fall back to the deterministic stand-in (scale to
@@ -194,17 +206,19 @@ def resize_images(
                 if dec is not None:
                     w0, h0, c, pix = dec
                     resampled = resize_nearest(w0, h0, c, pix, width, height)
-                    # gray+alpha has no BMP layout; PNG carries it
-                    enc = (
-                        encode_bmp
-                        if mime == "image/bmp" and c in (1, 3, 4)
-                        else encode_png
-                    )
+                    # re-encode in the SOURCE format; gray+alpha has no
+                    # BMP/TIFF layout here, PNG carries it
+                    enc = encode_png
+                    if c in (1, 3, 4):
+                        if mime == "image/bmp":
+                            enc = encode_bmp
+                        elif mime == "image/tiff":
+                            enc = encode_tiff
                     resized = enc(width, height, c, resampled)
                     out_payload.append(resized)
                     out_meta.append(
                         {
-                            "mime": mime if enc is encode_bmp else "image/png",
+                            "mime": mime if enc is not encode_png else "image/png",
                             "n_bytes": len(resized),
                             "width": width,
                             "height": height,
@@ -232,21 +246,35 @@ def resize_images(
     return df.mapInPandas(run, RESIZE_SCHEMA)
 
 
-def text_to_png_payload(
-    df: DataFrame,
-    src_col: str = "text",
-    width: int = 8,
-    height: int = 8,
-    id_col: str = "doc_id",
-) -> DataFrame:
-    """Deterministic PNG synthesis for fixtures and oracle replay: a
+_TEXT_IMAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType()),
+                    T.StructField("n_bytes", T.LongType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+
+def _text_to_image_payload(df, src_col, width, height, id_col, encoder, mime):
+    """Deterministic image synthesis for fixtures and oracle replay: a
     ``width x height`` GRAYSCALE image whose pixels are the codepoints
     (mod 256) of the first ``width*height`` characters of ``src_col``,
     space-padded — a pure function of the text another engine can
-    recompute without a codec. Arrow-batched, map-only. The explicit
-    projection below matters: mapInPandas ships every input column to
-    the Python worker, so selecting (id, text) first is what lets the
-    parquet scan prune to 2 columns."""
+    recompute without a codec. The PIXELS are identical across codecs,
+    so all three driver queries (PNG/BMP/TIFF) share one oracle SQL and
+    a green row proves the format-specific container inverts exactly.
+    Arrow-batched, map-only. The explicit projection below matters:
+    mapInPandas ships every input column to the Python worker, so
+    selecting (id, text) first is what lets the parquet scan prune to
+    2 columns."""
     n = width * height
     df = df.select(id_col, src_col)
 
@@ -256,34 +284,33 @@ def text_to_png_payload(
             for t in pdf[src_col]:
                 s = ("" if t is None else str(t))[:n].ljust(n)
                 payloads.append(
-                    encode_png(width, height, 1, bytes(ord(ch) % 256 for ch in s))
+                    encoder(width, height, 1, bytes(ord(ch) % 256 for ch in s))
                 )
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
                     "payload": payloads,
                     "meta": [
-                        {"mime": "image/png", "n_bytes": len(p)} for p in payloads
+                        {"mime": mime, "n_bytes": len(p)} for p in payloads
                     ],
                 }
             )
 
-    schema = T.StructType(
-        [
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("payload", T.BinaryType()),
-            T.StructField(
-                "meta",
-                T.StructType(
-                    [
-                        T.StructField("mime", T.StringType()),
-                        T.StructField("n_bytes", T.LongType()),
-                    ]
-                ),
-            ),
-        ]
+    return df.mapInPandas(run, _TEXT_IMAGE_SCHEMA)
+
+
+def text_to_png_payload(
+    df: DataFrame,
+    src_col: str = "text",
+    width: int = 8,
+    height: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Codepoints-mod-256 grayscale PNG per document (see
+    :func:`_text_to_image_payload`)."""
+    return _text_to_image_payload(
+        df, src_col, width, height, id_col, encode_png, "image/png"
     )
-    return df.mapInPandas(run, schema)
 
 
 def text_to_bmp_payload(
@@ -293,48 +320,26 @@ def text_to_bmp_payload(
     height: int = 8,
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """BMP twin of :func:`text_to_png_payload`: the same deterministic
-    codepoints-mod-256 grayscale image, packaged as an 8-bit BI_RGB BMP
-    with a grayscale identity palette — so the pixel oracle replays the
-    identical sum from the text while exercising the BMP decode path
-    end-to-end (bottom-up row order, palette handling, row padding)."""
-    n = width * height
-    df = df.select(id_col, src_col)
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            payloads = []
-            for t in pdf[src_col]:
-                s = ("" if t is None else str(t))[:n].ljust(n)
-                payloads.append(
-                    encode_bmp(width, height, 1, bytes(ord(ch) % 256 for ch in s))
-                )
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf[id_col],
-                    "payload": payloads,
-                    "meta": [
-                        {"mime": "image/bmp", "n_bytes": len(p)} for p in payloads
-                    ],
-                }
-            )
-
-    schema = T.StructType(
-        [
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("payload", T.BinaryType()),
-            T.StructField(
-                "meta",
-                T.StructType(
-                    [
-                        T.StructField("mime", T.StringType()),
-                        T.StructField("n_bytes", T.LongType()),
-                    ]
-                ),
-            ),
-        ]
+    """BMP twin of :func:`text_to_png_payload`: 8-bit BI_RGB with a
+    grayscale identity palette — exercises bottom-up row order, palette
+    handling, and row padding end-to-end."""
+    return _text_to_image_payload(
+        df, src_col, width, height, id_col, encode_bmp, "image/bmp"
     )
-    return df.mapInPandas(run, schema)
+
+
+def text_to_tiff_payload(
+    df: DataFrame,
+    src_col: str = "text",
+    width: int = 8,
+    height: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """TIFF twin of :func:`text_to_png_payload`: baseline uncompressed
+    gray — exercises the IFD walk and strip assembly end-to-end."""
+    return _text_to_image_payload(
+        df, src_col, width, height, id_col, encode_tiff, "image/tiff"
+    )
 
 
 FRAME_SCHEMA = T.StructType(

@@ -545,3 +545,30 @@ def test_bmp_roundtrip_property(w, h, c, data):
         )
     )
     assert decode_bmp(encode_bmp(w, h, c, px)) == (w, h, c, px)
+
+
+@given(
+    w=st.integers(min_value=1, max_value=23),
+    h=st.integers(min_value=1, max_value=17),
+    c=st.sampled_from([1, 3, 4]),
+    data=st.data(),
+)
+@settings(max_examples=60, deadline=None)
+def test_tiff_roundtrip_property(w, h, c, data):
+    """encode_tiff → decode_tiff is identity for ANY pixel buffer at
+    any (width, height, channels)."""
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.tiff import (
+        decode_tiff,
+        encode_tiff,
+    )
+
+    px = bytes(
+        data.draw(
+            st.lists(
+                st.integers(min_value=0, max_value=255),
+                min_size=w * h * c,
+                max_size=w * h * c,
+            )
+        )
+    )
+    assert decode_tiff(encode_tiff(w, h, c, px)) == (w, h, c, px)
