@@ -11,8 +11,10 @@ Cross-engine determinism rules used throughout:
 
 from __future__ import annotations
 
+import atexit
 import datetime
 import os
+import shutil
 import tempfile
 import warnings
 from collections.abc import Callable
@@ -367,6 +369,17 @@ FROM m
 """
 
 
+
+def _fixture_tmpdir(prefix: str) -> str:
+    """Fixture temp dir removed at interpreter exit (VERDICT r10 #8:
+    repeated correctness runs were accumulating /tmp/caf_* litter).
+    The returned DataFrame is lazy — the dir must outlive the query's
+    collection — so atexit is the earliest safe cleanup point."""
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
+
+
 def q_toa5_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1+S2+U1+D1+J4 end-to-end through the hard signal: write a
     deterministic TOA5 fixture (4-line headers, NAN sentinels, an
@@ -379,7 +392,7 @@ def q_toa5_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_toa5,
     )
 
-    tmp = tempfile.mkdtemp(prefix="caf_toa5_rt_")
+    tmp = _fixture_tmpdir("caf_toa5_rt_")
     hdr = (
         '"TOA5","CookEast","CR3000","1234","CR3000.Std.32","CPU:flux.CR3","5678","Flux"\n'
         '"TIMESTAMP","RECORD","Tair","RH"\n'
@@ -451,7 +464,7 @@ def q_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     e = T(spark, sf_dir, "events").withColumn("wateryear", water_year("ts"))
-    out = os.path.join(tempfile.mkdtemp(prefix="caf_sink_rt_"), "events_pq")
+    out = os.path.join(_fixture_tmpdir("caf_sink_rt_"), "events_pq")
     write_partitioned(e, out, partition_cols=("wateryear",))
     write_partitioned(e, out, partition_cols=("wateryear",))  # re-run: same result
     back = spark.read.parquet(out)
@@ -1659,6 +1672,45 @@ def q_multimodal_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("doc_id", "width", "height", "channels", "pixel_sum")
 
 
+def q_multimodal_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end-to-end (VERDICT r10 #5 — the first
+    non-image modality): synthesize a deterministic 8-bit mono PCM WAV
+    per document (samples = codepoints mod 256 of the text's first 64
+    chars, space-padded — the same values as the image twins' pixels,
+    packaged as a RIFF container by llm/wav.py), then extract
+    SAMPLE-derived features (rate, channels, bit depth, frame count,
+    duration, exact sample sum / sum-of-squares) via the real WAV
+    decoder inside the same Arrow-batched mapInPandas pattern. The
+    oracle replays the exact-integer features straight from the text —
+    a green row proves the RIFF/fmt/data container inverts exactly."""
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.multimodal import (
+        extract_audio_features,
+        text_to_wav_payload,
+    )
+
+    d = T(spark, sf_dir, "documents")
+    feats = extract_audio_features(text_to_wav_payload(d, "text"))
+    return feats.select(
+        "doc_id", "sample_rate", "channels", "bits", "n_frames",
+        "duration_ms", "sample_sum", "sample_sumsq",
+    )
+
+
+_MULTIMODAL_WAV_SQL = """
+SELECT doc_id, 8000 AS sample_rate, 1 AS channels, 8 AS bits,
+       CAST(64 AS BIGINT) AS n_frames,
+       64 * 1000.0 / 8000 AS duration_ms,
+       CAST(list_sum(list_transform(range(1, 65),
+            i -> ascii(substr(rpad(coalesce(text, ''), 64, ' '), i, 1)) % 256))
+         AS BIGINT) AS sample_sum,
+       CAST(list_sum(list_transform(range(1, 65),
+            i -> (ascii(substr(rpad(coalesce(text, ''), 64, ' '), i, 1)) % 256)
+               * (ascii(substr(rpad(coalesce(text, ''), 64, ' '), i, 1)) % 256)))
+         AS BIGINT) AS sample_sumsq
+FROM documents
+"""
+
+
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate NN via sign-random-projection buckets. Hash-checked:
     the oracle replays the deterministic md5-derived hyperplanes; recall
@@ -2447,7 +2499,7 @@ def q_stream_keep_richest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     schema = _read_parquet(spark, os.path.join(sf_dir, "events.parquet")).schema
-    tmp = tempfile.mkdtemp(prefix="caf_stream_rich_")
+    tmp = _fixture_tmpdir("caf_stream_rich_")
     src = os.path.join(tmp, "src")
     os.makedirs(src)
     os.symlink(
@@ -2509,7 +2561,7 @@ def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     schema = _read_parquet(spark, os.path.join(sf_dir, "events.parquet")).schema
-    tmp = tempfile.mkdtemp(prefix="caf_stream_ij_")
+    tmp = _fixture_tmpdir("caf_stream_ij_")
     src = os.path.join(tmp, "src")
     os.makedirs(src)
     os.symlink(
@@ -2584,7 +2636,7 @@ def q_stream_interval_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events_path = os.path.join(sf_dir, "events.parquet")
     schema = _read_parquet(spark, events_path).schema
-    tmp = tempfile.mkdtemp(prefix="caf_stream_loj_")
+    tmp = _fixture_tmpdir("caf_stream_loj_")
     src = os.path.join(tmp, "src")
     os.makedirs(src)
     os.symlink(events_path, os.path.join(src, "events.parquet"))
@@ -2732,7 +2784,7 @@ def q_stream_dedup_within_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     schema = _read_parquet(spark, os.path.join(sf_dir, "events.parquet")).schema
-    tmp = tempfile.mkdtemp(prefix="caf_stream_ddwm_")
+    tmp = _fixture_tmpdir("caf_stream_ddwm_")
     src = os.path.join(tmp, "src")
     os.makedirs(src)
     os.symlink(
@@ -2814,7 +2866,7 @@ def q_stream_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink (append mode would hold back windows newer than the final
     watermark). Oracle: the same bucketed counts in plain SQL."""
     schema = _read_parquet(spark, os.path.join(sf_dir, "events.parquet")).schema
-    tmp = tempfile.mkdtemp(prefix="caf_stream_win_")
+    tmp = _fixture_tmpdir("caf_stream_win_")
     src = os.path.join(tmp, "src")
     os.makedirs(src)
     os.symlink(
@@ -2867,7 +2919,7 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     schema = _read_parquet(spark, os.path.join(sf_dir, "events.parquet")).schema
-    tmp = tempfile.mkdtemp(prefix="caf_stream_")
+    tmp = _fixture_tmpdir("caf_stream_")
     # the file stream source wants a directory — symlink the parquet in
     src = os.path.join(tmp, "src")
     os.makedirs(src)
@@ -4385,7 +4437,7 @@ def q_stream_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = _read_parquet(
         spark, os.path.join(sf_dir, "documents.parquet")
     ).schema
-    tmp = tempfile.mkdtemp(prefix="caf_stream_docs_")
+    tmp = _fixture_tmpdir("caf_stream_docs_")
     src = os.path.join(tmp, "src")
     os.makedirs(src)
     os.symlink(
@@ -5120,35 +5172,20 @@ FROM p
 # oldest 41 of the r7-green cohort; 51-59 = the 9 r7-greens that don't
 # fit the cap (re-verified locally in CORRECTNESS_LOCAL_r09.json, first
 # claim on r10 slots); 60-109 = driver-green in r8.
-_R10_ORDER = [
-    # ---- 1-50: exactly `tools/rotation_debt.py --suggest 50` (VERDICT
-    # r9 #6): asof_join_checkpoint leads (displaced to 51 in r9,
-    # driver-green r7 = 2 rounds stale, the SLA ceiling), then the rest
-    # of the r7 cohort (pos 2-10), then the r8-green cohort (11-50).
-    # ---- 51-60: r8-greens past the cap — re-verified locally in
-    # CORRECTNESS_LOCAL_r10.json, first claim on r11 slots.
-    # ---- 61-110: driver-green in r9 (CORRECTNESS_r09 50/50), due r11.
-    "asof_join_checkpoint", "sketch_accuracy", "train_val_test_split",
-    "corpus_curation", "text_entropy", "decontaminate_ngrams",
-    "sample_shard_pack", "redact_pii", "dedup_simhash",
-    "dedup_simhash64",
-    # ---- 11-12: NEW this round (BMP + baseline-TIFF decode — both
-    # formats VERDICT r9 #8 named, each needs a driver row in its first
-    # round); registry 110 -> 112, AT the <=112 freeze cap.
-    "multimodal_bmp_pixels", "multimodal_tiff_pixels",
-    "dedup_ngram_jaccard_capped", "text_repetition",
-    "dedup_simhash_pairs", "dedup_simhash64_pairs", "interpolate_linear",
-    "stream_dedup_within_wm", "variant_props_extract", "ann_ivf_arrow_recall",
-    "flagship_interpolated", "forward_fill_locf", "scd2_history",
-    "percentile_norm", "cusum_level_shift", "sample_per_group",
-    "winsorize_values", "climatology_anomaly", "semantic_dedup",
-    "soft_dedup_weights", "temperature_mix", "unicode_scrub",
-    "token_compression", "trend_slope_qc", "unpivot_profile",
-    "bm25_topk", "exact_quantiles", "topk_per_group",
-    "zorder_layout_key", "intersect_active_users", "chunk_documents",
-    "charlm_quality", "oov_rate", "dedup_levenshtein_pairs",
-    "corpus_cube_stats", "rolling_despike", "dedup_span_corpus",
-    "c4_line_filter", "vocab_top_terms", "incremental_corpus_dedup",
+_R11_ORDER = [
+    # r11 rotation (113 entries; registry grew 112 -> 113 for the one
+    # capability gap VERDICT r10 #5 named — WAV audio — and is otherwise
+    # FROZEN). Exactly `tools/rotation_debt.py --suggest 50` (VERDICT
+    # r10 #6):
+    # ---- 1: NEW this round (multimodal_wav_features needs a driver
+    # row in its first round).
+    # ---- 2-13: the 12 entries whose newest driver row is r8 (the SLA
+    # ceiling — 2 rounds stale).
+    # ---- 14-50: the oldest of the r9-green cohort.
+    # ---- 51-63: r9-greens past the cap — re-verified locally in
+    # CORRECTNESS_LOCAL_r11.json, first claim on r12 slots.
+    # ---- 64-113: driver-green in r10 (CORRECTNESS_r10 50/50), due r12.
+    "multimodal_wav_features",
     "embed_cosine_topk", "embed_neardup_blocked", "embed_neardup_clusters",
     "multimodal_features", "multimodal_frames", "ann_lsh_topk",
     "ann_ivf_kmeans_topk", "stream_incremental_dedup", "stream_windowed_agg",
@@ -5165,11 +5202,31 @@ _R10_ORDER = [
     "wateryear_rollup", "union_overlap_dedup", "mslp_barometric",
     "latest_per_user", "anti_join_processed", "rollup_summary",
     "type_summary_stats", "embed_label_centroids", "pivot_daily_counts",
-    "session_window_native", "null_profile", "last10d_window",
-    "pricing_summary", "top_revenue", "text_stats",
-    "text_lang_id", "text_fingerprint", "text_tfidf_topk",
-    "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_exact",
-    "salted_skew_join", "training_data_pipeline",]
+    "session_window_native",
+    # ---- 51-63
+    "null_profile", "last10d_window", "pricing_summary",
+    "top_revenue", "text_stats", "text_lang_id",
+    "text_fingerprint", "text_tfidf_topk", "dedup_ngram_jaccard",
+    "dedup_minhash_lsh", "dedup_exact", "salted_skew_join",
+    "training_data_pipeline",
+    # ---- 64-113
+    "asof_join_checkpoint", "sketch_accuracy", "train_val_test_split",
+    "corpus_curation", "text_entropy", "decontaminate_ngrams",
+    "sample_shard_pack", "redact_pii", "dedup_simhash",
+    "dedup_simhash64", "multimodal_bmp_pixels", "multimodal_tiff_pixels",
+    "dedup_ngram_jaccard_capped", "text_repetition",
+    "dedup_simhash_pairs", "dedup_simhash64_pairs", "interpolate_linear",
+    "stream_dedup_within_wm", "variant_props_extract", "ann_ivf_arrow_recall",
+    "flagship_interpolated", "forward_fill_locf", "scd2_history",
+    "percentile_norm", "cusum_level_shift", "sample_per_group",
+    "winsorize_values", "climatology_anomaly", "semantic_dedup",
+    "soft_dedup_weights", "temperature_mix", "unicode_scrub",
+    "token_compression", "trend_slope_qc", "unpivot_profile",
+    "bm25_topk", "exact_quantiles", "topk_per_group",
+    "zorder_layout_key", "intersect_active_users", "chunk_documents",
+    "charlm_quality", "oov_rate", "dedup_levenshtein_pairs",
+    "corpus_cube_stats", "rolling_despike", "dedup_span_corpus",
+    "c4_line_filter", "vocab_top_terms", "incremental_corpus_dedup",]
 
 
 def _apply_rotation(base: dict) -> dict:
@@ -5178,7 +5235,7 @@ def _apply_rotation(base: dict) -> dict:
     Keys absent from the order list (there should be none — tested)
     keep their definition order at the tail rather than being dropped.
     """
-    out = {k: base[k] for k in _R10_ORDER if k in base}
+    out = {k: base[k] for k in _R11_ORDER if k in base}
     for k, v in base.items():
         out.setdefault(k, v)
     return out
@@ -5186,7 +5243,7 @@ def _apply_rotation(base: dict) -> dict:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Definition order below is historical (r8); the driver-visible
-    # order comes from _R10_ORDER via _apply_rotation.
+    # order comes from _R11_ORDER via _apply_rotation.
     return _apply_rotation({
         # ---- r8 top-50 (the driver checks ~50 entries/round).
         # 1-4: the r5-stale twins that spilled past r7's cap;
@@ -5269,6 +5326,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_png_pixels": q_multimodal_png,
         "multimodal_bmp_pixels": q_multimodal_bmp,
         "multimodal_tiff_pixels": q_multimodal_tiff,
+        # NEW in r11 (VERDICT r10 #5): first non-image modality;
+        # registry 112 -> 113, AT the <=113 freeze cap.
+        "multimodal_wav_features": q_multimodal_wav,
         "sessionize": q_sessionize,
         "range_join_windows": q_range_join,
         "flagship_tower_pipeline": q_flagship,
@@ -5405,6 +5465,9 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_bmp_pixels": _MULTIMODAL_PNG_SQL,
         # TIFF twin: same pixel contract again — one oracle, three codecs
         "multimodal_tiff_pixels": _MULTIMODAL_PNG_SQL,
+        # WAV: same codepoints-mod-256 content contract, exact-integer
+        # sample sum / sum-of-squares replayed from the text
+        "multimodal_wav_features": _MULTIMODAL_WAV_SQL,
         "sessionize": _SESSIONIZE_SQL,
         "range_join_windows": _RANGE_JOIN_SQL,
         "flagship_tower_pipeline": _FLAGSHIP_SQL,

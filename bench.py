@@ -10,9 +10,15 @@ AND AFTER each phase and averaged ("drift_probe_pre_post" carries the
 bracket — the shakedown run measured 2.10 s pre vs 1.35 s post, 1.5x
 drift WITHIN one bench run), "drift_factor" = probe / 0.987 (the
 r8-record box), and "value_normalized" / "value_r8_basis_normalized" =
-raw totals divided by the factor. Rule: cross-round comparisons use
-the *_normalized totals; raw stays authoritative within a single phase
-(interleaved A/Bs). The per-query [min, median, max] spread and the
+raw totals divided by the factor. r11 adds "ratio_to_probe" /
+"extra_ratio_to_probe" (min(query) / probe-bracket-mean) as the
+PRIMARY per-query cross-round metric — box drift cancels out of the
+ratio, so regression triage is a diff of two bench JSONs. Reading
+rule: raw totals stay authoritative within a single phase (interleaved
+A/Bs); *_normalized totals are indicative only (ADVICE r10: the
+uniform-drift assumption carries ±10-15%); any suspected per-query
+regression is decided by ratio_to_probe and, if close, the
+interleaved ratio test (tools/adjudicate_r10.py). The per-query [min, median, max] spread and the
 extra-section timings are emitted on a PRECEDING line and mirrored to
 BENCH_extra.json (the driver's tail capture truncated the old single
 giant line in r3 and r6, losing the headline "value"). Each query is
@@ -90,6 +96,8 @@ EXTRA_QUERIES = [
     # new in r10
     "multimodal_bmp_pixels",
     "multimodal_tiff_pixels",
+    # new in r11
+    "multimodal_wav_features",
 ]
 
 HEADLINE = [
@@ -238,6 +246,16 @@ def main() -> None:
         "extra_normalized": {
             k: round(v / drift_extra, 3) for k, v in extra.items()
         },
+        # VERDICT r10 #4: min(query)/probe-bracket-mean — the PRIMARY
+        # cross-round per-query metric. The adjudicator already decides
+        # on exactly this ratio (box drift cancels out of it); emitting
+        # it per query makes next-round regression triage a diff of two
+        # JSON files instead of a manual tool run. Compare a query's
+        # ratio_to_probe against the prior round's: >2x = adjudicate
+        # with the interleaved ratio test; totals stay for continuity.
+        "extra_ratio_to_probe": {
+            k: round(v / probe_extra, 3) for k, v in extra.items()
+        },
         "sf": sf,
         "n": N_RUNS,
         "n_extra": N_RUNS_EXTRA,
@@ -271,6 +289,11 @@ def main() -> None:
                 ),
                 "unit": "sec",
                 "queries": times,
+                # per-query min / probe-bracket-mean (VERDICT r10 #4):
+                # the primary cross-round metric — see sidecar docs
+                "ratio_to_probe": {
+                    k: round(v / probe_headline, 3) for k, v in times.items()
+                },
                 "sf": sf,
                 "n": N_RUNS,
             }

@@ -5,8 +5,10 @@ metadata struct; decode/feature-extraction run as Arrow-batched
 ``mapInPandas`` stages (the only place Python touches data, amortized
 per-batch). PNG, BMP and baseline-TIFF payloads are decoded FOR REAL
 by the pure-stdlib codecs in :mod:`.png` / :mod:`.bmp` / :mod:`.tiff`
-— features and resizes on those formats come from actual pixels.
-Other media formats (JPEG/audio/video) are STUBBED — the container
+— features and resizes on those formats come from actual pixels — and
+integer-PCM WAV audio decodes for real via :mod:`.wav` (see
+:func:`extract_audio_features`). Compressed media formats
+(JPEG/MP3/video) are STUBBED — the container
 has no codec libs — behind ``decode_stub`` (raises) and a
 deterministic feature extractor (byte length, md5, md5-derived fake
 embedding) so the Spark-side plumbing (schema, batch shape,
@@ -22,6 +24,7 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -29,6 +32,7 @@ from pyspark.sql import types as T
 
 from .bmp import BmpUnsupported, decode_bmp, encode_bmp, is_bmp
 from .tiff import TiffUnsupported, decode_tiff, encode_tiff, is_tiff
+from .wav import WavUnsupported, decode_wav, encode_wav, is_wav
 from .png import (
     PngUnsupported,
     decode_png,
@@ -69,13 +73,13 @@ def to_binary_payload(df: DataFrame, src_col: str, id_col: str = "doc_id") -> Da
 
 
 def decode_stub(payload: bytes) -> object:
-    """Placeholder for a real compressed-media decode — JPEG, audio,
-    video (PIL/librosa/ffmpeg are not in this container; PNG, BMP and
-    baseline TIFF decode for real via the stdlib codecs)."""
+    """Placeholder for a real compressed-media decode — JPEG, MP3,
+    video (PIL/librosa/ffmpeg are not in this container; PNG, BMP,
+    baseline TIFF and PCM WAV decode for real via the stdlib codecs)."""
     raise NotImplementedError(
         "compressed-media decoding requires codec libraries not present "
         "in this environment; extract_features uses a deterministic fake "
-        "for such payloads (and real pixels for PNG/BMP/TIFF)"
+        "for such payloads (and real pixels/samples for PNG/BMP/TIFF/WAV)"
     )
 
 
@@ -162,6 +166,128 @@ def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return df.mapInPandas(run, FEATURE_SCHEMA)
+
+
+AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("byte_len", T.LongType()),
+        T.StructField("content_md5", T.StringType()),
+        # PCM-derived columns — non-null only for decodable WAVs
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("bits", T.IntegerType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("duration_ms", T.DoubleType()),
+        T.StructField("sample_sum", T.LongType()),
+        T.StructField("sample_sumsq", T.LongType()),
+        T.StructField("rms", T.DoubleType()),
+    ]
+)
+
+
+def extract_audio_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Arrow-batched audio feature extraction over binary payloads —
+    the audio twin of :func:`extract_features` (VERDICT r10 #5).
+
+    Integer-PCM WAV payloads are decoded FOR REAL by the stdlib codec
+    in :mod:`.wav` and emit sample-derived columns: rate / channels /
+    bit depth / frame count / duration, plus EXACT integer sample sum
+    and sum-of-squares (so another engine can replay them bit-for-bit)
+    and the RMS amplitude derived from them. Non-WAV / corrupt / NULL
+    payloads carry nulls there and keep the digest features, mirroring
+    the image path. Map-only: no shuffle, batch size governed by the
+    Arrow batch setting."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {k.name: [] for k in AUDIO_FEATURE_SCHEMA}
+            for i, p in zip(pdf[id_col], pdf["payload"]):
+                rows["doc_id"].append(i)
+                if p is None:
+                    for k in rows:
+                        if k != "doc_id":
+                            rows[k].append(None)
+                    continue
+                b = bytes(p)
+                rows["byte_len"].append(len(b))
+                rows["content_md5"].append(hashlib.md5(b).hexdigest())
+                dec = None
+                if is_wav(b):
+                    try:
+                        dec = decode_wav(b)
+                    except WavUnsupported:
+                        pass
+                if dec is None:
+                    for k in (
+                        "sample_rate", "channels", "bits", "n_frames",
+                        "duration_ms", "sample_sum", "sample_sumsq", "rms",
+                    ):
+                        rows[k].append(None)
+                    continue
+                rate, ch, bits, samples = dec
+                n_frames = samples.shape[0]
+                # int64 accumulators: exact through 32-bit PCM at any
+                # frame count a single payload can carry
+                s = int(samples.sum(dtype=np.int64))
+                sq = int((samples.astype(np.int64) ** 2).sum())
+                n_vals = n_frames * ch
+                rows["sample_rate"].append(rate)
+                rows["channels"].append(ch)
+                rows["bits"].append(bits)
+                rows["n_frames"].append(n_frames)
+                rows["duration_ms"].append(n_frames * 1000.0 / rate)
+                rows["sample_sum"].append(s)
+                rows["sample_sumsq"].append(sq)
+                rows["rms"].append(
+                    float(np.sqrt(sq / n_vals)) if n_vals else None
+                )
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, AUDIO_FEATURE_SCHEMA)
+
+
+def text_to_wav_payload(
+    df: DataFrame,
+    src_col: str = "text",
+    n_samples: int = 64,
+    sample_rate: int = 8000,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic audio synthesis for fixtures and oracle replay —
+    the WAV twin of :func:`_text_to_image_payload`: an 8-bit mono PCM
+    clip whose samples are the codepoints (mod 256) of the first
+    ``n_samples`` characters of ``src_col``, space-padded. The SAMPLES
+    equal the image twins' PIXELS, so the exact-integer features
+    (sample sum) replay from the text in plain SQL — a green oracle row
+    proves the RIFF container inverts exactly. Arrow-batched,
+    map-only; projects (id, text) first so the scan prunes."""
+    df = df.select(id_col, src_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for t in pdf[src_col]:
+                s = ("" if t is None else str(t))[:n_samples].ljust(n_samples)
+                payloads.append(
+                    encode_wav(
+                        sample_rate, 1, 8,
+                        np.frombuffer(
+                            bytes(ord(ch) % 256 for ch in s), dtype=np.uint8
+                        ),
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "payload": payloads,
+                    "meta": [
+                        {"mime": "audio/wav", "n_bytes": len(p)} for p in payloads
+                    ],
+                }
+            )
+
+    return df.mapInPandas(run, _TEXT_IMAGE_SCHEMA)
 
 
 RESIZE_SCHEMA = T.StructType(

@@ -129,17 +129,30 @@ def decode_tiff(payload: bytes) -> tuple[int, int, int, bytes]:
     counts = e.get(279)
     if not offsets or not counts or len(offsets) != len(counts):
         raise TiffUnsupported("missing/mismatched strip tables")
-    need = width * height * spp
+    # ADVICE r10: validate EVERY strip's byte count against its
+    # rows-in-strip * width * spp — raw concatenation of a
+    # spec-violating oversized early strip (padded StripByteCounts)
+    # would silently shift every later pixel instead of raising.
+    # RowsPerStrip defaults to 2^32-1 = "all rows in one strip".
+    rps = min(one(278, 2**32 - 1), height)
+    if rps <= 0:
+        raise TiffUnsupported(f"bad RowsPerStrip {rps}")
+    n_strips = (height + rps - 1) // rps
+    if len(offsets) != n_strips:
+        raise TiffUnsupported(
+            f"{len(offsets)} strips != {n_strips} expected from RowsPerStrip"
+        )
     parts = []
-    got = 0
-    for off, cnt in zip(offsets, counts):
+    for i, (off, cnt) in enumerate(zip(offsets, counts)):
+        expected = min(rps, height - i * rps) * width * spp
+        if cnt != expected:
+            raise TiffUnsupported(
+                f"strip {i} byte count {cnt} != {expected} expected"
+            )
         if off + cnt > len(data):
             raise TiffUnsupported("strip out of bounds")
         parts.append(np.frombuffer(data, dtype=np.uint8, count=cnt, offset=off))
-        got += cnt
-    if got < need:
-        raise TiffUnsupported(f"strip bytes {got} < {need} pixels")
-    px = np.concatenate(parts)[:need]
+    px = np.concatenate(parts)
     if photometric == 0:  # WhiteIsZero → invert to plain gray
         px = (255 - px).astype(np.uint8)
     return width, height, spp, px.tobytes()

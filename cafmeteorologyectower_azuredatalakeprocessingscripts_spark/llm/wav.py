@@ -1,0 +1,137 @@
+"""WAV/PCM codec (stdlib struct + numpy) for the multimodal stages —
+the first REAL non-image modality (VERDICT r10 #5: "multimodal
+columns" had meant images only).
+
+WAV is headerful raw data like BMP/TIFF: a RIFF container whose
+``fmt `` chunk describes the PCM layout and whose ``data`` chunk IS
+the samples — the whole decode is a chunk walk + one numpy
+``frombuffer``/reshape. No codec library needed, no sequential
+dependency, memcpy speed.
+
+Scope (everything else raises ``WavUnsupported`` and callers fall back
+to the digest stub, exactly like ``PngUnsupported`` / ``BmpUnsupported``
+/ ``TiffUnsupported``):
+
+- RIFF/WAVE little-endian only (the on-disk standard; the rare
+  big-endian RIFX variant is refused);
+- ``fmt `` audio format 1 (integer PCM): IEEE-float (3), A-law/mu-law
+  (6/7), and WAVE_FORMAT_EXTENSIBLE (0xFFFE) are refused;
+- bits per sample 8 (unsigned), 16 or 32 (signed, little-endian);
+- any channel count ≥ 1; extra chunks (LIST/INFO/fact/cue) are walked
+  over, including the RIFF odd-size pad byte.
+
+Decode output: ``(sample_rate, channels, bits, samples)`` with
+``samples`` an ``int32`` numpy array of shape ``(n_frames, channels)``
+holding the RAW stored values (8-bit stays 0..255 unsigned, 16/32-bit
+signed) — exact integers, so downstream features (sum, sum-of-squares)
+replay bit-for-bit in any engine.
+
+Amplification note: PCM has no compression, so a header cannot make a
+worker allocate more than the payload carries — every chunk size
+(including ``data``) is validated against the bytes actually present
+before any numpy view is taken, per the rule the image codecs follow.
+
+This runs INSIDE Arrow-batched ``mapInPandas`` workers; nothing here
+touches the driver.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+class WavUnsupported(ValueError):
+    """Payload is not a WAV this codec handles (bad magic, non-PCM
+    format, unsupported bit depth, or corrupt chunk structure)."""
+
+
+def is_wav(payload: bytes) -> bool:
+    return (
+        payload is not None
+        and bytes(payload[:4]) == b"RIFF"
+        and bytes(payload[8:12]) == b"WAVE"
+    )
+
+
+_DTYPES = {8: np.uint8, 16: np.dtype("<i2"), 32: np.dtype("<i4")}
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Decode an integer-PCM RIFF/WAVE payload →
+    ``(sample_rate, channels, bits, samples)`` with ``samples`` int32,
+    shape ``(n_frames, channels)``, raw stored values."""
+    data = bytes(payload)
+    if not is_wav(data):
+        raise WavUnsupported("bad signature")
+    if len(data) < 12:
+        raise WavUnsupported("truncated header")
+
+    fmt = None
+    data_span = None
+    pos = 12
+    # RIFF chunk walk: id(4) + size(4) + body, bodies padded to even
+    while pos + 8 <= len(data):
+        cid = data[pos:pos + 4]
+        (size,) = struct.unpack_from("<I", data, pos + 4)
+        body_off = pos + 8
+        if body_off + size > len(data):
+            raise WavUnsupported(f"chunk {cid!r} claims {size} bytes past payload end")
+        if cid == b"fmt ":
+            if size < 16:
+                raise WavUnsupported(f"fmt chunk too small ({size})")
+            fmt = struct.unpack_from("<HHIIHH", data, body_off)
+        elif cid == b"data":
+            data_span = (body_off, size)
+        pos = body_off + size + (size & 1)  # odd sizes carry a pad byte
+
+    if fmt is None:
+        raise WavUnsupported("missing fmt chunk")
+    if data_span is None:
+        raise WavUnsupported("missing data chunk")
+    audio_format, channels, sample_rate, _byte_rate, block_align, bits = fmt
+    if audio_format != 1:
+        raise WavUnsupported(f"audio format {audio_format} (only integer PCM)")
+    if channels < 1:
+        raise WavUnsupported("zero channels")
+    if sample_rate <= 0:
+        raise WavUnsupported(f"sample rate {sample_rate}")
+    if bits not in _DTYPES:
+        raise WavUnsupported(f"bits per sample {bits} (only 8/16/32)")
+    if block_align != channels * bits // 8:
+        raise WavUnsupported(
+            f"block align {block_align} != channels*bits/8 ({channels * bits // 8})"
+        )
+
+    off, size = data_span
+    if size % block_align != 0:
+        raise WavUnsupported(f"data size {size} not a whole number of frames")
+    n_frames = size // block_align
+    raw = np.frombuffer(data, dtype=_DTYPES[bits], count=n_frames * channels, offset=off)
+    return sample_rate, channels, bits, raw.astype(np.int32).reshape(n_frames, channels)
+
+
+def encode_wav(
+    sample_rate: int, channels: int, bits: int, samples: np.ndarray | list
+) -> bytes:
+    """Encode samples (any int array broadcastable to
+    ``(n_frames, channels)``; 8-bit unsigned, 16/32-bit signed) as a
+    minimal canonical RIFF/WAVE: one ``fmt `` (16-byte PCM) + one
+    ``data`` chunk."""
+    if bits not in _DTYPES:
+        raise WavUnsupported(f"bits per sample {bits} (only 8/16/32)")
+    if channels < 1:
+        raise WavUnsupported("zero channels")
+    arr = np.asarray(samples).reshape(-1, channels)
+    lo, hi = (0, 255) if bits == 8 else (-(2 ** (bits - 1)), 2 ** (bits - 1) - 1)
+    if arr.size and (int(arr.min()) < lo or int(arr.max()) > hi):
+        raise WavUnsupported(f"sample out of range for {bits}-bit PCM")
+    body = arr.astype(_DTYPES[bits]).tobytes()
+    block_align = channels * bits // 8
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, sample_rate * block_align, block_align, bits
+    )
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks

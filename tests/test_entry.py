@@ -153,19 +153,22 @@ def test_utc_alias_sessions_do_not_warn():
 
 
 def test_rotation_order_covers_full_registry():
-    """The r10 rotation list must cover exactly the registry: a new
+    """The r11 rotation list must cover exactly the registry: a new
     query added without a rotation slot would silently land at the
     tail (never driver-checked first), and a stale name in the list
     would shrink the checked window."""
     q = entrymod.queries()
-    assert set(q) == set(entrymod._R10_ORDER)
-    assert list(q) == entrymod._R10_ORDER
-    assert list(entrymod.oracle_sql()) == entrymod._R10_ORDER
-    # VERDICT r9 #6: asof_join_checkpoint (displaced in r9, r7-green)
-    # leads, followed by the rest of the r7-green cohort.
-    assert entrymod._R10_ORDER[:10] == [
-        "asof_join_checkpoint", "sketch_accuracy",
-        "train_val_test_split", "corpus_curation", "text_entropy",
-        "decontaminate_ngrams", "sample_shard_pack", "redact_pii",
-        "dedup_simhash", "dedup_simhash64",
+    assert set(q) == set(entrymod._R11_ORDER)
+    assert list(q) == entrymod._R11_ORDER
+    assert list(entrymod.oracle_sql()) == entrymod._R11_ORDER
+    # VERDICT r10 #6: the new WAV query leads (first driver row in its
+    # first round), then the 12 entries whose newest driver row is r8.
+    assert entrymod._R11_ORDER[:13] == [
+        "multimodal_wav_features",
+        "embed_cosine_topk", "embed_neardup_blocked",
+        "embed_neardup_clusters", "multimodal_features",
+        "multimodal_frames", "ann_lsh_topk", "ann_ivf_kmeans_topk",
+        "stream_incremental_dedup", "stream_windowed_agg",
+        "stream_keep_richest_state", "stream_corpus_dedup",
+        "except_churned_users",
     ]

@@ -14,10 +14,19 @@ interleaved same-process measurements adjudicate):
    still elevated => a real plan/code change, go fix it.
 2. DIRECT A/B, the one path where r9 genuinely changed the executed
    code: extract_features' whole-batch `decode_png_batch` vs the r8
-   per-image scalar decode, ABAB in-process (the scalar form is
-   injected by monkeypatching the module global with a __main__-local
-   shim — cloudpickle ships __main__ functions by value, so workers see
-   the patch).
+   per-image scalar decode, ABAB in-process. ADVICE r10 caught the
+   original form of this: patching `mm.decode_png_batch` never reached
+   Spark workers, because extract_features' closure calls module-level
+   `_decode_image_batch`, which cloudpickle serializes BY REFERENCE —
+   executors re-import the pristine module, so both "legs" ran the
+   batch decoder and the committed 0.741-vs-0.761 ABAB was
+   batch-vs-batch. The fix: patch `mm._decode_image_batch` ITSELF (the
+   name the closure references — its value is captured at job
+   submission, and a __main__-defined shim is shipped by value), and
+   PROVE the patch reaches workers with a sentinel control before
+   timing anything: a shim that fakes every decode to pixel_sum=42
+   must actually produce 42 from the executors, else the tool aborts
+   rather than record another batch-vs-batch non-measurement.
 
 Code-reading notes folded into the verdict (checked this session):
 - `q_interpolate_linear` and `flagship_interpolated` pass key_col, so
@@ -86,16 +95,43 @@ _R8_EXTRAS = {
 }
 
 
-def scalar_decode_batch(payloads):
+def scalar_image_batch(payloads):
     """The r8 form of the decode stage: one decode_png call per image,
-    no geometry grouping. Injected via monkeypatch for the ABAB."""
+    no geometry grouping. Same (decoded, mimes) contract as
+    mm._decode_image_batch — the name the worker-side closure actually
+    calls; defined here in __main__ so cloudpickle ships it by value."""
     out = []
     for p in payloads:
         try:
             out.append(decode_png(bytes(p)))
         except (PngUnsupported, TypeError):
             out.append(None)
-    return out
+    return out, ["image/png"] * len(payloads)
+
+
+def sentinel_image_batch(payloads):
+    """Positive control: fakes every payload to a 1x1 image with pixel
+    byte 42. If extract_features emits pixel_sum=42 the monkeypatch
+    demonstrably reached the executors; if it emits real sums, the
+    patch is serialization-invisible and the ABAB must abort."""
+    return [(1, 1, 1, b"\x2a")] * len(payloads), ["image/png"] * len(payloads)
+
+
+def _assert_patch_reaches_workers(spark) -> None:
+    orig = mm._decode_image_batch
+    try:
+        mm._decode_image_batch = sentinel_image_batch
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        row = mm.extract_features(mm.text_to_png_payload(df, "text")).collect()[0]
+    finally:
+        mm._decode_image_batch = orig
+    if row["pixel_sum"] != 42:
+        raise SystemExit(
+            f"ABAB patch did NOT reach workers (sentinel pixel_sum "
+            f"{row['pixel_sum']} != 42) — aborting instead of recording "
+            "a batch-vs-batch non-measurement (ADVICE r10)"
+        )
+    print(json.dumps({"abab_patch_control": "sentinel 42 observed"}), flush=True)
 
 
 def main() -> None:
@@ -120,7 +156,10 @@ def main() -> None:
     ).write.format("noop").mode("overwrite").save()
 
     out: dict[str, dict] = {}
-    for name in ([FOCUS] if FOCUS else SEVEN):
+    # ABAB_ONLY=1: regenerate just the ABAB section (the drift verdicts
+    # for the seven rest on the ratio test and are unaffected by the
+    # ADVICE r10 patch-visibility bug)
+    for name in ([] if os.environ.get("ABAB_ONLY") else ([FOCUS] if FOCUS else SEVEN)):
         p_s, q_s = [], []
         for _ in range(N_REP):
             p_s.append(t(PROBE))
@@ -144,19 +183,23 @@ def main() -> None:
         json.dump(out, open("/tmp/adjudicate_r10.json", "w"), indent=1)
         spark.stop()
         return
+    _assert_patch_reaches_workers(spark)
     batch_s, scalar_s = [], []
-    orig = mm.decode_png_batch
-    for _ in range(N_REP):
-        mm.decode_png_batch = orig
-        batch_s.append(t("multimodal_png_pixels"))
-        mm.decode_png_batch = scalar_decode_batch
-        scalar_s.append(t("multimodal_png_pixels"))
-    mm.decode_png_batch = orig
+    orig = mm._decode_image_batch
+    try:
+        for _ in range(N_REP):
+            mm._decode_image_batch = orig
+            batch_s.append(t("multimodal_png_pixels"))
+            mm._decode_image_batch = scalar_image_batch
+            scalar_s.append(t("multimodal_png_pixels"))
+    finally:
+        mm._decode_image_batch = orig
     out["png_batch_vs_scalar_abab"] = {
         "batch": [round(x, 3) for x in batch_s],
         "scalar": [round(x, 3) for x in scalar_s],
         "batch_min": round(min(batch_s), 3),
         "scalar_min": round(min(scalar_s), 3),
+        "patch_control": "sentinel-verified (pixel_sum=42 from executors)",
     }
     print(json.dumps({"abab": out["png_batch_vs_scalar_abab"]}), flush=True)
 

@@ -17,11 +17,22 @@ filters keep the corpus instead of short-circuiting the probe. Table
 schema matches /root/testdata documents (doc_id, text, lang, source,
 n_chars).
 
-Stage breakdown (training_data_pipeline prefixes, built from the same
-library ops + entrymod constants): enrich+filter -> +exact dedup ->
-+near-dup clusters (minhash/CC) -> full (contamination + sample +
-shard + pack). Each prefix timed on a cleared cache so the deltas
-bound each stage's cost.
+Stage breakdown (cumulative prefixes, built from the same library ops
++ entrymod constants), timed on a cleared cache so the deltas bound
+each stage's cost:
+- training_data_pipeline: enrich+filter -> +exact dedup -> +near-dup
+  clusters (minhash/CC) -> full (contamination + sample + shard +
+  pack);
+- corpus_curation (NEW r11 — VERDICT r10 #2: its 4.6x tier step at
+  125k->500k had no per-stage breakdown to read): lang/quality
+  enrich+filter -> +exact dedup -> +LSH candidates + Jaccard verify ->
+  full (anti-join drops + stats).
+
+VERDICT r10 #3: every timed cell is BRACKETED by the fixed synthetic
+drift probe (tools/drift.py) and records {sec, probe_bracket,
+sec_per_probe} — tier ratios are computed on sec_per_probe (drift
+cancels), raw sec stays for continuity. TIER10's cost column ran
+99->61->327 s non-monotone across caps for exactly this lack.
 
 Usage: PYTHONPATH=/root/repo python tools/pipeline_tier_probe.py [out]
 Env: TIERS="125000,500000,2000000".
@@ -52,11 +63,17 @@ from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.curation imp
     contamination,
     dup_token_fraction,
 )
+from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.dedup import (
+    jaccard_pairs,
+    shingles,
+)
 from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.text import (
     fingerprint_md5,
+    lang_id,
     quality_score,
     token_count,
 )
+from tools.drift import bracket_fields, bracketed
 
 VOCAB = 50_000
 # stopwords double as English lang-id markers; hash-rotated per slot
@@ -127,15 +144,21 @@ def synth_docs_en(spark, n: int):
     ).withColumn("n_chars", F.length("text").cast("long"))
 
 
-def timed(build) -> float:
+_SPARK = None  # set in main(); lets timed() bracket without threading
+
+
+def timed(build) -> dict:
     """Time CONSTRUCTION + execution: `connected_components` (inside
     training_data_pipeline) runs its iterative label-propagation loop
     eagerly while the plan is being BUILT, so timing only the noop
     materialization would let the pipeline's most expensive stage
-    escape the clock (bench.py clocks the same way)."""
-    t0 = time.perf_counter()
-    build().write.format("noop").mode("overwrite").save()
-    return round(time.perf_counter() - t0, 2)
+    escape the clock (bench.py clocks the same way). Bracketed by the
+    drift probe (VERDICT r10 #3); returns
+    {sec, probe_bracket, sec_per_probe}."""
+    sec, bracket, _ = bracketed(
+        _SPARK, lambda: build().write.format("noop").mode("overwrite").save()
+    )
+    return bracket_fields(sec, bracket)
 
 
 def tdp_prefixes(spark, sf_dir: str) -> dict:
@@ -206,9 +229,61 @@ def tdp_prefixes(spark, sf_dir: str) -> dict:
     return out
 
 
+def cc_prefixes(spark, sf_dir: str) -> dict:
+    """Cumulative prefixes of the real corpus_curation dataflow (same
+    constants, same ops as entrymod.q_corpus_curation) — VERDICT r10
+    #2: the 4.6x tier step needed a per-stage breakdown to be readable.
+    Deltas between prefixes bound each stage's cost."""
+    e = entrymod
+    d = e.T(spark, sf_dir, "documents")
+
+    def enr():
+        return d.select(
+            "doc_id", "text",
+            lang_id(F.col("text")).alias("lang_pred"),
+            quality_score(F.col("text")).alias("quality"),
+            token_count(F.col("text")).alias("n_tokens"),
+            fingerprint_md5(F.col("text")).alias("fp"),
+        ).filter((F.col("lang_pred") == "en") & (F.col("quality") >= 0.6))
+
+    out = {}
+    spark.catalog.clearCache()
+    out["c1_lang_quality_filter"] = timed(enr)
+    spark.catalog.clearCache()
+    kept0 = enr().cache()
+
+    def build_kept():
+        keepers = kept0.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+        return kept0.join(keepers, ["fp", "doc_id"])
+
+    out["c2_exact_dedup"] = timed(build_kept)
+    kept = build_kept().cache()
+
+    def build_ver():
+        sh = shingles(kept, n=e._SHINGLE_N_Q).cache()
+        cand = minhash_lsh_pairs(kept, n=e._SHINGLE_N_Q, shingles_df=sh)
+        return jaccard_pairs(
+            kept, n=e._SHINGLE_N_Q, threshold=0.1, candidates=cand, shingles_df=sh
+        )
+
+    out["c3_lsh_jaccard_verify"] = timed(build_ver)
+
+    def build_full():
+        drops = build_ver().select(F.col("id_b").alias("doc_id")).distinct()
+        return kept.join(drops, "doc_id", "left_anti").select(
+            "doc_id", "n_tokens", "quality"
+        )
+
+    out["c4_antijoin_stats"] = timed(build_full)
+    spark.catalog.clearCache()
+    return out
+
+
 def main() -> None:
+    global _SPARK
     tiers = [int(x) for x in os.environ.get("TIERS", "125000,500000,2000000").split(",")]
     spark = get_spark("pipeline-tier-probe")
+    _SPARK = spark
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
     tmp = tempfile.mkdtemp(prefix="caf_ptier_")
@@ -228,19 +303,33 @@ def main() -> None:
             ).first()
             res = {"n_docs": n, "quality_pass_frac": round(row["q_pass"] / row["n"], 3)}
             for qname in ("corpus_curation", "training_data_pipeline"):
-                best = float("inf")
+                reps = []
                 for _ in range(2):
                     spark.catalog.clearCache()
-                    best = min(best, timed(lambda: qs[qname](spark, tier_dir)))
-                res[qname] = best
+                    reps.append(timed(lambda: qs[qname](spark, tier_dir)))
+                best = min(reps, key=lambda r: r["sec_per_probe"])
+                res[qname] = {**best, "rep_secs": [r["sec"] for r in reps]}
             res["tdp_stages"] = tdp_prefixes(spark, tier_dir)
+            res["cc_stages"] = cc_prefixes(spark, tier_dir)
             results[str(n)] = res
             print(json.dumps({"tier_done": n, **res}), flush=True)
             shutil.rmtree(tier_dir, ignore_errors=True)
+        # tier ratios on the drift-cancelled number (raw kept alongside)
         ratios = {}
         for lo, hi in zip(tiers, tiers[1:]):
             ratios[f"{hi}/{lo}"] = {
-                k: round(results[str(hi)][k] / max(results[str(lo)][k], 1e-3), 1)
+                k: {
+                    "sec_per_probe": round(
+                        results[str(hi)][k]["sec_per_probe"]
+                        / max(results[str(lo)][k]["sec_per_probe"], 1e-3),
+                        1,
+                    ),
+                    "raw": round(
+                        results[str(hi)][k]["sec"]
+                        / max(results[str(lo)][k]["sec"], 1e-3),
+                        1,
+                    ),
+                }
                 for k in ("corpus_curation", "training_data_pipeline")
             }
         payload = {"tiers": results, "ratios": ratios}
