@@ -290,6 +290,86 @@ def text_to_wav_payload(
     return df.mapInPandas(run, _TEXT_IMAGE_SCHEMA)
 
 
+RESAMPLE_AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType()),
+                    T.StructField("n_bytes", T.LongType()),
+                    T.StructField("sample_rate", T.IntegerType()),
+                    T.StructField("n_frames", T.LongType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+
+def resample_audio(
+    df: DataFrame, sample_rate: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Audio-resample stage — the audio twin of :func:`resize_images`:
+    Arrow-batched, map-only, schema-preserving.
+
+    Integer-PCM WAV payloads are REALLY resampled: stdlib decode →
+    nearest-neighbor frame pick (the deterministic integer mapping
+    ``src_frame = floor(j * n_in / n_out)``, same policy as
+    ``resize_nearest``) → re-encode as WAV at the target rate with the
+    source bit depth and channel count. Non-WAV payloads fall back to a
+    deterministic stand-in (``mime='audio/raw-stub'``, empty payload)
+    so batch shapes and metadata handling stay exercised end-to-end."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_payload, out_meta = [], []
+            for p in pdf["payload"]:
+                dec = None
+                if p is not None and is_wav(bytes(p)):
+                    try:
+                        dec = decode_wav(bytes(p))
+                    except WavUnsupported:
+                        pass
+                if dec is None:
+                    out_payload.append(b"")
+                    out_meta.append(
+                        {
+                            "mime": "audio/raw-stub",
+                            "n_bytes": 0,
+                            "sample_rate": sample_rate,
+                            "n_frames": 0,
+                        }
+                    )
+                    continue
+                rate0, ch, bits, samples = dec
+                n_in = samples.shape[0]
+                n_out = max(int(round(n_in * sample_rate / rate0)), 0)
+                idx = (np.arange(n_out) * n_in // max(n_out, 1)).astype(np.int64)
+                resampled = samples[idx] if n_out else samples[:0]
+                enc = encode_wav(sample_rate, ch, bits, resampled)
+                out_payload.append(enc)
+                out_meta.append(
+                    {
+                        "mime": "audio/wav",
+                        "n_bytes": len(enc),
+                        "sample_rate": sample_rate,
+                        "n_frames": n_out,
+                    }
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "payload": out_payload,
+                    "meta": out_meta,
+                }
+            )
+
+    return df.mapInPandas(run, RESAMPLE_AUDIO_SCHEMA)
+
+
 RESIZE_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),

@@ -319,3 +319,61 @@ def test_tiff_multistrip_missing_rowsperstrip_refused():
             struct.pack_into("<H", b, pos, 700)  # neutralize to unknown tag
     w2, h2, c2, got = decode_tiff(bytes(b))
     assert got == px
+
+
+def test_resample_audio_real_wav_path(spark):
+    """resample_audio really resamples: 8 frames at 8000 Hz -> 4 frames
+    at 4000 Hz via the deterministic nearest mapping (every 2nd frame),
+    re-encoded as WAV at the new rate; non-WAV rows get the stub."""
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.multimodal import (
+        resample_audio,
+    )
+
+    src = np.arange(16, dtype=np.int32).reshape(8, 2) * 100 - 700
+    wav = encode_wav(8000, 2, 16, src)
+    df = spark.createDataFrame(
+        [(1, bytearray(wav)), (2, b"junk")], "doc_id long, payload binary"
+    )
+    out = {r["doc_id"]: r for r in resample_audio(df, 4000).collect()}
+
+    r1 = out[1]
+    assert r1["meta"]["mime"] == "audio/wav"
+    assert r1["meta"]["sample_rate"] == 4000 and r1["meta"]["n_frames"] == 4
+    rate, ch, bits, y = decode_wav(bytes(r1["payload"]))
+    assert (rate, ch, bits) == (4000, 2, 16)
+    # nearest mapping j*8//4: frames 0, 2, 4, 6
+    assert (y == src[[0, 2, 4, 6]]).all()
+
+    # upsample doubles frames by repeating each source frame
+    up = {r["doc_id"]: r for r in resample_audio(df, 16000).collect()}
+    rate_u, _, _, yu = decode_wav(bytes(up[1]["payload"]))
+    assert rate_u == 16000 and yu.shape[0] == 16
+    assert (yu == src[np.arange(16) * 8 // 16]).all()
+
+    assert out[2]["meta"]["mime"] == "audio/raw-stub"
+    assert bytes(out[2]["payload"]) == b""
+
+
+def test_wav_roundtrip_property_hypothesis():
+    """Hypothesis property: encode_wav/decode_wav invert exactly for
+    any rate, depth, channels, and in-range sample values (the same bar
+    the TIFF codec's roundtrip property met in r10)."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        rate=st.integers(min_value=1, max_value=192_000),
+        bits=st.sampled_from([8, 16, 32]),
+        ch=st.integers(min_value=1, max_value=4),
+        n=st.integers(min_value=0, max_value=50),
+        seed=st.integers(min_value=0, max_value=2**31),
+    )
+    def prop(rate, bits, ch, n, seed):
+        rng = np.random.default_rng(seed)
+        lo, hi = (0, 256) if bits == 8 else (-(2 ** (bits - 1)), 2 ** (bits - 1))
+        x = rng.integers(lo, hi, size=(n, ch), dtype=np.int64)
+        r2, c2, b2, y = decode_wav(encode_wav(rate, ch, bits, x))
+        assert (r2, c2, b2) == (rate, ch, bits)
+        assert y.shape == (n, ch) and (y == x).all()
+
+    prop()
