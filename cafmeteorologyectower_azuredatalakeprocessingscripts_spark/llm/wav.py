@@ -14,8 +14,10 @@ to the digest stub, exactly like ``PngUnsupported`` / ``BmpUnsupported``
 
 - RIFF/WAVE little-endian only (the on-disk standard; the rare
   big-endian RIFX variant is refused);
-- ``fmt `` audio format 1 (integer PCM): IEEE-float (3), A-law/mu-law
-  (6/7), and WAVE_FORMAT_EXTENSIBLE (0xFFFE) are refused;
+- ``fmt `` audio format 1 (integer PCM), or WAVE_FORMAT_EXTENSIBLE
+  (0xFFFE) whose SubFormat GUID is PCM — the container modern encoders
+  emit for >2 channels or >16-bit depth; IEEE-float (3), A-law/mu-law
+  (6/7), and non-PCM EXTENSIBLE subformats are refused;
 - bits per sample 8 (unsigned), 16 or 32 (signed, little-endian);
 - any channel count ≥ 1; extra chunks (LIST/INFO/fact/cue) are walked
   over, including the RIFF odd-size pad byte.
@@ -57,6 +59,13 @@ def is_wav(payload: bytes) -> bool:
 
 _DTYPES = {8: np.uint8, 16: np.dtype("<i2"), 32: np.dtype("<i4")}
 
+# KSDATAFORMAT_SUBTYPE_PCM — the only EXTENSIBLE subformat this codec
+# accepts (the GUID bytes as stored on disk)
+_PCM_GUID = bytes(
+    [0x01, 0x00, 0x00, 0x00, 0x00, 0x00, 0x10, 0x00,
+     0x80, 0x00, 0x00, 0xAA, 0x00, 0x38, 0x9B, 0x71]
+)
+
 
 def decode_wav(payload: bytes) -> tuple[int, int, int, np.ndarray]:
     """Decode an integer-PCM RIFF/WAVE payload →
@@ -82,6 +91,15 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, np.ndarray]:
             if size < 16:
                 raise WavUnsupported(f"fmt chunk too small ({size})")
             fmt = struct.unpack_from("<HHIIHH", data, body_off)
+            if fmt[0] == 0xFFFE:
+                # WAVE_FORMAT_EXTENSIBLE: accept iff the SubFormat GUID
+                # is PCM (base fields 16 + cbSize 2 + wValidBits 2 +
+                # dwChannelMask 4 = GUID at +24)
+                if size < 40:
+                    raise WavUnsupported(f"EXTENSIBLE fmt chunk too small ({size})")
+                if data[body_off + 24:body_off + 40] != _PCM_GUID:
+                    raise WavUnsupported("EXTENSIBLE subformat is not PCM")
+                fmt = (1,) + fmt[1:]
         elif cid == b"data":
             data_span = (body_off, size)
         pos = body_off + size + (size & 1)  # odd sizes carry a pad byte

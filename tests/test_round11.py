@@ -377,3 +377,31 @@ def test_wav_roundtrip_property_hypothesis():
         assert y.shape == (n, ch) and (y == x).all()
 
     prop()
+
+
+def test_wav_extensible_pcm_decodes_non_pcm_guid_refused():
+    """WAVE_FORMAT_EXTENSIBLE with the PCM SubFormat GUID decodes like
+    plain PCM (modern encoders emit it for >16-bit / >2 channels); any
+    other GUID (e.g. IEEE float) is refused."""
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.wav import _PCM_GUID
+
+    x = np.arange(12, dtype=np.int64).reshape(4, 3) * 1000 - 5000
+    plain = encode_wav(48000, 3, 32, x)
+    base_fmt = plain[20:36]  # the 16 fmt body bytes
+    ext_body = (
+        struct.pack("<H", 0xFFFE) + base_fmt[2:]
+        + struct.pack("<HHI", 22, 32, 0)
+        + _PCM_GUID
+    )
+    rest = plain[36:]  # data chunk onward
+    body = b"fmt " + struct.pack("<I", len(ext_body)) + ext_body + rest
+    payload = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+    rate, ch, bits, y = decode_wav(payload)
+    assert (rate, ch, bits) == (48000, 3, 32)
+    assert (y == x).all()
+
+    float_guid = bytes([3]) + _PCM_GUID[1:]
+    bad = payload.replace(_PCM_GUID, float_guid)
+    with pytest.raises(WavUnsupported, match="not PCM"):
+        decode_wav(bad)
