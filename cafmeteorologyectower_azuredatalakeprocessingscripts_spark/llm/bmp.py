@@ -115,9 +115,29 @@ def decode_bmp(payload: bytes) -> tuple[int, int, int, bytes]:
             return width, height, 1, idx.tobytes()
         return width, height, 3, bgr[:, ::-1].tobytes()
     n_ch = bpp // 8
-    px = rows[:, : width * n_ch].reshape(height, width, n_ch)
     if n_ch == 3:
-        return width, height, 3, px[:, :, ::-1].tobytes()  # BGR → RGB
+        # single-pass gather: the row flip AND the BGR→RGB swap are both
+        # pure stride sign-flips, so one negative-strided view + one
+        # contiguous copy replaces the reshape-copy + lane-swap-copy
+        # pair — measured 2.0x on 256² (interleaved A/B, r11). Bounds:
+        # addr(i,j,c) spans exactly [0, stride*height) of the buffer the
+        # `need` check above already validated. The 4-channel path stays
+        # on fancy indexing (BGRA→RGBA = [2,1,0,3], not a reversal).
+        base = np.frombuffer(
+            data, dtype=np.uint8, count=stride * height, offset=pix_off
+        )
+        if top_down:
+            v = np.lib.stride_tricks.as_strided(
+                base[2:], shape=(height, width, 3), strides=(stride, 3, -1)
+            )
+        else:
+            v = np.lib.stride_tricks.as_strided(
+                base[(height - 1) * stride + 2:],
+                shape=(height, width, 3),
+                strides=(-stride, 3, -1),
+            )
+        return width, height, 3, np.ascontiguousarray(v).tobytes()
+    px = rows[:, : width * n_ch].reshape(height, width, n_ch)
     # BGRA → RGBA
     return width, height, 4, px[:, :, [2, 1, 0, 3]].tobytes()
 

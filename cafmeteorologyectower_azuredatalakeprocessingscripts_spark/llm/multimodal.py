@@ -290,6 +290,89 @@ def text_to_wav_payload(
     return df.mapInPandas(run, _TEXT_IMAGE_SCHEMA)
 
 
+BAND_ENERGY_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_frames_fft", T.IntegerType()),
+        T.StructField("band_energies", T.ArrayType(T.DoubleType())),
+        T.StructField("dominant_band", T.IntegerType()),
+    ]
+)
+
+
+def audio_band_energies(
+    df: DataFrame,
+    n_bands: int = 8,
+    frame: int = 256,
+    hop: int = 128,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """REAL spectral feature extraction over PCM payloads — numpy has
+    an FFT, so unlike the compressed-media stubs this path computes
+    actual signal features: Hann-windowed STFT frames → power spectrum
+    → ``n_bands`` equal-width bands over the rFFT bins → mean log10
+    energy per band across frames, plus the argmax band (a crude but
+    real "where does the energy live" descriptor for filtering /
+    clustering audio corpora).
+
+    Mono mix = mean across channels. Payloads that are not decodable
+    WAVs, or are shorter than one FFT frame, emit NULL features (the
+    digest stub contract). Arrow-batched, map-only: the FFT runs
+    vectorized over all frames of a payload at once
+    (``np.fft.rfft(frames, axis=1)``), nothing touches the driver, and
+    determinism is exact for fixed inputs (same IEEE ops in any
+    worker)."""
+    if frame <= 0 or hop <= 0 or n_bands <= 0:
+        raise ValueError("frame, hop and n_bands must be positive")
+    window = np.hanning(frame)
+    n_bins = frame // 2 + 1
+    # band b covers rfft bins [edges[b], edges[b+1])
+    edges = (np.arange(n_bands + 1) * n_bins) // n_bands
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, counts, bands, doms = [], [], [], []
+            for i, p in zip(pdf[id_col], pdf["payload"]):
+                ids.append(i)
+                dec = None
+                if p is not None and is_wav(bytes(p)):
+                    try:
+                        dec = decode_wav(bytes(p))
+                    except WavUnsupported:
+                        pass
+                if dec is None or dec[3].shape[0] < frame:
+                    counts.append(None)
+                    bands.append(None)
+                    doms.append(None)
+                    continue
+                _, _, _, samples = dec
+                mono = samples.mean(axis=1, dtype=np.float64)
+                n_frames = 1 + (mono.shape[0] - frame) // hop
+                starts = np.arange(n_frames) * hop
+                frames = mono[starts[:, None] + np.arange(frame)] * window
+                power = np.abs(np.fft.rfft(frames, axis=1)) ** 2
+                be = np.array(
+                    [
+                        power[:, edges[b]:edges[b + 1]].sum(axis=1)
+                        for b in range(n_bands)
+                    ]
+                ).T  # (n_frames, n_bands)
+                logmean = np.log10(be + 1e-12).mean(axis=0)
+                counts.append(n_frames)
+                bands.append([round(float(x), 6) for x in logmean])
+                doms.append(int(np.argmax(logmean)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "n_frames_fft": counts,
+                    "band_energies": bands,
+                    "dominant_band": doms,
+                }
+            )
+
+    return df.mapInPandas(run, BAND_ENERGY_SCHEMA)
+
+
 RESAMPLE_AUDIO_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),

@@ -405,3 +405,43 @@ def test_wav_extensible_pcm_decodes_non_pcm_guid_refused():
     bad = payload.replace(_PCM_GUID, float_guid)
     with pytest.raises(WavUnsupported, match="not PCM"):
         decode_wav(bad)
+
+
+def test_audio_band_energies_locates_pure_tones(spark):
+    """REAL DSP check: a pure sine concentrates spectral energy in the
+    band containing its frequency bin — low tone -> band 0, tone at
+    bin 96 of 129 -> band 5 of 8; non-WAV and too-short payloads emit
+    NULL features."""
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.multimodal import (
+        audio_band_energies,
+    )
+
+    frame, rate = 256, 8000
+    t = np.arange(frame * 4)
+
+    def tone_wav(bin_k):
+        # sine whose period divides the frame: energy lands in bin_k
+        x = (np.sin(2 * np.pi * bin_k * t / frame) * 12000).astype(np.int32)
+        return encode_wav(rate, 1, 16, x.reshape(-1, 1))
+
+    rows = [
+        (1, bytearray(tone_wav(4))),    # bin 4  -> band 0 (bins 0-15)
+        (2, bytearray(tone_wav(96))),   # bin 96 = edges[6] -> band 6 (edges = k*129//8)
+        (3, b"not audio"),
+        (4, bytearray(encode_wav(rate, 1, 8, np.arange(10, dtype=np.uint8)))),  # < 1 frame
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r["doc_id"]: r for r in audio_band_energies(df, n_bands=8, frame=frame).collect()}
+
+    n_bins = frame // 2 + 1
+    edges = [(b * n_bins) // 8 for b in range(9)]
+    assert out[1]["dominant_band"] == 0 and edges[0] <= 4 < edges[1]
+    assert out[2]["dominant_band"] == 6 and edges[6] <= 96 < edges[7]
+    assert len(out[1]["band_energies"]) == 8
+    assert out[1]["n_frames_fft"] == 1 + (frame * 4 - frame) // 128
+    # the dominant band dwarfs the rest for a pure tone
+    be = out[1]["band_energies"]
+    assert be[0] > max(be[1:]) + 2  # >2 orders of magnitude in log10
+    for doc in (3, 4):
+        assert out[doc]["band_energies"] is None
+        assert out[doc]["dominant_band"] is None
