@@ -18,14 +18,15 @@ to the digest stub, exactly like ``PngUnsupported`` / ``BmpUnsupported``
   (0xFFFE) whose SubFormat GUID is PCM — the container modern encoders
   emit for >2 channels or >16-bit depth; IEEE-float (3), A-law/mu-law
   (6/7), and non-PCM EXTENSIBLE subformats are refused;
-- bits per sample 8 (unsigned), 16 or 32 (signed, little-endian);
+- bits per sample 8 (unsigned) or 16/24/32 (signed, little-endian;
+  24-bit is the packed 3-byte studio layout, widened to int32);
 - any channel count ≥ 1; extra chunks (LIST/INFO/fact/cue) are walked
   over, including the RIFF odd-size pad byte.
 
 Decode output: ``(sample_rate, channels, bits, samples)`` with
 ``samples`` an ``int32`` numpy array of shape ``(n_frames, channels)``
-holding the RAW stored values (8-bit stays 0..255 unsigned, 16/32-bit
-signed) — exact integers, so downstream features (sum, sum-of-squares)
+holding the RAW stored values (8-bit stays 0..255 unsigned, the
+signed depths sign-extended) — exact integers, so downstream features (sum, sum-of-squares)
 replay bit-for-bit in any engine.
 
 Amplification note: PCM has no compression, so a header cannot make a
@@ -58,6 +59,7 @@ def is_wav(payload: bytes) -> bool:
 
 
 _DTYPES = {8: np.uint8, 16: np.dtype("<i2"), 32: np.dtype("<i4")}
+_BITS_OK = (8, 16, 24, 32)
 
 # KSDATAFORMAT_SUBTYPE_PCM — the only EXTENSIBLE subformat this codec
 # accepts (the GUID bytes as stored on disk)
@@ -115,8 +117,8 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, np.ndarray]:
         raise WavUnsupported("zero channels")
     if sample_rate <= 0:
         raise WavUnsupported(f"sample rate {sample_rate}")
-    if bits not in _DTYPES:
-        raise WavUnsupported(f"bits per sample {bits} (only 8/16/32)")
+    if bits not in _BITS_OK:
+        raise WavUnsupported(f"bits per sample {bits} (only 8/16/24/32)")
     if block_align != channels * bits // 8:
         raise WavUnsupported(
             f"block align {block_align} != channels*bits/8 ({channels * bits // 8})"
@@ -126,6 +128,15 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, np.ndarray]:
     if size % block_align != 0:
         raise WavUnsupported(f"data size {size} not a whole number of frames")
     n_frames = size // block_align
+    if bits == 24:
+        # packed 3-byte little-endian: widen to int32 and sign-extend
+        # from bit 23 — vectorized, no per-sample Python
+        raw = np.frombuffer(
+            data, dtype=np.uint8, count=n_frames * channels * 3, offset=off
+        ).reshape(-1, 3).astype(np.int32)
+        vals = raw[:, 0] | (raw[:, 1] << 8) | (raw[:, 2] << 16)
+        vals -= (vals & 0x800000) << 1
+        return sample_rate, channels, bits, vals.reshape(n_frames, channels)
     raw = np.frombuffer(data, dtype=_DTYPES[bits], count=n_frames * channels, offset=off)
     return sample_rate, channels, bits, raw.astype(np.int32).reshape(n_frames, channels)
 
@@ -134,18 +145,24 @@ def encode_wav(
     sample_rate: int, channels: int, bits: int, samples: np.ndarray | list
 ) -> bytes:
     """Encode samples (any int array broadcastable to
-    ``(n_frames, channels)``; 8-bit unsigned, 16/32-bit signed) as a
+    ``(n_frames, channels)``; 8-bit unsigned, 16/24/32-bit signed) as a
     minimal canonical RIFF/WAVE: one ``fmt `` (16-byte PCM) + one
-    ``data`` chunk."""
-    if bits not in _DTYPES:
-        raise WavUnsupported(f"bits per sample {bits} (only 8/16/32)")
+    ``data`` chunk. 24-bit packs the 3-byte little-endian layout."""
+    if bits not in _BITS_OK:
+        raise WavUnsupported(f"bits per sample {bits} (only 8/16/24/32)")
     if channels < 1:
         raise WavUnsupported("zero channels")
     arr = np.asarray(samples).reshape(-1, channels)
     lo, hi = (0, 255) if bits == 8 else (-(2 ** (bits - 1)), 2 ** (bits - 1) - 1)
     if arr.size and (int(arr.min()) < lo or int(arr.max()) > hi):
         raise WavUnsupported(f"sample out of range for {bits}-bit PCM")
-    body = arr.astype(_DTYPES[bits]).tobytes()
+    if bits == 24:
+        u = arr.astype(np.int32).view(np.uint32).reshape(-1, 1)
+        body = np.concatenate(
+            [(u & 0xFF), (u >> 8) & 0xFF, (u >> 16) & 0xFF], axis=1
+        ).astype(np.uint8).tobytes()
+    else:
+        body = arr.astype(_DTYPES[bits]).tobytes()
     block_align = channels * bits // 8
     fmt = struct.pack(
         "<HHIIHH", 1, channels, sample_rate, sample_rate * block_align, block_align, bits

@@ -77,7 +77,7 @@ def test_wav_decode_hostile_payloads_raise_wavunsupported_only():
         _patch(good, 20, "<H", 0xFFFE),          # EXTENSIBLE
         _patch(good, 22, "<H", 0),               # zero channels
         _patch(good, 24, "<I", 0),               # zero rate
-        _patch(good, 34, "<H", 24),              # 24-bit
+        _patch(good, 34, "<H", 24),              # 24-bit w/ stale block_align
         _patch(good, 32, "<H", 7),               # block_align mismatch
         _patch(good, 40, "<I", 10**6),           # data size amplification
         _patch(good, 40, "<I", 15),              # partial trailing frame
@@ -117,7 +117,22 @@ def test_wav_encode_rejects_out_of_range_samples():
     with pytest.raises(WavUnsupported):
         encode_wav(8000, 1, 16, np.array([2**15]))
     with pytest.raises(WavUnsupported):
-        encode_wav(8000, 1, 24, np.array([0]))
+        encode_wav(8000, 1, 24, np.array([2**23]))
+    with pytest.raises(WavUnsupported):
+        encode_wav(8000, 1, 12, np.array([0]))
+
+
+def test_wav_24bit_roundtrip_and_block_align():
+    """24-bit PCM: packed 3-byte layout, sign-extended to int32, both
+    extremes exact; block_align = 3*channels enforced."""
+    rng = np.random.default_rng(5)
+    x = rng.integers(-(2**23), 2**23, size=(321, 2), dtype=np.int64)
+    b = encode_wav(96000, 2, 24, x)
+    assert struct.unpack_from("<H", b, 32)[0] == 6  # block_align
+    rate, ch, bits, y = decode_wav(b)
+    assert (rate, ch, bits) == (96000, 2, 24) and (y == x).all()
+    ext = np.array([[-(2**23)], [2**23 - 1], [0], [-1]], dtype=np.int64)
+    assert (decode_wav(encode_wav(8000, 1, 24, ext))[3] == ext).all()
 
 
 def test_is_wav_sniff():
@@ -363,7 +378,7 @@ def test_wav_roundtrip_property_hypothesis():
     @settings(max_examples=60, deadline=None)
     @given(
         rate=st.integers(min_value=1, max_value=192_000),
-        bits=st.sampled_from([8, 16, 32]),
+        bits=st.sampled_from([8, 16, 24, 32]),
         ch=st.integers(min_value=1, max_value=4),
         n=st.integers(min_value=0, max_value=50),
         seed=st.integers(min_value=0, max_value=2**31),
