@@ -9,8 +9,11 @@ Scope (everything else raises ``PngUnsupported`` and callers fall back
 to the digest stub):
 
 - 8-bit samples, color types 0 (gray), 2 (RGB), 3 (palette — expanded
-  to RGB on decode; tRNS refused), 4 (gray+alpha), 6 (RGBA); no
-  interlacing, no 16-bit.
+  to RGB on decode; tRNS refused), 4 (gray+alpha), 6 (RGBA); no 16-bit.
+- Adam7 interlacing decodes (r11): each of the 7 passes is unfiltered
+  independently then scattered into place, so an interlaced file
+  yields byte-identical pixels to its progressive twin; encode always
+  emits non-interlaced.
 - all five scanline filters (None/Sub/Up/Average/Paeth) on decode;
   encode emits filter 0 rows (valid PNG, maximally replayable).
 
@@ -43,8 +46,8 @@ _CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
 
 class PngUnsupported(ValueError):
-    """Payload is not a PNG this codec handles (bad magic, palette,
-    16-bit, interlaced, or corrupt structure)."""
+    """Payload is not a PNG this codec handles (bad magic, 16-bit,
+    sub-8-bit, tRNS, or corrupt structure)."""
 
 
 def is_png(payload: bytes) -> bool:
@@ -84,8 +87,8 @@ def _parse_png(data: bytes):
                 channels = _CHANNELS[color]
             else:
                 raise PngUnsupported(f"color type {color}")
-            if comp != 0 or filt != 0 or interlace != 0:
-                raise PngUnsupported("interlaced or nonzero method")
+            if comp != 0 or filt != 0 or interlace not in (0, 1):
+                raise PngUnsupported("nonzero method")
         elif ctype == b"PLTE":
             if length % 3 != 0 or length == 0 or length > 768:
                 raise PngUnsupported("bad PLTE")
@@ -104,7 +107,16 @@ def _parse_png(data: bytes):
     if width == 0 or height == 0:
         raise PngUnsupported("zero-dimension image")
     stride = width * channels
-    expected = (stride + 1) * height
+    if interlace:
+        # a pass with EITHER dimension zero has no scanlines at all
+        # (spec: empty passes are wholly omitted, filter bytes included)
+        expected = sum(
+            hp * (1 + wp * channels)
+            for wp, hp in _adam7_pass_dims(width, height)
+            if wp and hp
+        )
+    else:
+        expected = (stride + 1) * height
     # bounded inflate: a crafted IDAT can expand without limit, and this
     # runs inside Arrow workers — cap at the geometry the header
     # declares instead of trusting the stream (zip-bomb guard)
@@ -117,11 +129,61 @@ def _parse_png(data: bytes):
     # verified — the old whole-buffer decompress rejected those too
     if len(raw) != expected or not dec.eof or dec.unconsumed_tail:
         raise PngUnsupported("pixel data size mismatch")
+    if interlace:
+        # de-interlace HERE: each pass unfilters independently (its
+        # rows only reference rows of the same pass) and scatters into
+        # place; downstream sees already-unfiltered lines with ftypes 0
+        # — decode_png / decode_png_batch / palette expansion are
+        # untouched, and the batch grouper sees a fast-filter image
+        lines = _deinterlace_adam7(raw, width, height, channels)
+        return width, height, channels, color, palette, lines, np.zeros(
+            height, dtype=np.uint8
+        )
     arr = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
     ftypes = arr[:, 0]
     if int(ftypes.max()) > 4:
         raise PngUnsupported(f"filter {int(ftypes.max())}")
     return width, height, channels, color, palette, arr[:, 1:], ftypes
+
+
+# Adam7 pass grid: (x0, y0, dx, dy) per pass
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _adam7_pass_dims(width: int, height: int):
+    """(sub-width, sub-height) of each Adam7 pass; empty passes
+    contribute zero scanlines (and therefore zero bytes)."""
+    return [
+        (max(0, (width - x0 + dx - 1) // dx), max(0, (height - y0 + dy - 1) // dy))
+        for x0, y0, dx, dy in _ADAM7
+    ]
+
+
+def _deinterlace_adam7(raw: bytes, width: int, height: int, channels: int):
+    """Split the inflated stream into the 7 passes, unfilter each pass
+    as its own little image, scatter into the full-frame (H, W*c)
+    array. Pass sub-images reuse the row unfilter — interlaced files
+    are a long-tail shape, and each pass is at most ~1/7 of the image,
+    so the wavefront stacking isn't worth wiring in here."""
+    out = np.zeros((height, width, channels), dtype=np.uint8)
+    pos = 0
+    for (x0, y0, dx, dy), (wp, hp) in zip(_ADAM7, _adam7_pass_dims(width, height)):
+        if wp == 0 or hp == 0:
+            continue
+        seg_len = hp * (1 + wp * channels)
+        arr = np.frombuffer(raw[pos:pos + seg_len], dtype=np.uint8).reshape(
+            hp, 1 + wp * channels
+        )
+        pos += seg_len
+        ftypes = arr[:, 0]
+        if int(ftypes.max()) > 4:
+            raise PngUnsupported(f"filter {int(ftypes.max())}")
+        sub = _unfilter_rows(arr[:, 1:], ftypes, wp, channels)
+        out[y0::dy, x0::dx, :] = sub.reshape(hp, wp, channels)
+    return out.reshape(height, width * channels)
 
 
 def _unfilter_rows(lines, ftypes, width: int, channels: int):

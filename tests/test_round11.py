@@ -460,3 +460,101 @@ def test_audio_band_energies_locates_pure_tones(spark):
     for doc in (3, 4):
         assert out[doc]["band_energies"] is None
         assert out[doc]["dominant_band"] is None
+
+
+# ------------------------------------------------------ PNG Adam7
+def _encode_adam7(width, height, channels, pixels, color, filters=None):
+    """Test-side Adam7 encoder (the codec itself always encodes
+    progressive): split pixels into the 7 passes, prepend per-row
+    filter bytes, deflate. `filters` optionally sets a filter id per
+    pass to exercise the unfilter paths inside passes."""
+    import struct as _s
+    import zlib as _z
+
+    ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+             (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+    px = np.frombuffer(bytes(pixels), np.uint8).reshape(height, width, channels)
+    stream = bytearray()
+    for p, (x0, y0, dx, dy) in enumerate(ADAM7):
+        sub = px[y0::dy, x0::dx, :]
+        hp, wp = sub.shape[0], sub.shape[1]
+        if hp == 0 or wp == 0:
+            continue
+        f = (filters or [0] * 7)[p]
+        rows = sub.reshape(hp, wp * channels).astype(np.int16)
+        for y in range(hp):
+            raw = rows[y]
+            if f == 0:
+                enc = raw
+            elif f == 2:  # Up
+                prev = rows[y - 1] if y > 0 else np.zeros_like(raw)
+                enc = (raw - prev) % 256
+            else:
+                raise ValueError(f)
+            stream += bytes([f]) + enc.astype(np.uint8).tobytes()
+
+    def chunk(ctype, body):
+        c = ctype + body
+        return _s.pack(">I", len(body)) + c + _s.pack(">I", _z.crc32(c))
+
+    ihdr = _s.pack(">IIBBBBB", width, height, 8, color, 0, 0, 1)  # interlace=1
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", _z.compress(bytes(stream)))
+            + chunk(b"IEND", b""))
+
+
+def test_png_adam7_decodes_byte_identical_to_progressive():
+    """An interlaced file must yield the same pixels as its progressive
+    twin — gray and RGB, dims exercising empty passes (1x1, 2x2) and
+    odd pass widths (5x3, 9x9), plus Up-filtered pass rows."""
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.png import decode_png
+
+    rng = np.random.default_rng(17)
+    for w, h, c, color in [(8, 8, 1, 0), (5, 3, 3, 2), (9, 9, 1, 0),
+                           (1, 1, 3, 2), (2, 2, 1, 0), (16, 12, 3, 2)]:
+        px = rng.integers(0, 256, w * h * c, dtype=np.uint8).tobytes()
+        got = decode_png(_encode_adam7(w, h, c, px, color))
+        assert got == (w, h, c, px), (w, h, c)
+        up = decode_png(_encode_adam7(w, h, c, px, color, filters=[2] * 7))
+        assert up == (w, h, c, px), ("up-filter", w, h, c)
+
+
+def test_png_adam7_hostile_truncated_stream_raises():
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.png import (
+        PngUnsupported,
+        decode_png,
+    )
+    import struct as _s
+    import zlib as _z
+
+    px = bytes(range(64))
+    good = _encode_adam7(8, 8, 1, px, 0)
+    # re-deflate a stream one byte short: bounded-inflate mismatch
+    ihdr_end = good.index(b"IDAT") - 4
+    stream_full = _z.decompress(
+        good[good.index(b"IDAT") + 4:good.rindex(b"IEND") - 8]
+    )
+    short = _z.compress(stream_full[:-1])
+
+    def chunk(ctype, body):
+        c = ctype + body
+        return _s.pack(">I", len(body)) + c + _s.pack(">I", _z.crc32(c))
+
+    bad = good[:ihdr_end] + chunk(b"IDAT", short) + chunk(b"IEND", b"")
+    with pytest.raises(PngUnsupported):
+        decode_png(bad)
+
+
+def test_png_adam7_routes_through_extract_features(spark):
+    """Interlaced payloads now produce real pixel features in the
+    Arrow stage (previously digest-only)."""
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.multimodal import (
+        extract_features,
+    )
+
+    px = bytes((i * 7 + 3) % 256 for i in range(64))
+    pay = _encode_adam7(8, 8, 1, px, 0)
+    df = spark.createDataFrame([(1, bytearray(pay))], "doc_id long, payload binary")
+    row = extract_features(df).collect()[0]
+    assert (row["width"], row["height"], row["channels"]) == (8, 8, 1)
+    assert row["pixel_sum"] == sum(px)
