@@ -9,7 +9,13 @@ Scope (everything else raises ``PngUnsupported`` and callers fall back
 to the digest stub):
 
 - 8-bit samples, color types 0 (gray), 2 (RGB), 3 (palette — expanded
-  to RGB on decode; tRNS refused), 4 (gray+alpha), 6 (RGBA); no 16-bit.
+  to RGB on decode, or to RGBA when a tRNS palette-alpha chunk is
+  present (r11); tRNS color keys on gray/RGB are refused), 4
+  (gray+alpha), 6 (RGBA); no 16-bit.
+- sub-8-bit depths 1/2/4 for gray and palette (r11 — icons, masks,
+  faxes): bytes unfilter with distance 1 per spec, samples unpack
+  MSB-first, gray scales exactly (×255/85/17); interlaced sub-8-bit
+  stays refused (rare × rare).
 - Adam7 interlacing decodes (r11): each of the 7 passes is unfiltered
   independently then scattered into place, so an interlaced file
   yields byte-identical pixels to its progressive twin; encode always
@@ -64,6 +70,7 @@ def _parse_png(data: bytes):
     width = height = channels = -1
     color = -1
     palette = None
+    trns = None
     idat = bytearray()
     saw_end = False
     while pos + 8 <= len(data):
@@ -79,8 +86,10 @@ def _parse_png(data: bytes):
             width, height, depth, color, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", body
             )
-            if depth != 8:
+            if depth not in (1, 2, 4, 8):
                 raise PngUnsupported(f"bit depth {depth}")
+            if depth != 8 and color not in (0, 3):
+                raise PngUnsupported(f"bit depth {depth} with color {color}")
             if color == 3:
                 channels = 1  # palette indices; expanded to RGB below
             elif color in _CHANNELS:
@@ -94,9 +103,16 @@ def _parse_png(data: bytes):
                 raise PngUnsupported("bad PLTE")
             palette = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
         elif ctype == b"tRNS":
-            # palette alpha would silently change pixel semantics the
-            # digest/pixel-sum features rely on — refuse, fall back
-            raise PngUnsupported("tRNS not supported")
+            # palette alpha (color 3): per-entry alpha bytes, expanded
+            # to RGBA in _expand_palette. Color-key transparency on
+            # gray/RGB (a 16-bit sample key) stays refused — it would
+            # need a per-pixel compare the feature contract doesn't
+            # model.
+            if color != 3:
+                raise PngUnsupported("tRNS color key (non-palette) not supported")
+            if palette is None or length > len(palette) or length == 0:
+                raise PngUnsupported("bad tRNS")
+            trns = np.frombuffer(body, dtype=np.uint8)
         elif ctype == b"IDAT":
             idat += body
         elif ctype == b"IEND":
@@ -104,9 +120,46 @@ def _parse_png(data: bytes):
             break
     if width < 0 or not saw_end:
         raise PngUnsupported("missing IHDR/IEND")
+    if trns is not None:
+        # fold alpha into the palette: entries past the tRNS run are
+        # fully opaque (spec default 255)
+        alpha = np.full(len(palette), 255, dtype=np.uint8)
+        alpha[: len(trns)] = trns
+        palette = np.concatenate([palette, alpha[:, None]], axis=1)
     if width == 0 or height == 0:
         raise PngUnsupported("zero-dimension image")
     stride = width * channels
+    if depth != 8:
+        if interlace:
+            raise PngUnsupported("interlaced sub-8-bit")
+        row_bytes = (width * depth + 7) // 8  # sub-8 is single-channel
+        expected = (row_bytes + 1) * height
+        try:
+            dec = zlib.decompressobj()
+            raw = dec.decompress(bytes(idat), expected + 1)
+        except zlib.error as e:
+            raise PngUnsupported(f"zlib: {e}") from e
+        if len(raw) != expected or not dec.eof or dec.unconsumed_tail:
+            raise PngUnsupported("pixel data size mismatch")
+        arr = np.frombuffer(raw, dtype=np.uint8).reshape(height, row_bytes + 1)
+        ftypes = arr[:, 0]
+        if int(ftypes.max()) > 4:
+            raise PngUnsupported(f"filter {int(ftypes.max())}")
+        # filters act on BYTES with distance 1 at sub-8 depths (spec)
+        un = _unfilter_rows(arr[:, 1:], ftypes, row_bytes, 1)
+        bits = np.unpackbits(un, axis=1)  # MSB-first = leftmost pixel
+        if depth == 1:
+            vals = bits[:, :width]
+        else:
+            grouped = bits.reshape(height, -1, depth)
+            weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+            vals = (grouped * weights).sum(axis=2).astype(np.uint8)[:, :width]
+        if color == 0:
+            # exact spec scaling to 8-bit: 255/(2^d - 1) is integral
+            vals = (vals * (255 // ((1 << depth) - 1))).astype(np.uint8)
+        return width, height, 1, color, palette, np.ascontiguousarray(vals), np.zeros(
+            height, dtype=np.uint8
+        )
     if interlace:
         # a pass with EITHER dimension zero has no scanlines at all
         # (spec: empty passes are wholly omitted, filter bytes included)
@@ -329,12 +382,14 @@ def _lanes_to_pixels(O, width: int, channels: int) -> bytes:
 
 
 def _expand_palette(color: int, palette, width: int, height: int, out):
-    """Palette expansion: one fancy-index gather to RGB."""
+    """Palette expansion: one fancy-index gather — to RGB, or to RGBA
+    when a tRNS chunk folded alpha into the palette (4th column)."""
     if palette is None:
         raise PngUnsupported("palette image without PLTE")
     if int(out.max()) >= len(palette):
         raise PngUnsupported("palette index out of range")
-    return width, height, 3, palette[out.reshape(-1)].tobytes()
+    n_ch = palette.shape[1]
+    return width, height, n_ch, palette[out.reshape(-1)].tobytes()
 
 
 def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:

@@ -558,3 +558,105 @@ def test_png_adam7_routes_through_extract_features(spark):
     row = extract_features(df).collect()[0]
     assert (row["width"], row["height"], row["channels"]) == (8, 8, 1)
     assert row["pixel_sum"] == sum(px)
+
+
+def test_png_palette_trns_edges():
+    """tRNS guards: color-key tRNS on gray refused, tRNS before PLTE
+    refused, tRNS longer than the palette refused; full-length tRNS
+    maps every entry's alpha."""
+    import zlib as _z
+
+    from tests.test_round8 import _palette_png
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.png import (
+        PngUnsupported,
+        decode_png,
+        encode_png,
+    )
+
+    plte = bytes([1, 2, 3, 4, 5, 6])
+    w, h, c, pix = decode_png(
+        _palette_png(2, 1, [1, 0], plte, extra_chunk=(b"tRNS", b"\x80\x7f"))
+    )
+    assert (c, pix) == (4, bytes([4, 5, 6, 0x7F, 1, 2, 3, 0x80]))
+
+    with pytest.raises(PngUnsupported, match="tRNS"):
+        decode_png(_palette_png(2, 1, [0, 1], plte, extra_chunk=(b"tRNS", b"\x00" * 3)))
+
+    # gray image carrying a tRNS color key -> refused
+    gray = bytearray(encode_png(2, 1, 1, b"\x10\x20"))
+    # splice a tRNS chunk before IDAT
+    idat_at = bytes(gray).index(b"IDAT") - 4
+    tr = b"tRNS" + b"\x00\x10"
+    chunk = struct.pack(">I", 2) + tr + struct.pack(">I", _z.crc32(tr))
+    with pytest.raises(PngUnsupported, match="color key"):
+        decode_png(bytes(gray[:idat_at]) + chunk + bytes(gray[idat_at:]))
+
+
+# --------------------------------------------------- PNG sub-8-bit
+def _sub8_png(width, height, depth, samples, color, plte=b"", filt=0):
+    """Test-side sub-8-bit encoder: pack MSB-first d-bit samples into
+    padded rows, optional Up filter over the packed bytes."""
+    import struct as _s
+    import zlib as _z
+
+    row_bits = width * depth
+    row_bytes = (row_bits + 7) // 8
+    rows = []
+    for y in range(height):
+        bits = []
+        for x in range(width):
+            v = samples[y * width + x]
+            bits += [(v >> k) & 1 for k in range(depth - 1, -1, -1)]
+        bits += [0] * (row_bytes * 8 - len(bits))
+        rows.append(np.packbits(np.array(bits, dtype=np.uint8)))
+    stream = bytearray()
+    prev = np.zeros(row_bytes, dtype=np.uint8)
+    for r in rows:
+        if filt == 0:
+            stream += b"\x00" + r.tobytes()
+        else:  # Up over packed bytes
+            stream += b"\x02" + ((r.astype(np.int16) - prev) % 256).astype(np.uint8).tobytes()
+        prev = r
+
+    def chunk(t, body):
+        c = t + body
+        return _s.pack(">I", len(body)) + c + _s.pack(">I", _z.crc32(c))
+
+    ihdr = _s.pack(">IIBBBBB", width, height, depth, color, 0, 0, 0)
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if plte:
+        out += chunk(b"PLTE", plte)
+    return out + chunk(b"IDAT", _z.compress(bytes(stream))) + chunk(b"IEND", b"")
+
+
+def test_png_sub8_gray_scales_exactly():
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.png import decode_png
+
+    rng = np.random.default_rng(23)
+    for depth, scale in ((1, 255), (2, 85), (4, 17)):
+        for w, h in ((8, 3), (5, 4), (1, 1), (13, 2)):
+            vals = rng.integers(0, 1 << depth, w * h)
+            for filt in (0, 2):
+                got = decode_png(_sub8_png(w, h, depth, vals, 0, filt=filt))
+                assert got == (w, h, 1, bytes(int(v) * scale for v in vals)), (
+                    depth, w, h, filt,
+                )
+
+
+def test_png_sub8_palette_and_guards():
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.png import (
+        PngUnsupported,
+        decode_png,
+    )
+
+    plte = bytes([9, 8, 7, 6, 5, 4, 3, 2, 1, 0, 1, 2])  # 4 entries
+    vals = [0, 3, 2, 1, 1, 0]
+    w, h, c, pix = decode_png(_sub8_png(3, 2, 2, vals, 3, plte=plte))
+    assert (w, h, c) == (3, 2, 3)
+    assert pix == b"".join(plte[v * 3:v * 3 + 3] for v in vals)
+    # depth-4 palette index past PLTE -> refused
+    with pytest.raises(PngUnsupported, match="palette index"):
+        decode_png(_sub8_png(2, 1, 4, [0, 9], 3, plte=plte))
+    # sub-8 RGB is invalid per spec -> refused
+    with pytest.raises(PngUnsupported, match="bit depth"):
+        decode_png(_sub8_png(2, 1, 4, [0, 1], 2))

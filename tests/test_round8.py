@@ -266,8 +266,12 @@ def test_png_palette_trns_and_bad_index_rejected():
     )
 
     plte = bytes([10, 20, 30, 40, 50, 60])
-    with _pytest.raises(PngUnsupported):  # tRNS refused
-        decode_png(_palette_png(2, 1, [0, 1], plte, extra_chunk=(b"tRNS", b"\x00")))
+    # r11: palette tRNS now DECODES to RGBA (entries past the run opaque)
+    w, h, c, pix = decode_png(
+        _palette_png(2, 1, [0, 1], plte, extra_chunk=(b"tRNS", b"\x00"))
+    )
+    assert (w, h, c) == (2, 1, 4)
+    assert pix == bytes([10, 20, 30, 0, 40, 50, 60, 255])
     with _pytest.raises(PngUnsupported):  # index beyond palette
         decode_png(_palette_png(2, 1, [0, 5], plte))
 
