@@ -18,7 +18,8 @@ to the digest stub, exactly like ``PngUnsupported``):
   gray, any other palette expands to RGB), 24 (BGR → RGB), and 32
   (BGRX → RGBA; with plain BI_RGB the 4th byte is padding by spec, but
   real-world encoders store alpha there — it is preserved).
-- compression 0 (BI_RGB) only: RLE4/RLE8/bitfields refused.
+- compression 0 (BI_RGB), and 1 (BI_RLE8, r11 — decoded with a
+  per-RUN loop, strictly bounds-checked; RLE4/bitfields refused).
 - positive height = bottom-up storage (the common case), negative =
   top-down; both handled.
 
@@ -74,18 +75,29 @@ def decode_bmp(payload: bytes) -> tuple[int, int, int, bytes]:
     colors_used = struct.unpack_from("<I", data, 46)[0]
     if planes != 1:
         raise BmpUnsupported(f"planes={planes}")
-    if compression != 0:
-        raise BmpUnsupported(f"compression={compression} (only BI_RGB)")
+    if compression not in (0, 1):
+        raise BmpUnsupported(f"compression={compression} (only BI_RGB/BI_RLE8)")
     if bpp not in (8, 24, 32):
         raise BmpUnsupported(f"bpp={bpp}")
+    if compression == 1 and bpp != 8:
+        raise BmpUnsupported(f"RLE8 with bpp={bpp}")
     top_down = height < 0
     height = abs(height)
     if width <= 0 or height == 0:
         raise BmpUnsupported(f"bad dimensions {width}x{height}")
+    if pix_off < 14 + dib:
+        raise BmpUnsupported("pixel data out of bounds")
+
+    if compression == 1:
+        if top_down:
+            raise BmpUnsupported("top-down RLE8")  # invalid per spec
+        idx = _decode_rle8(data, pix_off, width, height)[::-1]
+        return _expand_bmp_palette(data, dib, pix_off, colors_used, idx, width, height)
+
     # BI_RGB rows are padded to 4-byte boundaries
     stride = (width * bpp // 8 + 3) & ~3
     need = pix_off + stride * height
-    if need > len(data) or pix_off < 14 + dib:
+    if need > len(data):
         raise BmpUnsupported("pixel data out of bounds")
 
     rows = np.frombuffer(data, dtype=np.uint8, count=stride * height, offset=pix_off)
@@ -94,26 +106,9 @@ def decode_bmp(payload: bytes) -> tuple[int, int, int, bytes]:
         rows = rows[::-1]
 
     if bpp == 8:
-        n_pal = colors_used or 256
-        pal_off = 14 + dib
-        if pal_off + 4 * n_pal > pix_off:
-            raise BmpUnsupported("palette out of bounds")
-        pal = np.frombuffer(
-            data, dtype=np.uint8, count=4 * n_pal, offset=pal_off
-        ).reshape(n_pal, 4)  # BGRX entries
-        idx = rows[:, :width]
-        if int(idx.max(initial=0)) >= n_pal:
-            raise BmpUnsupported("palette index out of range")
-        bgr = pal[idx.reshape(-1)][:, :3]  # (H*W, BGR)
-        if n_pal == 256 and bool(
-            (pal[:, 0] == pal[:, 1]).all()
-            and (pal[:, 1] == pal[:, 2]).all()
-            and (pal[:, 0] == np.arange(256, dtype=np.uint8)).all()
-        ):
-            # grayscale identity palette → 1-channel gray (matches the
-            # PNG gray layout, so pixel oracles replay from content)
-            return width, height, 1, idx.tobytes()
-        return width, height, 3, bgr[:, ::-1].tobytes()
+        return _expand_bmp_palette(
+            data, dib, pix_off, colors_used, rows[:, :width], width, height
+        )
     n_ch = bpp // 8
     if n_ch == 3:
         # single-pass gather: the row flip AND the BGR→RGB swap are both
@@ -140,6 +135,78 @@ def decode_bmp(payload: bytes) -> tuple[int, int, int, bytes]:
     px = rows[:, : width * n_ch].reshape(height, width, n_ch)
     # BGRA → RGBA
     return width, height, 4, px[:, :, [2, 1, 0, 3]].tobytes()
+
+
+def _expand_bmp_palette(data, dib, pix_off, colors_used, idx, width, height):
+    """Shared palette expansion for the BI_RGB-8bpp and RLE8 paths:
+    grayscale identity palette → 1-channel gray, else RGB."""
+    n_pal = colors_used or 256
+    pal_off = 14 + dib
+    if pal_off + 4 * n_pal > pix_off:
+        raise BmpUnsupported("palette out of bounds")
+    pal = np.frombuffer(
+        data, dtype=np.uint8, count=4 * n_pal, offset=pal_off
+    ).reshape(n_pal, 4)  # BGRX entries
+    if int(idx.max(initial=0)) >= n_pal:
+        raise BmpUnsupported("palette index out of range")
+    if n_pal == 256 and bool(
+        (pal[:, 0] == pal[:, 1]).all()
+        and (pal[:, 1] == pal[:, 2]).all()
+        and (pal[:, 0] == np.arange(256, dtype=np.uint8)).all()
+    ):
+        # grayscale identity palette → 1-channel gray (matches the
+        # PNG gray layout, so pixel oracles replay from content)
+        return width, height, 1, np.ascontiguousarray(idx).tobytes()
+    bgr = pal[idx.reshape(-1)][:, :3]  # (H*W, BGR)
+    return width, height, 3, bgr[:, ::-1].tobytes()
+
+
+def _decode_rle8(data: bytes, start: int, width: int, height: int):
+    """BI_RLE8 → (height, width) palette indices in STORAGE order
+    (bottom-up; caller flips). A per-RUN loop — iteration count is
+    bounded by payload_bytes/2 and `pos` strictly advances, so hostile
+    streams terminate; every write is bounds-checked BEFORE it happens
+    (a crafted run cannot touch memory past the declared geometry).
+    Pixels skipped by delta/early-EOF escapes decode as index 0
+    (deterministic; the spec leaves them undefined)."""
+    out = np.zeros((height, width), dtype=np.uint8)
+    x = y = 0
+    pos = start
+    n = len(data)
+    while pos + 2 <= n:
+        count, value = data[pos], data[pos + 1]
+        pos += 2
+        if count:  # encoded run
+            if y >= height or x + count > width:
+                raise BmpUnsupported("RLE8 run out of bounds")
+            out[y, x:x + count] = value
+            x += count
+            continue
+        if value == 0:  # end of line
+            x, y = 0, y + 1
+            if y > height:
+                raise BmpUnsupported("RLE8 EOL past bottom")
+        elif value == 1:  # end of bitmap
+            return out
+        elif value == 2:  # delta skip
+            if pos + 2 > n:
+                raise BmpUnsupported("RLE8 truncated delta")
+            x += data[pos]
+            y += data[pos + 1]
+            pos += 2
+            # landing exactly on the right/bottom edge is legal as long
+            # as no write follows there — writes re-check bounds
+            if x > width or y > height:
+                raise BmpUnsupported("RLE8 delta out of bounds")
+        else:  # absolute (literal) run of `value` pixels, word-padded
+            if y >= height or x + value > width or pos + value > n:
+                raise BmpUnsupported("RLE8 literal out of bounds")
+            out[y, x:x + value] = np.frombuffer(
+                data, dtype=np.uint8, count=value, offset=pos
+            )
+            x += value
+            pos += value + (value & 1)
+    raise BmpUnsupported("RLE8 stream missing end-of-bitmap")
 
 
 def encode_bmp(width: int, height: int, channels: int, pixels: bytes) -> bytes:

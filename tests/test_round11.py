@@ -660,3 +660,73 @@ def test_png_sub8_palette_and_guards():
     # sub-8 RGB is invalid per spec -> refused
     with pytest.raises(PngUnsupported, match="bit depth"):
         decode_png(_sub8_png(2, 1, 4, [0, 1], 2))
+
+
+# --------------------------------------------------- BMP RLE8
+def _rle8_bmp(width, height, stream, n_pal=256, gray=True):
+    """Hand-built BI_RLE8 BMP: grayscale identity palette by default
+    (decodes to 1-channel), raw RLE stream supplied by the test."""
+    palette = bytearray()
+    for i in range(n_pal):
+        g = i if gray else (i * 3) % 256
+        palette += bytes([g, g if gray else (i * 5) % 256, g if gray else i, 0])
+    pix_off = 14 + 40 + len(palette)
+    header = b"BM" + struct.pack("<IHHI", pix_off + len(stream), 0, 0, pix_off)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 8, 1, len(stream), 2835, 2835, n_pal, 0
+    )
+    return bytes(header + dib + palette + stream)
+
+
+def test_bmp_rle8_runs_literals_eol_delta():
+    """Encoded runs, literal runs (word-padded), EOL, delta skip and
+    EOF all decode; skipped pixels read as index 0; storage is
+    bottom-up so row 0 of the stream is the BOTTOM row."""
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.bmp import decode_bmp
+
+    stream = bytes(
+        [2, 7, 2, 9, 0, 0]        # row A (bottom): 7 7 9 9 ; EOL
+        + [0, 2, 2, 0, 2, 8, 0, 0]  # row B: delta skip 2 -> 0 0 8 8 ; EOL
+        + [0, 4, 5, 6, 5, 6]      # row C (top): literal 5 6 5 6 (even, no pad)
+        + [0, 1]                  # EOF
+    )
+    w, h, c, pix = decode_bmp(_rle8_bmp(4, 3, stream))
+    assert (w, h, c) == (4, 3, 1)
+    arr = np.frombuffer(pix, np.uint8).reshape(3, 4)
+    assert arr[2].tolist() == [7, 7, 9, 9]      # bottom
+    assert arr[1].tolist() == [0, 0, 8, 8]      # delta-skipped -> 0
+    assert arr[0].tolist() == [5, 6, 5, 6]      # top (literal mode)
+
+    # non-gray palette -> RGB expansion
+    w, h, c, pix = decode_bmp(_rle8_bmp(4, 3, stream, gray=False))
+    assert c == 3 and len(pix) == 4 * 3 * 3
+
+
+def test_bmp_rle8_hostile_streams_raise_bmpunsupported_only():
+    import random as _random
+
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.bmp import (
+        BmpUnsupported,
+        decode_bmp,
+    )
+
+    hostile = [
+        bytes([10, 1]),                    # run past width, no EOF
+        bytes([0, 3, 1, 2, 3, 0, 0, 0]) * 4,  # EOLs past bottom
+        bytes([0, 2, 200, 200]),           # delta far out of bounds
+        bytes([0, 5, 1, 2]),               # literal longer than stream
+        bytes([2, 7]),                     # missing end-of-bitmap
+        b"",                               # empty stream
+        bytes([0, 2]),                     # truncated delta
+    ]
+    for st in hostile:
+        with pytest.raises(BmpUnsupported):
+            decode_bmp(_rle8_bmp(4, 3, st))
+    # random fuzz: terminate, and only ever BmpUnsupported
+    rnd = _random.Random(7)
+    for _ in range(300):
+        st = rnd.randbytes(rnd.randrange(0, 60))
+        try:
+            decode_bmp(_rle8_bmp(4, 3, st))
+        except BmpUnsupported:
+            pass
