@@ -15,8 +15,10 @@ back to the digest stub, exactly like ``PngUnsupported`` /
 
 - baseline IFD0 only (multi-page files decode their first page —
   the baseline-reader behavior the spec prescribes);
-- 8 bits per sample, Compression=1 (none), PlanarConfiguration=1
-  (chunky) or absent;
+- 8 bits per sample, Compression=1 (none) or 32773 (PackBits — the
+  other compression baseline readers MUST support; per-run loop,
+  output bounded to the strip's declared geometry), Planar-
+  Configuration=1 (chunky) or absent;
 - PhotometricInterpretation 0 (WhiteIsZero — inverted to gray), 1
   (BlackIsZero — gray), 2 (RGB; SamplesPerPixel 3, or 4 = RGBA with
   an alpha extra sample);
@@ -27,10 +29,11 @@ Decode output matches :mod:`.png` / :mod:`.bmp`: ``(width, height,
 channels, pixel_bytes)`` row-major top-down, channels interleaved —
 one contract for every codec behind ``extract_features``.
 
-Amplification note: like BMP there is no compression, so claimed
-dimensions are validated against the actual strip bytes present in the
-payload — a hostile header cannot make a worker allocate more than the
-payload carries.
+Amplification note: uncompressed strips are validated byte-for-byte
+against the declared geometry; PackBits output is allocated AT the
+strip's declared geometry and every run is capped before writing — a
+hostile header or stream cannot make a worker allocate or write more
+than the IFD's own width x height x spp.
 
 This runs INSIDE Arrow-batched ``mapInPandas`` workers; nothing here
 touches the driver.
@@ -105,8 +108,10 @@ def decode_tiff(payload: bytes) -> tuple[int, int, int, bytes]:
     compression = one(259, 1)
     photometric = one(262)
     spp = one(277, 1)
-    if compression != 1:
-        raise TiffUnsupported(f"compression={compression} (only uncompressed)")
+    if compression not in (1, 32773):
+        raise TiffUnsupported(
+            f"compression={compression} (only uncompressed/PackBits)"
+        )
     if one(284, 1) != 1:
         raise TiffUnsupported("planar configuration (only chunky)")
     if 322 in e or 323 in e:
@@ -145,17 +150,51 @@ def decode_tiff(payload: bytes) -> tuple[int, int, int, bytes]:
     parts = []
     for i, (off, cnt) in enumerate(zip(offsets, counts)):
         expected = min(rps, height - i * rps) * width * spp
+        if off + cnt > len(data):
+            raise TiffUnsupported("strip out of bounds")
+        if compression == 32773:
+            parts.append(_unpackbits(data, off, cnt, expected))
+            continue
         if cnt != expected:
             raise TiffUnsupported(
                 f"strip {i} byte count {cnt} != {expected} expected"
             )
-        if off + cnt > len(data):
-            raise TiffUnsupported("strip out of bounds")
         parts.append(np.frombuffer(data, dtype=np.uint8, count=cnt, offset=off))
     px = np.concatenate(parts)
     if photometric == 0:  # WhiteIsZero → invert to plain gray
         px = (255 - px).astype(np.uint8)
     return width, height, spp, px.tobytes()
+
+
+def _unpackbits(data: bytes, off: int, cnt: int, expected: int) -> np.ndarray:
+    """PackBits decompression of one strip → exactly ``expected``
+    bytes. Per-RUN loop (the RLE8-BMP precedent): position strictly
+    advances, every write is capped by ``expected`` BEFORE it happens,
+    so a hostile stream can neither loop nor amplify past the strip's
+    declared geometry."""
+    out = np.empty(expected, dtype=np.uint8)
+    pos, end, w = off, off + cnt, 0
+    while pos < end:
+        n = data[pos]
+        pos += 1
+        if n == 128:  # no-op
+            continue
+        if n < 128:  # literal run of n+1 bytes
+            run = n + 1
+            if pos + run > end or w + run > expected:
+                raise TiffUnsupported("PackBits literal out of bounds")
+            out[w:w + run] = np.frombuffer(data, np.uint8, count=run, offset=pos)
+            pos += run
+        else:  # replicate next byte 257-n times
+            run = 257 - n
+            if pos >= end or w + run > expected:
+                raise TiffUnsupported("PackBits replicate out of bounds")
+            out[w:w + run] = data[pos]
+            pos += 1
+        w += run
+    if w != expected:
+        raise TiffUnsupported(f"PackBits strip decoded {w} != {expected}")
+    return out
 
 
 def encode_tiff(width: int, height: int, channels: int, pixels: bytes) -> bytes:

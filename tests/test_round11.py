@@ -730,3 +730,110 @@ def test_bmp_rle8_hostile_streams_raise_bmpunsupported_only():
             decode_bmp(_rle8_bmp(4, 3, st))
         except BmpUnsupported:
             pass
+
+
+# --------------------------------------------------- TIFF PackBits
+def _packbits(raw: bytes) -> bytes:
+    """Reference PackBits compressor for tests: greedy replicate runs
+    (>=2) else literals."""
+    out = bytearray()
+    i, n = 0, len(raw)
+    while i < n:
+        run = 1
+        while i + run < n and raw[i + run] == raw[i] and run < 128:
+            run += 1
+        if run >= 2:
+            out += bytes([257 - run, raw[i]])
+            i += run
+            continue
+        j = i
+        while j < n and run_len(raw, j) < 2 and j - i < 128:
+            j += 1
+        out += bytes([j - i - 1]) + raw[i:j]
+        i = j
+    return bytes(out)
+
+
+def run_len(raw, j):
+    k = 1
+    while j + k < len(raw) and raw[j + k] == raw[j] and k < 3:
+        k += 1
+    return k
+
+
+def _packbits_tiff(width, height, spp, pixels, rows_per_strip=None):
+    """Hand-built little-endian PackBits TIFF with per-strip
+    compression (the codec's own encoder is uncompressed-only)."""
+    rps = rows_per_strip or height
+    n_strips = (height + rps - 1) // rps
+    strips = []
+    for i in range(n_strips):
+        r0, r1 = i * rps, min((i + 1) * rps, height)
+        strips.append(_packbits(bytes(pixels[r0 * width * spp:r1 * width * spp])))
+    offs, cnts, body = [], [], bytearray()
+    pos = 8
+    for st in strips:
+        offs.append(pos)
+        cnts.append(len(st))
+        body += st
+        pos += len(st)
+    arrays_off = pos
+    so = struct.pack(f"<{n_strips}I", *offs)
+    sbc = struct.pack(f"<{n_strips}I", *cnts)
+    ifd_off = arrays_off + (len(so) + len(sbc) if n_strips > 1 else 0)
+    tags = [
+        (256, 4, 1, width), (257, 4, 1, height), (258, 3, 1, 8),
+        (259, 3, 1, 32773), (262, 3, 1, 1 if spp == 1 else 2),
+        (273, 4, n_strips, offs[0] if n_strips == 1 else arrays_off),
+        (277, 3, 1, spp), (278, 4, 1, rps),
+        (279, 4, n_strips, cnts[0] if n_strips == 1 else arrays_off + len(so)),
+        (284, 3, 1, 1),
+    ]
+    out = bytearray(b"II*\x00" + struct.pack("<I", ifd_off))
+    out += body + (so + sbc if n_strips > 1 else b"")
+    out += struct.pack("<H", len(tags))
+    for tag, ftype, count, value in tags:
+        if ftype == 3 and count == 1:
+            out += struct.pack("<HHIHH", tag, ftype, count, value, 0)
+        else:
+            out += struct.pack("<HHII", tag, ftype, count, value)
+    out += struct.pack("<I", 0)
+    return bytes(out)
+
+
+def test_tiff_packbits_decodes_exactly():
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.tiff import decode_tiff
+
+    rng = np.random.default_rng(31)
+    # runs-heavy and noise pixels, single- and multi-strip, gray + RGB
+    for w, h, spp in ((8, 8, 1), (7, 5, 3), (16, 9, 1)):
+        runs = np.repeat(rng.integers(0, 256, (w * h * spp) // 4 + 1), 4)[: w * h * spp]
+        for px in (bytes(runs.astype(np.uint8)),
+                   rng.integers(0, 256, w * h * spp, dtype=np.uint8).tobytes()):
+            for rps in (None, 2, 3):
+                got = decode_tiff(_packbits_tiff(w, h, spp, px, rows_per_strip=rps))
+                assert got == (w, h, spp, px), (w, h, spp, rps)
+
+
+def test_tiff_packbits_hostile_raises_tiffunsupported_only():
+    import random as _random
+
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.tiff import (
+        TiffUnsupported,
+        decode_tiff,
+    )
+
+    px = bytes(range(64))
+    good = bytearray(_packbits_tiff(8, 8, 1, px))
+    # corrupt the compressed body: decode must terminate and raise (or
+    # decode to SOME 64 bytes) — never a foreign exception
+    rnd = _random.Random(13)
+    for _ in range(300):
+        b = bytearray(good)
+        for _k in range(rnd.randrange(1, 6)):
+            b[rnd.randrange(8, len(b))] = rnd.randrange(256)
+        try:
+            w, h, c, pix = decode_tiff(bytes(b))
+            assert len(pix) == 64
+        except TiffUnsupported:
+            pass
