@@ -141,10 +141,13 @@ def probe_ops(spark, doc_dir, emb_dir, scale, only=None):
             persist_cells=False,
         ),
     }
+    from tools.drift import drift_probe
+
     out = {}
     for name, build in ops.items():
         if only is not None and name not in only:
             continue
+        pre = drift_probe(spark)
         best = float("inf")
         for _ in range(2):
             spark.catalog.clearCache()
@@ -153,14 +156,19 @@ def probe_ops(spark, doc_dir, emb_dir, scale, only=None):
             best = min(best, time.perf_counter() - t0)
         # raw seconds — ratios are computed on these; rounding happens
         # only at display time (a 2-decimal 0.0 denominator raised
-        # ZeroDivisionError on sub-10ms ops)
+        # ZeroDivisionError on sub-10ms ops). The bracket goes to a
+        # sidecar key (r11 global bracket rule) so the ratio math and
+        # every existing consumer of the plain floats stay untouched.
         out[name] = best
+        out.setdefault("_brackets", {})[name] = [pre, drift_probe(spark)]
     return out
 
 
 def _ratios(num: dict, den: dict) -> dict:
     return {
-        k: round(num[k] / max(den[k], 1e-3), 1) for k in den if k in num
+        k: round(num[k] / max(den[k], 1e-3), 1)
+        for k in den
+        if k in num and not k.startswith("_")
     }
 
 

@@ -57,16 +57,20 @@ def main() -> None:
         ("k_prop_n_1600", 1600, "arrow"),
         ("k_sqrt_n_160", 160, "expr"),
     ):
+        from tools.drift import bracket_fields, bracketed
+
         spark.catalog.clearCache()
-        t0 = time.perf_counter()
-        semdedup(
-            embs,
-            n_centroids=k,
-            threshold=0.4,
-            persist_cells=False,
-            assign=assign,
-        ).write.format("noop").mode("overwrite").save()
-        out[f"{klabel}_{assign}"] = round(time.perf_counter() - t0, 1)
+        sec, bracket, _ = bracketed(
+            spark,
+            lambda: semdedup(
+                embs,
+                n_centroids=k,
+                threshold=0.4,
+                persist_cells=False,
+                assign=assign,
+            ).write.format("noop").mode("overwrite").save(),
+        )
+        out[f"{klabel}_{assign}"] = bracket_fields(sec, bracket)
         print(json.dumps(out), flush=True)
     print(json.dumps({"n_vectors": n, "times_sec": out}))
     shutil.rmtree(tmp, ignore_errors=True)

@@ -142,24 +142,32 @@ def loss_curve_128(spark, docs) -> dict:
         simhash128_pairs,
     )
 
+    from tools.drift import bracket_fields, bracketed
+
     curve = {}
     for cap in (64, 256, 1024, None):
         spark.catalog.clearCache()
-        t0 = time.perf_counter()
-        pairs = simhash128_pairs(docs, max_hamming=MAX_HAMMING, max_bucket_size=cap)
-        agg = pairs.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(
-                F.when(
-                    (F.col("id_b") - F.col("id_a") == 1) & (F.col("id_b") % 17 == 1),
-                    1,
-                ).otherwise(0)
-            ).alias("seeded"),
-        ).first()
+
+        def cell():
+            pairs = simhash128_pairs(
+                docs, max_hamming=MAX_HAMMING, max_bucket_size=cap
+            )
+            return pairs.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    F.when(
+                        (F.col("id_b") - F.col("id_a") == 1)
+                        & (F.col("id_b") % 17 == 1),
+                        1,
+                    ).otherwise(0)
+                ).alias("seeded"),
+            ).first()
+
+        sec, bracket, agg = bracketed(spark, cell)
         curve[str(cap)] = {
             "pairs": int(agg["n"]),
             "seeded_pairs": int(agg["seeded"] or 0),
-            "sec": round(time.perf_counter() - t0, 2),
+            **bracket_fields(sec, bracket),
         }
     ref = curve["None"]
     for c in curve.values():
@@ -199,9 +207,13 @@ def main():
             out["occ128"] = block_occupancy(sig128, simhash128_blocks(MAX_HAMMING), None)
 
             if n in join_tiers:
-                t0 = time.perf_counter()
-                n_pairs = simhash64_pairs(docs, max_hamming=MAX_HAMMING).count()
-                out["join64"] = {"pairs": n_pairs, "sec": round(time.perf_counter() - t0, 2)}
+                from tools.drift import bracket_fields, bracketed
+
+                sec, bracket, n_pairs = bracketed(
+                    spark,
+                    lambda: simhash64_pairs(docs, max_hamming=MAX_HAMMING).count(),
+                )
+                out["join64"] = {"pairs": n_pairs, **bracket_fields(sec, bracket)}
             if os.environ.get("LOSS") and n == 500_000:
                 out["loss_curve_128"] = loss_curve_128(spark, docs)
             sig64.unpersist()

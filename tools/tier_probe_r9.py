@@ -247,12 +247,16 @@ def probe_tier(spark, docs, n: int) -> dict:
 def lev_loss_curve(spark, docs) -> dict:
     """Kept-pair count + time per block cap: the valve's recall floor
     as a measured curve, normalized to the largest cap probed."""
+    from tools.drift import bracket_fields, bracketed
+
     curve = {}
     for cap in (64, 256, 1024, 4096):
         spark.catalog.clearCache()
-        t0 = time.perf_counter()
-        kept = levenshtein_blocked_pairs(docs, max_block_size=cap).count()
-        curve[str(cap)] = {"pairs": kept, "sec": round(time.perf_counter() - t0, 2)}
+        sec, bracket, kept = bracketed(
+            spark,
+            lambda: levenshtein_blocked_pairs(docs, max_block_size=cap).count(),
+        )
+        curve[str(cap)] = {"pairs": kept, **bracket_fields(sec, bracket)}
     ref = max(c["pairs"] for c in curve.values()) or 1
     for c in curve.values():
         c["loss_vs_max_cap"] = round(1 - c["pairs"] / ref, 4)
