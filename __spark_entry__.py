@@ -1682,14 +1682,21 @@ def q_multimodal_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     duration, exact sample sum / sum-of-squares) via the real WAV
     decoder inside the same Arrow-batched mapInPandas pattern. The
     oracle replays the exact-integer features straight from the text —
-    a green row proves the RIFF/fmt/data container inverts exactly."""
+    a green row proves the RIFF/fmt/data container inverts exactly.
+
+    r12: every 4th doc (doc_id % 4 == 0) is packaged as a 32-bit
+    IEEE-FLOAT WAV (format 3, samples = codepoint/32767.0) instead of
+    8-bit PCM — the extractor's 16-bit-grid quantization maps those
+    back to the exact codepoints, so sample_sum/sumsq replay unchanged
+    and the bits column (32 vs 8, CASE on doc_id in the oracle) proves
+    the float decode path end-to-end with no registry growth."""
     from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.multimodal import (
         extract_audio_features,
         text_to_wav_payload,
     )
 
     d = T(spark, sf_dir, "documents")
-    feats = extract_audio_features(text_to_wav_payload(d, "text"))
+    feats = extract_audio_features(text_to_wav_payload(d, "text", float_every=4))
     return feats.select(
         "doc_id", "sample_rate", "channels", "bits", "n_frames",
         "duration_ms", "sample_sum", "sample_sumsq",
@@ -1697,7 +1704,8 @@ def q_multimodal_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _MULTIMODAL_WAV_SQL = """
-SELECT doc_id, 8000 AS sample_rate, 1 AS channels, 8 AS bits,
+SELECT doc_id, 8000 AS sample_rate, 1 AS channels,
+       CASE WHEN doc_id % 4 = 0 THEN 32 ELSE 8 END AS bits,
        CAST(64 AS BIGINT) AS n_frames,
        64 * 1000.0 / 8000 AS duration_ms,
        CAST(list_sum(list_transform(range(1, 65),

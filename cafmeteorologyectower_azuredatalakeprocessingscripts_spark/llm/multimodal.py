@@ -227,6 +227,16 @@ def extract_audio_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     continue
                 rate, ch, bits, samples = dec
                 n_frames = samples.shape[0]
+                if samples.dtype.kind == "f":
+                    # IEEE-float WAV (format 3): quantize each sample
+                    # to the 16-bit grid (clip to the nominal ±1.0
+                    # full-scale, ×32767, round-half-even) so the
+                    # sum / sum-of-squares stay EXACT int64 and replay
+                    # bit-for-bit in any engine, same contract as the
+                    # integer depths
+                    samples = np.rint(
+                        np.clip(samples.astype(np.float64), -1.0, 1.0) * 32767.0
+                    ).astype(np.int64)
                 # int64 accumulators: exact through 32-bit PCM at any
                 # frame count a single payload can carry
                 s = int(samples.sum(dtype=np.int64))
@@ -253,6 +263,7 @@ def text_to_wav_payload(
     n_samples: int = 64,
     sample_rate: int = 8000,
     id_col: str = "doc_id",
+    float_every: int | None = None,
 ) -> DataFrame:
     """Deterministic audio synthesis for fixtures and oracle replay —
     the WAV twin of :func:`_text_to_image_payload`: an 8-bit mono PCM
@@ -261,22 +272,35 @@ def text_to_wav_payload(
     equal the image twins' PIXELS, so the exact-integer features
     (sample sum) replay from the text in plain SQL — a green oracle row
     proves the RIFF container inverts exactly. Arrow-batched,
-    map-only; projects (id, text) first so the scan prunes."""
+    map-only; projects (id, text) first so the scan prunes.
+
+    With ``float_every=k``, every doc whose id is divisible by ``k``
+    is instead packaged as a 32-bit IEEE-FLOAT WAV (format 3) whose
+    samples are ``(codepoint % 256) / 32767.0`` — the feature
+    extractor's 16-bit-grid quantization maps those back to exactly
+    the codepoint values, so sample_sum/sumsq replay from the text
+    UNCHANGED and only the ``bits`` column (32 vs 8) marks the float
+    docs. This folds the float-WAV decode path into the existing
+    oracle query with no registry growth (VERDICT r11 #2)."""
     df = df.select(id_col, src_col)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = []
-            for t in pdf[src_col]:
+            for i, t in zip(pdf[id_col], pdf[src_col]):
                 s = ("" if t is None else str(t))[:n_samples].ljust(n_samples)
-                payloads.append(
-                    encode_wav(
-                        sample_rate, 1, 8,
-                        np.frombuffer(
-                            bytes(ord(ch) % 256 for ch in s), dtype=np.uint8
-                        ),
-                    )
+                vals = np.frombuffer(
+                    bytes(ord(ch) % 256 for ch in s), dtype=np.uint8
                 )
+                if float_every and int(i) % float_every == 0:
+                    payloads.append(
+                        encode_wav(
+                            sample_rate, 1, 32,
+                            (vals.astype(np.float64) / 32767.0).astype(np.float32),
+                        )
+                    )
+                    continue
+                payloads.append(encode_wav(sample_rate, 1, 8, vals))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],

@@ -14,20 +14,29 @@ to the digest stub, exactly like ``PngUnsupported`` / ``BmpUnsupported``
 
 - RIFF/WAVE little-endian only (the on-disk standard; the rare
   big-endian RIFX variant is refused);
-- ``fmt `` audio format 1 (integer PCM), or WAVE_FORMAT_EXTENSIBLE
-  (0xFFFE) whose SubFormat GUID is PCM — the container modern encoders
-  emit for >2 channels or >16-bit depth; IEEE-float (3), A-law/mu-law
-  (6/7), and non-PCM EXTENSIBLE subformats are refused;
-- bits per sample 8 (unsigned) or 16/24/32 (signed, little-endian;
-  24-bit is the packed 3-byte studio layout, widened to int32);
+- ``fmt `` audio format 1 (integer PCM) or 3 (IEEE float), or
+  WAVE_FORMAT_EXTENSIBLE (0xFFFE) whose SubFormat GUID is PCM or
+  IEEE-float — the container modern encoders emit for >2 channels or
+  >16-bit depth; A-law/mu-law (6/7) and other EXTENSIBLE subformats
+  are refused;
+- integer PCM: bits per sample 8 (unsigned) or 16/24/32 (signed,
+  little-endian; 24-bit is the packed 3-byte studio layout, widened
+  to int32); IEEE float: 32 or 64 bits;
 - any channel count ≥ 1; extra chunks (LIST/INFO/fact/cue) are walked
-  over, including the RIFF odd-size pad byte.
+  over, including the RIFF odd-size pad byte. A malformed TRAILING
+  chunk (size overrunning the payload) after both ``fmt `` and
+  ``data`` have been located ends the walk instead of refusing the
+  file — truncated/garbage tail chunks are a common real-world
+  corruption and the audio itself is already intact (ADVICE r11).
 
 Decode output: ``(sample_rate, channels, bits, samples)`` with
-``samples`` an ``int32`` numpy array of shape ``(n_frames, channels)``
-holding the RAW stored values (8-bit stays 0..255 unsigned, the
-signed depths sign-extended) — exact integers, so downstream features (sum, sum-of-squares)
-replay bit-for-bit in any engine.
+``samples`` a numpy array of shape ``(n_frames, channels)``: ``int32``
+holding the RAW stored values for integer PCM (8-bit stays 0..255
+unsigned, the signed depths sign-extended) — exact integers, so
+downstream features (sum, sum-of-squares) replay bit-for-bit in any
+engine — and native ``float32``/``float64`` for IEEE-float payloads
+(bit-exact round-trip; callers distinguish the paths by
+``samples.dtype.kind``).
 
 Amplification note: PCM has no compression, so a header cannot make a
 worker allocate more than the payload carries — every chunk size
@@ -59,20 +68,25 @@ def is_wav(payload: bytes) -> bool:
 
 
 _DTYPES = {8: np.uint8, 16: np.dtype("<i2"), 32: np.dtype("<i4")}
+_FLOAT_DTYPES = {32: np.dtype("<f4"), 64: np.dtype("<f8")}
 _BITS_OK = (8, 16, 24, 32)
+_FLOAT_BITS_OK = (32, 64)
 
-# KSDATAFORMAT_SUBTYPE_PCM — the only EXTENSIBLE subformat this codec
-# accepts (the GUID bytes as stored on disk)
+# KSDATAFORMAT_SUBTYPE_{PCM,IEEE_FLOAT} — the two EXTENSIBLE
+# subformats this codec accepts (the GUID bytes as stored on disk;
+# they differ only in the leading format word)
 _PCM_GUID = bytes(
     [0x01, 0x00, 0x00, 0x00, 0x00, 0x00, 0x10, 0x00,
      0x80, 0x00, 0x00, 0xAA, 0x00, 0x38, 0x9B, 0x71]
 )
+_FLOAT_GUID = bytes([0x03]) + _PCM_GUID[1:]
 
 
 def decode_wav(payload: bytes) -> tuple[int, int, int, np.ndarray]:
-    """Decode an integer-PCM RIFF/WAVE payload →
-    ``(sample_rate, channels, bits, samples)`` with ``samples`` int32,
-    shape ``(n_frames, channels)``, raw stored values."""
+    """Decode an integer-PCM or IEEE-float RIFF/WAVE payload →
+    ``(sample_rate, channels, bits, samples)`` with ``samples`` of
+    shape ``(n_frames, channels)``: int32 raw stored values for
+    integer PCM, native float32/float64 for IEEE float."""
     data = bytes(payload)
     if not is_wav(data):
         raise WavUnsupported("bad signature")
@@ -88,6 +102,13 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, np.ndarray]:
         (size,) = struct.unpack_from("<I", data, pos + 4)
         body_off = pos + 8
         if body_off + size > len(data):
+            if fmt is not None and data_span is not None:
+                # fmt + data already in hand: a malformed TRAILING
+                # chunk (truncated LIST/INFO tail, garbage padding) is
+                # a common real-world corruption that does not touch
+                # the audio — stop walking instead of refusing the
+                # whole file (ADVICE r11)
+                break
             raise WavUnsupported(f"chunk {cid!r} claims {size} bytes past payload end")
         if cid == b"fmt ":
             if size < 16:
@@ -95,13 +116,19 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, np.ndarray]:
             fmt = struct.unpack_from("<HHIIHH", data, body_off)
             if fmt[0] == 0xFFFE:
                 # WAVE_FORMAT_EXTENSIBLE: accept iff the SubFormat GUID
-                # is PCM (base fields 16 + cbSize 2 + wValidBits 2 +
-                # dwChannelMask 4 = GUID at +24)
+                # is PCM or IEEE-float (base fields 16 + cbSize 2 +
+                # wValidBits 2 + dwChannelMask 4 = GUID at +24)
                 if size < 40:
                     raise WavUnsupported(f"EXTENSIBLE fmt chunk too small ({size})")
-                if data[body_off + 24:body_off + 40] != _PCM_GUID:
-                    raise WavUnsupported("EXTENSIBLE subformat is not PCM")
-                fmt = (1,) + fmt[1:]
+                guid = data[body_off + 24:body_off + 40]
+                if guid == _PCM_GUID:
+                    fmt = (1,) + fmt[1:]
+                elif guid == _FLOAT_GUID:
+                    fmt = (3,) + fmt[1:]
+                else:
+                    raise WavUnsupported(
+                        "EXTENSIBLE subformat is neither PCM nor IEEE float"
+                    )
         elif cid == b"data":
             data_span = (body_off, size)
         pos = body_off + size + (size & 1)  # odd sizes carry a pad byte
@@ -111,13 +138,18 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, np.ndarray]:
     if data_span is None:
         raise WavUnsupported("missing data chunk")
     audio_format, channels, sample_rate, _byte_rate, block_align, bits = fmt
-    if audio_format != 1:
-        raise WavUnsupported(f"audio format {audio_format} (only integer PCM)")
+    if audio_format not in (1, 3):
+        raise WavUnsupported(
+            f"audio format {audio_format} (only integer PCM / IEEE float)"
+        )
     if channels < 1:
         raise WavUnsupported("zero channels")
     if sample_rate <= 0:
         raise WavUnsupported(f"sample rate {sample_rate}")
-    if bits not in _BITS_OK:
+    if audio_format == 3:
+        if bits not in _FLOAT_BITS_OK:
+            raise WavUnsupported(f"bits per sample {bits} (float: only 32/64)")
+    elif bits not in _BITS_OK:
         raise WavUnsupported(f"bits per sample {bits} (only 8/16/24/32)")
     if block_align != channels * bits // 8:
         raise WavUnsupported(
@@ -128,6 +160,11 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, np.ndarray]:
     if size % block_align != 0:
         raise WavUnsupported(f"data size {size} not a whole number of frames")
     n_frames = size // block_align
+    if audio_format == 3:
+        raw = np.frombuffer(
+            data, dtype=_FLOAT_DTYPES[bits], count=n_frames * channels, offset=off
+        )
+        return sample_rate, channels, bits, raw.reshape(n_frames, channels)
     if bits == 24:
         # packed 3-byte little-endian: widen to int32 and sign-extend
         # from bit 23 — vectorized, no per-sample Python
@@ -144,15 +181,30 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, np.ndarray]:
 def encode_wav(
     sample_rate: int, channels: int, bits: int, samples: np.ndarray | list
 ) -> bytes:
-    """Encode samples (any int array broadcastable to
-    ``(n_frames, channels)``; 8-bit unsigned, 16/24/32-bit signed) as a
-    minimal canonical RIFF/WAVE: one ``fmt `` (16-byte PCM) + one
-    ``data`` chunk. 24-bit packs the 3-byte little-endian layout."""
-    if bits not in _BITS_OK:
-        raise WavUnsupported(f"bits per sample {bits} (only 8/16/24/32)")
+    """Encode samples (any array broadcastable to
+    ``(n_frames, channels)``) as a minimal canonical RIFF/WAVE: one
+    ``fmt `` (16-byte) + one ``data`` chunk. Integer dtypes emit
+    format-1 PCM (8-bit unsigned, 16/24/32-bit signed; 24-bit packs
+    the 3-byte little-endian layout); float dtypes emit format-3 IEEE
+    float (bits must be 32 or 64, values stored bit-exact — no range
+    clamp, matching the on-disk standard)."""
     if channels < 1:
         raise WavUnsupported("zero channels")
     arr = np.asarray(samples).reshape(-1, channels)
+    if arr.dtype.kind == "f":
+        if bits not in _FLOAT_BITS_OK:
+            raise WavUnsupported(f"bits per sample {bits} (float: only 32/64)")
+        body = arr.astype(_FLOAT_DTYPES[bits]).tobytes()
+        block_align = channels * bits // 8
+        fmt = struct.pack(
+            "<HHIIHH", 3, channels, sample_rate,
+            sample_rate * block_align, block_align, bits,
+        )
+        chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        chunks += b"data" + struct.pack("<I", len(body)) + body
+        return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+    if bits not in _BITS_OK:
+        raise WavUnsupported(f"bits per sample {bits} (only 8/16/24/32)")
     lo, hi = (0, 255) if bits == 8 else (-(2 ** (bits - 1)), 2 ** (bits - 1) - 1)
     if arr.size and (int(arr.min()) < lo or int(arr.max()) > hi):
         raise WavUnsupported(f"sample out of range for {bits}-bit PCM")

@@ -212,7 +212,18 @@ def main():
         "base_docs": n_docs_base,
         "base_vecs": 5000,
         "results": {
-            tier: {k: round(t, 2) for k, t in r.items()}
+            tier: {
+                k: round(t, 2) for k, t in r.items() if not k.startswith("_")
+            }
+            for tier, r in results.items()
+        },
+        # sidecar drift brackets, floats rounded individually (the plain
+        # comprehension above would TypeError on the nested dict)
+        "brackets": {
+            tier: {
+                k: [round(b, 3) for b in pair]
+                for k, pair in r.get("_brackets", {}).items()
+            }
             for tier, r in results.items()
         },
         "ratio_10x_over_1x": _ratios(results["10x"], results["1x"]),
