@@ -905,6 +905,31 @@ def q_multimodal_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG decode end-to-end (VERDICT r11 #1 — the last
+    real-corpus image format that was still on the digest stub): each
+    document becomes a 16x16 image of four CONSTANT 8x8 blocks, one
+    per codepoint of the text's first 4 chars (space-padded). Constant
+    blocks are DC-only, and with the all-ones quantization table the
+    lossy pipeline is EXACT for them — so the oracle replays
+    ``pixel_sum = 64 * sum(codepoints)`` straight from the text, like
+    the PNG/BMP/TIFF twins, despite JPEG being a transform codec.
+    Every 3rd doc is packaged as COLOR 4:2:0 (R=G=B, Cb=Cr=128 — also
+    exact under BT.601 both ways), so chroma subsampling, MCU
+    interleave and color conversion sit inside the same green row
+    (channels and pixel_sum flip via CASE on doc_id). Decode runs in
+    the shared Arrow-batched extract_features stage: marker walk,
+    canonical Huffman, dequantize, one-einsum batched IDCT
+    (llm/jpeg.py)."""
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.multimodal import (
+        text_to_jpeg_payload,
+    )
+
+    d = T(spark, sf_dir, "documents")
+    feats = extract_features(text_to_jpeg_payload(d, "text"))
+    return feats.select("doc_id", "width", "height", "channels", "pixel_sum")
+
+
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate NN via sign-random-projection buckets. Hash-checked:
     the oracle replays the deterministic md5-derived hyperplanes; recall
@@ -2748,61 +2773,60 @@ def q_percentile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
 # oldest 41 of the r7-green cohort; 51-59 = the 9 r7-greens that don't
 # fit the cap (re-verified locally in CORRECTNESS_LOCAL_r09.json, first
 # claim on r10 slots); 60-109 = driver-green in r8.
-_R11_ORDER = [
-    # r11 rotation (113 entries; registry grew 112 -> 113 for the one
-    # capability gap VERDICT r10 #5 named — WAV audio — and is otherwise
-    # FROZEN). Exactly `tools/rotation_debt.py --suggest 50` (VERDICT
-    # r10 #6):
-    # ---- 1: NEW this round (multimodal_wav_features needs a driver
+_R12_ORDER = [
+    # r12 rotation (114 entries; registry grew 113 -> 114 for the one
+    # capability gap VERDICT r11 #1 named — baseline JPEG — and is
+    # otherwise FROZEN). Exactly `tools/rotation_debt.py --suggest 114`
+    # (VERDICT r11 #5):
+    # ---- 1: NEW this round (multimodal_jpeg_pixels needs a driver
     # row in its first round).
-    # ---- 2-13: the 12 entries whose newest driver row is r8 (the SLA
-    # ceiling — 2 rounds stale).
-    # ---- 14-50: the oldest of the r9-green cohort.
-    # ---- 51-63: r9-greens past the cap — re-verified locally in
-    # CORRECTNESS_LOCAL_r11.json, first claim on r12 slots.
-    # ---- 64-113: driver-green in r10 (CORRECTNESS_r10 50/50), due r12.
-    "multimodal_wav_features",
-    "embed_cosine_topk", "embed_neardup_blocked", "embed_neardup_clusters",
-    "multimodal_features", "multimodal_frames", "ann_lsh_topk",
-    "ann_ivf_kmeans_topk", "stream_incremental_dedup", "stream_windowed_agg",
-    "stream_keep_richest_state", "stream_corpus_dedup", "except_churned_users",
-    "hard_negatives", "sliding_window_counts", "html_strip",
-    "json_props_extract", "text_repetition_family", "dedup_clusters",
-    "embed_neardup", "ann_ivf_topk", "stream_interval_join",
-    "dedup_simhash128_pairs", "state_durations", "flatline_runs",
-    "stream_interval_join_left", "ann_recall_report", "multimodal_png_pixels",
-    "sessionize", "range_join_windows", "flagship_tower_pipeline",
-    "flagship_partitioned", "toa5_roundtrip", "sink_roundtrip",
-    "dedup_keep_richest", "gapfill_spine", "lag_spike_qc",
-    "day_flatline_qc", "flag_strings", "bounds_filtered",
-    "wateryear_rollup", "union_overlap_dedup", "mslp_barometric",
-    "latest_per_user", "anti_join_processed", "rollup_summary",
-    "type_summary_stats", "embed_label_centroids", "pivot_daily_counts",
-    "session_window_native",
-    # ---- 51-63
-    "null_profile", "last10d_window", "pricing_summary",
-    "top_revenue", "text_stats", "text_lang_id",
-    "text_fingerprint", "text_tfidf_topk", "dedup_ngram_jaccard",
-    "dedup_minhash_lsh", "dedup_exact", "salted_skew_join",
-    "training_data_pipeline",
-    # ---- 64-113
-    "asof_join_checkpoint", "sketch_accuracy", "train_val_test_split",
-    "corpus_curation", "text_entropy", "decontaminate_ngrams",
-    "sample_shard_pack", "redact_pii", "dedup_simhash",
-    "dedup_simhash64", "multimodal_bmp_pixels", "multimodal_tiff_pixels",
-    "dedup_ngram_jaccard_capped", "text_repetition",
-    "dedup_simhash_pairs", "dedup_simhash64_pairs", "interpolate_linear",
-    "stream_dedup_within_wm", "variant_props_extract", "ann_ivf_arrow_recall",
-    "flagship_interpolated", "forward_fill_locf", "scd2_history",
-    "percentile_norm", "cusum_level_shift", "sample_per_group",
-    "winsorize_values", "climatology_anomaly", "semantic_dedup",
-    "soft_dedup_weights", "temperature_mix", "unicode_scrub",
-    "token_compression", "trend_slope_qc", "unpivot_profile",
-    "bm25_topk", "exact_quantiles", "topk_per_group",
-    "zorder_layout_key", "intersect_active_users", "chunk_documents",
-    "charlm_quality", "oov_rate", "dedup_levenshtein_pairs",
-    "corpus_cube_stats", "rolling_despike", "dedup_span_corpus",
-    "c4_line_filter", "vocab_top_terms", "incremental_corpus_dedup",]
+    # ---- 2-14: the 13 entries whose newest driver row is r9 (the
+    # SLA ceiling — 2 rounds stale; the exact cohort VERDICT r11 #5
+    # listed).
+    # ---- 15-50: the oldest of the r10-green cohort.
+    # ---- 51-64: r10-greens past the cap — re-verify locally in
+    # CORRECTNESS_LOCAL_r12.json, first claim on r13 slots.
+    # ---- 65-114: driver-green in r11 (CORRECTNESS_r11 50/50), due
+    # r13.
+    "multimodal_jpeg_pixels", "null_profile", "last10d_window",
+    "pricing_summary", "top_revenue", "text_stats",
+    "text_lang_id", "text_fingerprint", "text_tfidf_topk",
+    "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_exact",
+    "salted_skew_join", "training_data_pipeline", "asof_join_checkpoint",
+    "sketch_accuracy", "train_val_test_split", "corpus_curation",
+    "text_entropy", "decontaminate_ngrams", "sample_shard_pack",
+    "redact_pii", "dedup_simhash", "dedup_simhash64",
+    "multimodal_bmp_pixels", "multimodal_tiff_pixels", "dedup_ngram_jaccard_capped",
+    "text_repetition", "dedup_simhash_pairs", "dedup_simhash64_pairs",
+    "interpolate_linear", "stream_dedup_within_wm", "variant_props_extract",
+    "ann_ivf_arrow_recall", "flagship_interpolated", "forward_fill_locf",
+    "scd2_history", "percentile_norm", "cusum_level_shift",
+    "sample_per_group", "winsorize_values", "climatology_anomaly",
+    "semantic_dedup", "soft_dedup_weights", "temperature_mix",
+    "unicode_scrub", "token_compression", "trend_slope_qc",
+    "unpivot_profile", "bm25_topk", "exact_quantiles",
+    "topk_per_group", "zorder_layout_key", "intersect_active_users",
+    "chunk_documents", "charlm_quality", "oov_rate",
+    "dedup_levenshtein_pairs", "corpus_cube_stats", "rolling_despike",
+    "dedup_span_corpus", "c4_line_filter", "vocab_top_terms",
+    "incremental_corpus_dedup", "multimodal_wav_features", "embed_cosine_topk",
+    "embed_neardup_blocked", "embed_neardup_clusters", "multimodal_features",
+    "multimodal_frames", "ann_lsh_topk", "ann_ivf_kmeans_topk",
+    "stream_incremental_dedup", "stream_windowed_agg", "stream_keep_richest_state",
+    "stream_corpus_dedup", "except_churned_users", "hard_negatives",
+    "sliding_window_counts", "html_strip", "json_props_extract",
+    "text_repetition_family", "dedup_clusters", "embed_neardup",
+    "ann_ivf_topk", "stream_interval_join", "dedup_simhash128_pairs",
+    "state_durations", "flatline_runs", "stream_interval_join_left",
+    "ann_recall_report", "multimodal_png_pixels", "sessionize",
+    "range_join_windows", "flagship_tower_pipeline", "flagship_partitioned",
+    "toa5_roundtrip", "sink_roundtrip", "dedup_keep_richest",
+    "gapfill_spine", "lag_spike_qc", "day_flatline_qc",
+    "flag_strings", "bounds_filtered", "wateryear_rollup",
+    "union_overlap_dedup", "mslp_barometric", "latest_per_user",
+    "anti_join_processed", "rollup_summary", "type_summary_stats",
+    "embed_label_centroids", "pivot_daily_counts", "session_window_native",
+]
 
 
 def _apply_rotation(base: dict) -> dict:
@@ -2811,7 +2835,7 @@ def _apply_rotation(base: dict) -> dict:
     Keys absent from the order list (there should be none — tested)
     keep their definition order at the tail rather than being dropped.
     """
-    out = {k: base[k] for k in _R11_ORDER if k in base}
+    out = {k: base[k] for k in _R12_ORDER if k in base}
     for k, v in base.items():
         out.setdefault(k, v)
     return out
@@ -2819,7 +2843,7 @@ def _apply_rotation(base: dict) -> dict:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Definition order below is historical (r8); the driver-visible
-    # order comes from _R11_ORDER via _apply_rotation.
+    # order comes from _R12_ORDER via _apply_rotation.
     return _apply_rotation({
         # ---- r8 top-50 (the driver checks ~50 entries/round).
         # 1-4: the r5-stale twins that spilled past r7's cap;
@@ -2905,6 +2929,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NEW in r11 (VERDICT r10 #5): first non-image modality;
         # registry 112 -> 113, AT the <=113 freeze cap.
         "multimodal_wav_features": q_multimodal_wav,
+        # NEW in r12 (VERDICT r11 #1): baseline JPEG decode — the one
+        # registry growth this round; 113 -> 114, at the freeze cap.
+        "multimodal_jpeg_pixels": q_multimodal_jpeg,
         "sessionize": q_sessionize,
         "range_join_windows": q_range_join,
         "flagship_tower_pipeline": q_flagship,
@@ -3044,6 +3071,7 @@ def oracle_sql() -> dict[str, str]:
         # WAV: same codepoints-mod-256 content contract, exact-integer
         # sample sum / sum-of-squares replayed from the text
         "multimodal_wav_features": _MULTIMODAL_WAV_SQL,
+        "multimodal_jpeg_pixels": _MULTIMODAL_JPEG_SQL,
         "sessionize": _SESSIONIZE_SQL,
         "range_join_windows": _RANGE_JOIN_SQL,
         "flagship_tower_pipeline": _FLAGSHIP_SQL,

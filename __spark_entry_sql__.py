@@ -826,6 +826,20 @@ SELECT doc_id, 8000 AS sample_rate, 1 AS channels,
 FROM documents
 """
 
+# JPEG twin: 16x16 = four constant 8x8 blocks, one per codepoint of
+# the first 4 chars; DC-only blocks make the lossy codec exact, so
+# pixel_sum = 64 * sum(codepoints), tripled on the color (4:2:0,
+# R=G=B) docs where doc_id % 3 = 0.
+_MULTIMODAL_JPEG_SQL = """
+SELECT doc_id, 16 AS width, 16 AS height,
+       CASE WHEN doc_id % 3 = 0 THEN 3 ELSE 1 END AS channels,
+       CAST((CASE WHEN doc_id % 3 = 0 THEN 3 ELSE 1 END) * 64 *
+            list_sum(list_transform(range(1, 5),
+            i -> ascii(substr(rpad(coalesce(text, ''), 4, ' '), i, 1)) % 256))
+         AS BIGINT) AS pixel_sum
+FROM documents
+"""
+
 _TFIDF_SQL = f"""
 WITH toks AS (
   SELECT doc_id AS id, unnest(string_split({_NORM_SQL}, ' ')) AS term FROM documents

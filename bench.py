@@ -98,6 +98,8 @@ EXTRA_QUERIES = [
     "multimodal_tiff_pixels",
     # new in r11
     "multimodal_wav_features",
+    # new in r12
+    "multimodal_jpeg_pixels",
 ]
 
 HEADLINE = [

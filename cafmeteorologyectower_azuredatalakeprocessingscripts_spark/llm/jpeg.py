@@ -1,0 +1,729 @@
+"""Baseline-JPEG codec (stdlib struct + numpy) for the multimodal
+stages — the sixth real codec, and the last real-corpus image format
+that was still routed to the digest stub (VERDICT r11 #1).
+
+Unlike PNG/BMP/TIFF/WAV, JPEG is a transform codec: entropy-coded
+(Huffman) quantized DCT coefficients. Baseline sequential JPEG (ITU
+T.81): JFIF container markers, canonical Huffman tables from DHT,
+zigzag + dequantize, 8x8 inverse DCT, optional 4:2:0/4:2:2 chroma
+subsampling and BT.601 YCbCr->RGB. No codec library is needed — the
+bit-level entropy decode runs in Python over a 16-bit lookup table
+(tables are cached across payloads, so the per-image cost is the
+symbol loop), and everything after the symbol loop is vectorized
+numpy over ALL blocks at once (one einsum IDCT per component, one
+reshape/transpose to assemble planes).
+
+Scope (everything else raises ``JpegUnsupported`` and callers fall
+back to the digest stub, exactly like the other five codecs):
+
+- baseline or extended-sequential Huffman (SOF0/SOF1), 8-bit
+  precision, single interleaved scan; progressive (SOF2),
+  hierarchical, arithmetic-coded and 12-bit files are refused;
+- 1 (grayscale) or 3 (YCbCr) components; luma sampling factors 1x1,
+  2x1, 1x2 or 2x2 with 1x1 chroma (4:4:4, 4:2:2, 4:4:0, 4:2:0 — what
+  real encoders emit); restart markers (DRI/RSTn) supported;
+- 8-bit DQT tables; DHT tables are validated as canonical prefix
+  codes before a LUT is built.
+
+Decode output matches :mod:`.png` / :mod:`.bmp` / :mod:`.tiff`:
+``(width, height, channels, pixel_bytes)`` row-major top-down,
+channels interleaved — one contract for every codec behind
+``extract_features``.
+
+Amplification note: JPEG is the one format here where a tiny payload
+can legitimately declare huge dimensions, so allocation is bounded by
+a CONSTANT, not the header: ``_MAX_OUTPUT_BYTES`` caps
+width*height*components before any plane is allocated, and the
+entropy decoder stops at the declared MCU count (output is bounded by
+the same geometry either way). The Huffman LUT cache is likewise
+capped so hostile payloads cannot grow it without bound.
+
+This runs INSIDE Arrow-batched ``mapInPandas`` workers; nothing here
+touches the driver.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+class JpegUnsupported(ValueError):
+    """Payload is not a JPEG this codec handles (bad magic,
+    progressive/arithmetic coding, unsupported sampling, or corrupt
+    marker/entropy structure)."""
+
+
+def is_jpeg(payload: bytes) -> bool:
+    return payload is not None and bytes(payload[:3]) == b"\xff\xd8\xff"
+
+
+# Output allocation is bounded by this CONSTANT (64 MB of samples) —
+# never by header-declared dimensions alone (see module docstring).
+_MAX_OUTPUT_BYTES = 1 << 26
+
+# ---------------------------------------------------------------- DCT
+
+# zigzag[k] = flat (row*8+col) index of the k-th coefficient in zigzag
+# scan order, generated from the diagonal rule (even diagonals run
+# bottom-left -> top-right) rather than typed as a literal table.
+_ZIGZAG = tuple(
+    r * 8 + c
+    for d in range(15)
+    for (r, c) in sorted(
+        ((r, d - r) for r in range(8) if 0 <= d - r < 8),
+        key=lambda rc: rc[1] if d % 2 else rc[0],
+    )
+)
+_UNZIGZAG = np.argsort(np.array(_ZIGZAG))  # block order -> zigzag slot
+
+# Orthonormal DCT-II basis A[u, x] = c(u)/2 * cos((2x+1)u*pi/16):
+# spatial = A.T @ F @ A, frequency = A @ f @ A.T.
+_A = np.array(
+    [
+        [
+            (np.sqrt(0.5) if u == 0 else 1.0)
+            / 2.0
+            * np.cos((2 * x + 1) * u * np.pi / 16.0)
+            for x in range(8)
+        ]
+        for u in range(8)
+    ]
+)
+
+
+def _idct_blocks(coeffs: np.ndarray) -> np.ndarray:
+    """(n, 8, 8) dequantized coefficients -> (n, 8, 8) float spatial
+    samples (level shift NOT applied) — one einsum over all blocks."""
+    return np.einsum("ux,nuv,vy->nxy", _A, coeffs, _A, optimize=True)
+
+
+def _fdct_blocks(samples: np.ndarray) -> np.ndarray:
+    """(n, 8, 8) level-shifted samples -> (n, 8, 8) DCT coefficients."""
+    return np.einsum("ux,nxy,vy->nuv", _A, samples, _A, optimize=True)
+
+
+# ------------------------------------------------------- Huffman LUTs
+
+# DHT bytes -> (sym_list, len_list) 65536-entry lookup; bounded FIFO
+# cache (tables repeat across payloads — every real encoder ships the
+# Annex K tables — so the build cost amortizes to ~zero per image).
+_LUT_CACHE: dict[bytes, tuple[list, list]] = {}
+_LUT_CACHE_MAX = 64
+
+
+def _build_lut(bits: bytes, vals: bytes) -> tuple[list, list]:
+    key = bytes(bits) + bytes(vals)
+    hit = _LUT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    sym = [-1] * 65536
+    length = [0] * 65536
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        n = bits[ln - 1]
+        if code + n > (1 << ln):
+            raise JpegUnsupported("DHT is not a valid prefix code")
+        for _ in range(n):
+            base = code << (16 - ln)
+            span = 1 << (16 - ln)
+            sym[base : base + span] = [vals[k]] * span
+            length[base : base + span] = [ln] * span
+            code += 1
+            k += 1
+        code <<= 1
+    if len(_LUT_CACHE) >= _LUT_CACHE_MAX:
+        _LUT_CACHE.pop(next(iter(_LUT_CACHE)))
+    _LUT_CACHE[key] = (sym, length)
+    return sym, length
+
+
+def _extend(v: int, s: int) -> int:
+    """T.81 EXTEND: map s received magnitude bits to a signed value."""
+    return v - (1 << s) + 1 if v < (1 << (s - 1)) else v
+
+
+# ---------------------------------------------------------- decoder
+
+
+def _parse_markers(data: bytes):
+    """Walk the marker stream up to SOS. Returns (qtabs, huff_dc,
+    huff_ac, frame, restart_interval, scan_comps, scan_start)."""
+    qtabs: dict[int, np.ndarray] = {}
+    hdc: dict[int, tuple[list, list]] = {}
+    hac: dict[int, tuple[list, list]] = {}
+    frame = None
+    dri = 0
+    pos = 2
+    n = len(data)
+    while True:
+        if pos + 4 > n:
+            raise JpegUnsupported("marker stream truncated before SOS")
+        if data[pos] != 0xFF:
+            raise JpegUnsupported(f"expected marker at {pos}")
+        marker = data[pos + 1]
+        if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
+            raise JpegUnsupported("stray SOI/RST marker in header")
+        (seglen,) = struct.unpack_from(">H", data, pos + 2)
+        if seglen < 2 or pos + 2 + seglen > n:
+            raise JpegUnsupported(f"marker 0x{marker:02x} length overruns payload")
+        body = data[pos + 4 : pos + 2 + seglen]
+        pos += 2 + seglen
+        if marker == 0xDB:  # DQT
+            b = 0
+            while b < len(body):
+                pq, tq = body[b] >> 4, body[b] & 0x0F
+                if pq != 0:
+                    raise JpegUnsupported("16-bit quantization table")
+                if b + 65 > len(body):
+                    raise JpegUnsupported("DQT truncated")
+                tab = np.frombuffer(body[b + 1 : b + 65], dtype=np.uint8)
+                q = np.empty(64, dtype=np.int32)
+                q[np.array(_ZIGZAG)] = tab  # store in block order
+                if (q == 0).any():
+                    raise JpegUnsupported("zero in quantization table")
+                qtabs[tq] = q
+                b += 65
+        elif marker == 0xC4:  # DHT
+            b = 0
+            while b + 17 <= len(body):
+                tc, th = body[b] >> 4, body[b] & 0x0F
+                bits = body[b + 1 : b + 17]
+                nv = sum(bits)
+                if b + 17 + nv > len(body):
+                    raise JpegUnsupported("DHT truncated")
+                vals = body[b + 17 : b + 17 + nv]
+                (hdc if tc == 0 else hac)[th] = _build_lut(bits, vals)
+                b += 17 + nv
+            if b != len(body):
+                raise JpegUnsupported("DHT trailing bytes")
+        elif marker in (0xC0, 0xC1):  # SOF0 / SOF1
+            if frame is not None:
+                raise JpegUnsupported("multiple frames")
+            if len(body) < 6:
+                raise JpegUnsupported("SOF truncated")
+            prec, h, w, nc = body[0], (body[1] << 8) | body[2], (body[3] << 8) | body[4], body[5]
+            if prec != 8:
+                raise JpegUnsupported(f"{prec}-bit precision")
+            if nc not in (1, 3):
+                raise JpegUnsupported(f"{nc} components")
+            if len(body) != 6 + 3 * nc:
+                raise JpegUnsupported("SOF component list truncated")
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
+                comps.append([cid, hv >> 4, hv & 0x0F, tq])
+            frame = (w, h, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise JpegUnsupported("progressive/hierarchical/arithmetic JPEG")
+        elif marker == 0xDD:  # DRI
+            if len(body) != 2:
+                raise JpegUnsupported("DRI length")
+            dri = (body[0] << 8) | body[1]
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise JpegUnsupported("SOS before SOF")
+            ns = body[0] if body else -1
+            if ns != len(frame[2]):
+                raise JpegUnsupported("scan does not cover all components")
+            if len(body) != 1 + 2 * ns + 3:
+                raise JpegUnsupported("SOS truncated")
+            scan = []
+            for i in range(ns):
+                cs, tt = body[1 + 2 * i], body[2 + 2 * i]
+                scan.append((cs, tt >> 4, tt & 0x0F))
+            ss, se, ahal = body[1 + 2 * ns : 4 + 2 * ns]
+            if (ss, se, ahal) != (0, 63, 0):
+                raise JpegUnsupported("non-sequential scan parameters")
+            return qtabs, hdc, hac, frame, dri, scan, pos
+        elif marker == 0xD9:
+            raise JpegUnsupported("EOI before SOS")
+        # else: APPn/COM/DNL etc — skipped via seglen
+
+
+def _scan_segments(data: bytes, start: int) -> list[bytes]:
+    """Split the entropy-coded scan into restart segments, unstuffing
+    0xFF00 -> 0xFF in each. Ends at the first non-RST marker (EOI)."""
+    segs = []
+    seg_start = start
+    pos = start
+    n = len(data)
+    while True:
+        idx = data.find(b"\xff", pos)
+        if idx < 0 or idx + 1 >= n:
+            # no terminating marker: tolerate a missing EOI (truncated
+            # tail) — the MCU-count check decides if data was enough
+            segs.append(data[seg_start:n].replace(b"\xff\x00", b"\xff"))
+            return segs
+        nxt = data[idx + 1]
+        if nxt == 0x00 or nxt == 0xFF:
+            pos = idx + 2 if nxt == 0x00 else idx + 1
+            continue
+        segs.append(data[seg_start:idx].replace(b"\xff\x00", b"\xff"))
+        if 0xD0 <= nxt <= 0xD7:  # RSTn
+            seg_start = pos = idx + 2
+            continue
+        return segs
+
+
+def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Decode a baseline JPEG payload -> ``(width, height, channels,
+    pixel_bytes)``, channels 1 (grayscale) or 3 (RGB, BT.601)."""
+    data = bytes(payload)
+    if not is_jpeg(data):
+        raise JpegUnsupported("bad signature")
+    qtabs, hdc, hac, frame, dri, scan, spos = _parse_markers(data)
+    w, h, comps = frame
+    if w == 0 or h == 0:
+        raise JpegUnsupported("zero dimension")
+    nc = len(comps)
+    if w * h * nc > _MAX_OUTPUT_BYTES:
+        raise JpegUnsupported(
+            f"{w}x{h}x{nc} exceeds the {_MAX_OUTPUT_BYTES}-byte output cap"
+        )
+    if nc == 1:
+        comps[0][1] = comps[0][2] = 1  # single-component scans are MCU=1 block
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    for cid, hi, vi, tq in comps:
+        if hi not in (1, 2) or vi not in (1, 2):
+            raise JpegUnsupported(f"sampling factor {hi}x{vi}")
+        if (hi, vi) != (hmax, vmax) and (hi, vi) != (1, 1):
+            raise JpegUnsupported("mixed sampling factors beyond luma-subsampled chroma")
+        if tq not in qtabs:
+            raise JpegUnsupported(f"missing quantization table {tq}")
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    n_mcu = mcux * mcuy
+
+    # per-scan-component huffman tables, aligned to frame components
+    order = []
+    for cs, td, ta in scan:
+        match = [c for c in comps if c[0] == cs]
+        if not match:
+            raise JpegUnsupported(f"scan references unknown component {cs}")
+        if td not in hdc or ta not in hac:
+            raise JpegUnsupported("scan references missing Huffman table")
+        order.append((comps.index(match[0]), hdc[td], hac[ta]))
+
+    segs = _scan_segments(data, spos)
+    # entropy decode: per-component zigzag coefficient rows.
+    # Bit buffer rule: the buffer may be FILLED with 1-bit padding past
+    # the segment end (the peek window legitimately reaches past the
+    # final byte), but CONSUMED bits may never exceed the segment's
+    # real bits — JPEG's byte-boundary padding is flushed, not decoded.
+    rows = [[] for _ in comps]  # python-side row buffers (fast append)
+    pred = [0] * nc
+    seg_i = -1
+    seg = b""
+    acc = nb = 0
+    bpos = seg_end = 0
+    zig = _ZIGZAG
+
+    def _seg_consumed_ok() -> bool:
+        return bpos * 8 - nb <= seg_end * 8
+
+    for m in range(n_mcu):
+        if dri and m % dri == 0 or m == 0:
+            if m and not _seg_consumed_ok():
+                raise JpegUnsupported("entropy segment truncated")
+            seg_i += 1
+            if seg_i >= len(segs):
+                raise JpegUnsupported("missing restart segment")
+            seg = segs[seg_i]
+            seg_end = len(seg)
+            acc = nb = 0
+            bpos = 0
+            if m:
+                pred = [0] * nc
+        for ci, (dsym, dlen), (asym, alen) in order:
+            for _ in range(comps[ci][1] * comps[ci][2]):
+                blk = [0] * 64
+                # refill to >=32 bits (1-bit pad past the end, max 4
+                # buffer bytes); the mask keeps `acc` a machine int
+                # across the stream instead of a growing bigint
+                if nb < 32:
+                    acc &= (1 << nb) - 1
+                    while nb < 32:
+                        if bpos < seg_end:
+                            acc = (acc << 8) | seg[bpos]
+                        elif bpos < seg_end + 4:
+                            acc = (acc << 8) | 0xFF
+                        else:
+                            raise JpegUnsupported("entropy stream truncated")
+                        bpos += 1
+                        nb += 8
+                peek = (acc >> (nb - 16)) & 0xFFFF
+                s = dsym[peek]
+                if s < 0:
+                    raise JpegUnsupported("invalid DC Huffman code")
+                nb -= dlen[peek]
+                if s:
+                    if s > 15:
+                        raise JpegUnsupported("DC magnitude overruns")
+                    diff = _extend((acc >> (nb - s)) & ((1 << s) - 1), s)
+                    nb -= s
+                else:
+                    diff = 0
+                if not _seg_consumed_ok():
+                    raise JpegUnsupported("entropy stream truncated")
+                pred[ci] += diff
+                blk[0] = pred[ci]
+                k = 1
+                while k < 64:
+                    if nb < 32:
+                        acc &= (1 << nb) - 1
+                        while nb < 32:
+                            if bpos < seg_end:
+                                acc = (acc << 8) | seg[bpos]
+                            elif bpos < seg_end + 4:
+                                acc = (acc << 8) | 0xFF
+                            else:
+                                raise JpegUnsupported("entropy stream truncated")
+                            bpos += 1
+                            nb += 8
+                    peek = (acc >> (nb - 16)) & 0xFFFF
+                    rs = asym[peek]
+                    if rs < 0:
+                        raise JpegUnsupported("invalid AC Huffman code")
+                    nb -= alen[peek]
+                    if rs == 0:  # EOB
+                        break
+                    r, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if r != 15:
+                            raise JpegUnsupported("invalid AC run/size")
+                        k += 16  # ZRL
+                        continue
+                    k += r
+                    if k > 63:
+                        raise JpegUnsupported("AC coefficient overruns block")
+                    blk[zig[k]] = _extend((acc >> (nb - s)) & ((1 << s) - 1), s)
+                    nb -= s
+                    k += 1
+                if not _seg_consumed_ok():
+                    raise JpegUnsupported("entropy stream truncated")
+                rows[ci].append(blk)
+    if not _seg_consumed_ok():
+        raise JpegUnsupported("entropy stream truncated")
+    planes = []
+    for ci, (cid, hi, vi, tq) in enumerate(comps):
+        arr = np.array(rows[ci], dtype=np.int32)  # (n_mcu*hi*vi, 64)
+        deq = (arr * qtabs[tq][None, :]).astype(np.float64)
+        spatial = _idct_blocks(deq.reshape(-1, 8, 8))
+        px = np.clip(np.round(spatial + 128.0), 0, 255).astype(np.uint8)
+        # MCU raster -> plane: (mcuy, mcux, vi, hi, 8, 8)
+        plane = (
+            px.reshape(mcuy, mcux, vi, hi, 8, 8)
+            .transpose(0, 2, 4, 1, 3, 5)
+            .reshape(mcuy * vi * 8, mcux * hi * 8)
+        )
+        cw = (w * hi + hmax - 1) // hmax
+        ch = (h * vi + vmax - 1) // vmax
+        plane = plane[:ch, :cw]
+        if (hi, vi) != (hmax, vmax):  # replicate chroma up to full res
+            plane = np.repeat(plane, hmax // hi, axis=1)[:, :w]
+            plane = np.repeat(plane, vmax // vi, axis=0)[:h, :]
+        else:
+            plane = plane[:h, :w]
+        planes.append(plane)
+    if nc == 1:
+        return w, h, 1, planes[0].tobytes()
+    y = planes[0].astype(np.float64)
+    cb = planes[1].astype(np.float64) - 128.0
+    cr = planes[2].astype(np.float64) - 128.0
+    rgb = np.empty((h, w, 3), dtype=np.uint8)
+    rgb[:, :, 0] = np.clip(np.round(y + 1.402 * cr), 0, 255)
+    rgb[:, :, 1] = np.clip(np.round(y - 0.344136 * cb - 0.714136 * cr), 0, 255)
+    rgb[:, :, 2] = np.clip(np.round(y + 1.772 * cb), 0, 255)
+    return w, h, 3, rgb.tobytes()
+
+
+# ---------------------------------------------------------- encoder
+
+# ITU T.81 Annex K "typical" Huffman tables — what real encoders emit.
+_DC_LUMA_BITS = bytes([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0])
+_DC_LUMA_VALS = bytes(range(12))
+_DC_CHROMA_BITS = bytes([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0])
+_DC_CHROMA_VALS = bytes(range(12))
+_AC_LUMA_BITS = bytes([0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D])
+_AC_LUMA_VALS = bytes(
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ]
+)
+_AC_CHROMA_BITS = bytes([0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77])
+_AC_CHROMA_VALS = bytes(
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+        0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+        0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+        0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+        0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ]
+)
+
+
+def _enc_codes(bits: bytes, vals: bytes) -> dict[int, tuple[int, int]]:
+    codes = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            codes[vals[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+class _BitWriter:
+    """Entropy bit sink with 0xFF byte stuffing."""
+
+    __slots__ = ("out", "acc", "nb")
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nb = 0
+
+    def put(self, code: int, ln: int) -> None:
+        self.acc = (self.acc << ln) | (code & ((1 << ln) - 1))
+        self.nb += ln
+        while self.nb >= 8:
+            b = (self.acc >> (self.nb - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)
+            self.nb -= 8
+            self.acc &= (1 << self.nb) - 1
+
+    def flush(self) -> None:
+        if self.nb:
+            pad = 8 - self.nb
+            self.put((1 << pad) - 1, pad)  # 1-bit padding per spec
+
+
+def _category(v: int) -> int:
+    return int(v).bit_length() if v >= 0 else int(-v).bit_length()
+
+
+def _encode_blocks(
+    bw: _BitWriter,
+    blocks_zz: np.ndarray,
+    order: list,
+    pred: list,
+    dc_codes: list,
+    ac_codes: list,
+) -> None:
+    """Emit one MCU's blocks (already zigzagged, quantized int) in
+    `order` = [(comp_index, block_row_index)]."""
+    for ci, bi in order:
+        blk = blocks_zz[ci][bi]
+        dc = int(blk[0])
+        diff = dc - pred[ci]
+        pred[ci] = dc
+        s = _category(diff)
+        code, ln = dc_codes[ci][s]
+        bw.put(code, ln)
+        if s:
+            bw.put(diff if diff >= 0 else diff - 1 + (1 << s), s)
+        run = 0
+        last = 63
+        while last > 0 and blk[last] == 0:
+            last -= 1
+        for k in range(1, last + 1):
+            v = int(blk[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = ac_codes[ci][0xF0]
+                bw.put(code, ln)  # ZRL
+                run -= 16
+            s = _category(v)
+            code, ln = ac_codes[ci][(run << 4) | s]
+            bw.put(code, ln)
+            bw.put(v if v >= 0 else v - 1 + (1 << s), s)
+            run = 0
+        if last < 63:
+            code, ln = ac_codes[ci][0x00]
+            bw.put(code, ln)  # EOB
+
+
+def _plane_to_blocks(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """uint8 plane (rows multiple of 8) -> (nblocks, 64) quantized
+    zigzag coefficients, MCU-order caller's responsibility."""
+    ph, pw = plane.shape
+    blocks = (
+        plane.reshape(ph // 8, 8, pw // 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(-1, 8, 8)
+        .astype(np.float64)
+        - 128.0
+    )
+    f = _fdct_blocks(blocks).reshape(-1, 64)
+    qz = np.round(f / q[None, :]).astype(np.int32)
+    return qz[:, np.array(_ZIGZAG)]
+
+
+def _pad_plane(plane: np.ndarray, mh: int, mw: int) -> np.ndarray:
+    """Edge-replicate up to multiples of (mh, mw)."""
+    h, w = plane.shape
+    ph = (h + mh - 1) // mh * mh
+    pw = (w + mw - 1) // mw * mw
+    if (ph, pw) == (h, w):
+        return plane
+    return np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
+
+
+def encode_jpeg(
+    width: int,
+    height: int,
+    channels: int,
+    pixels: bytes,
+    subsampling: str = "444",
+    qtable: np.ndarray | None = None,
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode interleaved uint8 pixels as a baseline JFIF JPEG.
+
+    ``channels`` 1 (grayscale) or 3 (RGB -> BT.601 YCbCr);
+    ``subsampling`` '444' or '420' (3-channel only); ``qtable`` is a
+    64-entry block-order quantization table used for every component
+    (default all-ones — near-lossless, and EXACTLY lossless for
+    blocks that are constant, which is what the oracle fixtures use);
+    ``restart_interval`` > 0 emits DRI + RSTn markers every that many
+    MCUs."""
+    if channels not in (1, 3):
+        raise JpegUnsupported(f"{channels} channels")
+    if subsampling not in ("444", "420"):
+        raise JpegUnsupported(f"subsampling {subsampling}")
+    arr = np.frombuffer(bytes(pixels), dtype=np.uint8)
+    if arr.size != width * height * channels:
+        raise JpegUnsupported("pixel buffer does not match dimensions")
+    q = np.ones(64, dtype=np.int32) if qtable is None else np.asarray(qtable, dtype=np.int32).reshape(64)
+    if (q < 1).any() or (q > 255).any():
+        raise JpegUnsupported("quantization values must be 1..255")
+
+    if channels == 1:
+        planes = [arr.reshape(height, width)]
+        samp = [(1, 1)]
+    else:
+        rgb = arr.reshape(height, width, 3).astype(np.float64)
+        r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+        y = np.round(0.299 * r + 0.587 * g + 0.114 * b)
+        cb = np.round(128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b)
+        cr = np.round(128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b)
+        planes = [
+            np.clip(p, 0, 255).astype(np.uint8) for p in (y, cb, cr)
+        ]
+        samp = [(1, 1)] * 3 if subsampling == "444" else [(2, 2), (1, 1), (1, 1)]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = (width + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+
+    blocks_zz = []
+    grids = []
+    for ci, ((hi, vi), plane) in enumerate(zip(samp, planes)):
+        if (hi, vi) != (hmax, vmax):  # box-mean downsample chroma
+            p = _pad_plane(plane, vmax // vi, hmax // hi).astype(np.float64)
+            fy, fx = vmax // vi, hmax // hi
+            p = p.reshape(p.shape[0] // fy, fy, p.shape[1] // fx, fx).mean(axis=(1, 3))
+            plane = np.clip(np.round(p), 0, 255).astype(np.uint8)
+        # pad to this component's full MCU grid (edge replication)
+        plane = _pad_plane(plane, 8 * vi * mcuy, 8 * hi * mcux)
+        blocks_zz.append(_plane_to_blocks(plane, q))
+        grids.append((mcux * hi, mcuy * vi, hi, vi))
+
+    # marker stream
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    zz = np.array(_ZIGZAG)
+    out += b"\xff\xdb" + struct.pack(">H", 2 + 65) + bytes([0x00]) + bytes(
+        int(v) for v in q[zz]
+    )
+    nc = channels
+    sof = bytes([8]) + struct.pack(">HH", height, width) + bytes([nc])
+    for ci in range(nc):
+        hi, vi = samp[ci]
+        sof += bytes([ci + 1, (hi << 4) | vi, 0])
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+
+    tables = [(0x00, _DC_LUMA_BITS, _DC_LUMA_VALS), (0x10, _AC_LUMA_BITS, _AC_LUMA_VALS)]
+    if nc == 3:
+        tables += [
+            (0x01, _DC_CHROMA_BITS, _DC_CHROMA_VALS),
+            (0x11, _AC_CHROMA_BITS, _AC_CHROMA_VALS),
+        ]
+    for tid, bits, vals in tables:
+        body = bytes([tid]) + bits + vals
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+
+    sos = bytes([nc])
+    for ci in range(nc):
+        td_ta = 0x00 if ci == 0 else 0x11
+        sos += bytes([ci + 1, td_ta])
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    dc_l = _enc_codes(_DC_LUMA_BITS, _DC_LUMA_VALS)
+    ac_l = _enc_codes(_AC_LUMA_BITS, _AC_LUMA_VALS)
+    dc_c = _enc_codes(_DC_CHROMA_BITS, _DC_CHROMA_VALS)
+    ac_c = _enc_codes(_AC_CHROMA_BITS, _AC_CHROMA_VALS)
+    dc_codes = [dc_l] + [dc_c] * (nc - 1)
+    ac_codes = [ac_l] + [ac_c] * (nc - 1)
+
+    bw = _BitWriter()
+    pred = [0] * nc
+    n_mcu = mcux * mcuy
+    rst = 0
+    for m in range(n_mcu):
+        if restart_interval and m and m % restart_interval == 0:
+            bw.flush()
+            out += bw.out
+            bw = _BitWriter()
+            out += bytes([0xFF, 0xD0 + rst % 8])
+            rst += 1
+            pred = [0] * nc
+        my, mx = divmod(m, mcux)
+        order = []
+        for ci in range(nc):
+            bpl, _rows, hi, vi = grids[ci]
+            for dy in range(vi):
+                for dx in range(hi):
+                    order.append((ci, (my * vi + dy) * bpl + mx * hi + dx))
+        _encode_blocks(bw, blocks_zz, order, pred, dc_codes, ac_codes)
+    bw.flush()
+    out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -3,16 +3,17 @@
 Images/audio/video ride through the engine as ``binary`` columns with a
 metadata struct; decode/feature-extraction run as Arrow-batched
 ``mapInPandas`` stages (the only place Python touches data, amortized
-per-batch). PNG, BMP and baseline-TIFF payloads are decoded FOR REAL
-by the pure-stdlib codecs in :mod:`.png` / :mod:`.bmp` / :mod:`.tiff`
-— features and resizes on those formats come from actual pixels — and
-integer-PCM WAV audio decodes for real via :mod:`.wav` (see
-:func:`extract_audio_features`). Compressed media formats
-(JPEG/MP3/video) are STUBBED — the container
-has no codec libs — behind ``decode_stub`` (raises) and a
-deterministic feature extractor (byte length, md5, md5-derived fake
-embedding) so the Spark-side plumbing (schema, batch shape,
-partitioning) stays real and testable end-to-end either way.
+per-batch). PNG, BMP, baseline-TIFF and baseline-JPEG payloads are
+decoded FOR REAL by the pure-stdlib codecs in :mod:`.png` /
+:mod:`.bmp` / :mod:`.tiff` / :mod:`.jpeg` — features and resizes on
+those formats come from actual pixels — and integer/IEEE-float PCM
+WAV audio decodes for real via :mod:`.wav` (see
+:func:`extract_audio_features`). The remaining compressed media
+formats (MP3/video) are STUBBED — those genuinely need codec libs the
+container lacks — behind ``decode_stub`` (raises) and a deterministic
+feature extractor (byte length, md5, md5-derived fake embedding) so
+the Spark-side plumbing (schema, batch shape, partitioning) stays
+real and testable end-to-end either way.
 
 At 100 TB: payloads stay columnar in parquet (no driver collect), the
 mapInPandas stage is map-only (no shuffle), and batch size is governed by
@@ -31,6 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .bmp import BmpUnsupported, decode_bmp, encode_bmp, is_bmp
+from .jpeg import JpegUnsupported, decode_jpeg, encode_jpeg, is_jpeg
 from .tiff import TiffUnsupported, decode_tiff, encode_tiff, is_tiff
 from .wav import WavUnsupported, decode_wav, encode_wav, is_wav
 from .png import (
@@ -73,13 +75,15 @@ def to_binary_payload(df: DataFrame, src_col: str, id_col: str = "doc_id") -> Da
 
 
 def decode_stub(payload: bytes) -> object:
-    """Placeholder for a real compressed-media decode — JPEG, MP3,
-    video (PIL/librosa/ffmpeg are not in this container; PNG, BMP,
-    baseline TIFF and PCM WAV decode for real via the stdlib codecs)."""
+    """Placeholder for a real compressed-media decode — MP3 and video
+    containers, which genuinely need codec/demuxer libraries absent
+    from this container. PNG, BMP, baseline TIFF, baseline JPEG and
+    PCM/IEEE-float WAV all decode for real via the stdlib codecs."""
     raise NotImplementedError(
         "compressed-media decoding requires codec libraries not present "
         "in this environment; extract_features uses a deterministic fake "
-        "for such payloads (and real pixels/samples for PNG/BMP/TIFF/WAV)"
+        "for such payloads (and real pixels/samples for "
+        "PNG/BMP/TIFF/JPEG/WAV)"
     )
 
 
@@ -111,6 +115,12 @@ def _decode_image_batch(payloads: list) -> tuple[list, list]:
                     decoded[j] = decode_tiff(p)
                     mimes[j] = "image/tiff"
                 except TiffUnsupported:
+                    pass
+            elif is_jpeg(p):
+                try:
+                    decoded[j] = decode_jpeg(p)
+                    mimes[j] = "image/jpeg"
+                except JpegUnsupported:
                     pass
     return decoded, mimes
 
@@ -653,6 +663,70 @@ def text_to_tiff_payload(
     return _text_to_image_payload(
         df, src_col, width, height, id_col, encode_tiff, "image/tiff"
     )
+
+
+def text_to_jpeg_payload(
+    df: DataFrame,
+    src_col: str = "text",
+    blocks_x: int = 2,
+    blocks_y: int = 2,
+    id_col: str = "doc_id",
+    color_every: int | None = 3,
+) -> DataFrame:
+    """JPEG twin of :func:`text_to_png_payload`, built around the one
+    thing a LOSSY codec can replay exactly: a DC-only image. Each
+    document becomes a ``(8*blocks_x) x (8*blocks_y)`` image whose 8x8
+    blocks are each CONSTANT = the codepoint (mod 256) of one of the
+    first ``blocks_x*blocks_y`` characters (space-padded, row-major
+    blocks). A constant block has only a DC coefficient, and with the
+    all-ones quantization table the FDCT -> quantize -> Huffman ->
+    dequantize -> IDCT round trip is EXACT for it — so
+    ``pixel_sum = 64 * sum(codepoints)`` replays from the text in
+    plain SQL even though the codec is lossy in general. The green
+    oracle row therefore proves the whole baseline pipeline: marker
+    walk, canonical Huffman DC decode, EOB handling, dequantize,
+    batched IDCT, level shift.
+
+    With ``color_every=k``, every doc whose id is divisible by ``k``
+    is packaged as a COLOR 4:2:0 JPEG (R=G=B=value, so Cb=Cr=128 —
+    also exact end-to-end, BT.601 both ways) — exercising chroma
+    subsampling, MCU interleave and color conversion inside the same
+    oracle query; those rows decode with channels=3 and 3x the pixel
+    sum. Arrow-batched, map-only; projects (id, text) first so the
+    scan prunes."""
+    n = blocks_x * blocks_y
+    width, height = 8 * blocks_x, 8 * blocks_y
+    df = df.select(id_col, src_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for i, t in zip(pdf[id_col], pdf[src_col]):
+                s = ("" if t is None else str(t))[:n].ljust(n)
+                vals = np.array(
+                    [ord(ch) % 256 for ch in s], dtype=np.uint8
+                ).reshape(blocks_y, blocks_x)
+                gray = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
+                if color_every and int(i) % color_every == 0:
+                    rgb = np.repeat(gray[:, :, None], 3, axis=2)
+                    payloads.append(
+                        encode_jpeg(
+                            width, height, 3, rgb.tobytes(), subsampling="420"
+                        )
+                    )
+                else:
+                    payloads.append(encode_jpeg(width, height, 1, gray.tobytes()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "payload": payloads,
+                    "meta": [
+                        {"mime": "image/jpeg", "n_bytes": len(p)} for p in payloads
+                    ],
+                }
+            )
+
+    return df.mapInPandas(run, _TEXT_IMAGE_SCHEMA)
 
 
 FRAME_SCHEMA = T.StructType(

@@ -153,22 +153,22 @@ def test_utc_alias_sessions_do_not_warn():
 
 
 def test_rotation_order_covers_full_registry():
-    """The r11 rotation list must cover exactly the registry: a new
+    """The r12 rotation list must cover exactly the registry: a new
     query added without a rotation slot would silently land at the
     tail (never driver-checked first), and a stale name in the list
     would shrink the checked window."""
     q = entrymod.queries()
-    assert set(q) == set(entrymod._R11_ORDER)
-    assert list(q) == entrymod._R11_ORDER
-    assert list(entrymod.oracle_sql()) == entrymod._R11_ORDER
-    # VERDICT r10 #6: the new WAV query leads (first driver row in its
-    # first round), then the 12 entries whose newest driver row is r8.
-    assert entrymod._R11_ORDER[:13] == [
-        "multimodal_wav_features",
-        "embed_cosine_topk", "embed_neardup_blocked",
-        "embed_neardup_clusters", "multimodal_features",
-        "multimodal_frames", "ann_lsh_topk", "ann_ivf_kmeans_topk",
-        "stream_incremental_dedup", "stream_windowed_agg",
-        "stream_keep_richest_state", "stream_corpus_dedup",
-        "except_churned_users",
+    assert set(q) == set(entrymod._R12_ORDER)
+    assert list(q) == entrymod._R12_ORDER
+    assert list(entrymod.oracle_sql()) == entrymod._R12_ORDER
+    # VERDICT r11 #5: the new JPEG query leads (first driver row in
+    # its first round), then the 13 entries whose newest driver row
+    # is r9 — the exact cohort the verdict listed.
+    assert entrymod._R12_ORDER[:14] == [
+        "multimodal_jpeg_pixels",
+        "null_profile", "last10d_window", "pricing_summary",
+        "top_revenue", "text_stats", "text_lang_id",
+        "text_fingerprint", "text_tfidf_topk", "dedup_ngram_jaccard",
+        "dedup_minhash_lsh", "dedup_exact", "salted_skew_join",
+        "training_data_pipeline",
     ]

@@ -394,10 +394,13 @@ def test_wav_roundtrip_property_hypothesis():
     prop()
 
 
-def test_wav_extensible_pcm_decodes_non_pcm_guid_refused():
+def test_wav_extensible_pcm_decodes_unknown_guid_refused():
     """WAVE_FORMAT_EXTENSIBLE with the PCM SubFormat GUID decodes like
-    plain PCM (modern encoders emit it for >16-bit / >2 channels); any
-    other GUID (e.g. IEEE float) is refused."""
+    plain PCM (modern encoders emit it for >16-bit / >2 channels); an
+    unknown GUID is refused. (r12 widened the accepted set to include
+    the IEEE-float GUID — see test_wav_extensible_float_guid_decodes
+    in test_round12.py — so the refusal case here uses a GUID that is
+    neither.)"""
     from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.wav import _PCM_GUID
 
     x = np.arange(12, dtype=np.int64).reshape(4, 3) * 1000 - 5000
@@ -416,9 +419,9 @@ def test_wav_extensible_pcm_decodes_non_pcm_guid_refused():
     assert (rate, ch, bits) == (48000, 3, 32)
     assert (y == x).all()
 
-    float_guid = bytes([3]) + _PCM_GUID[1:]
-    bad = payload.replace(_PCM_GUID, float_guid)
-    with pytest.raises(WavUnsupported, match="not PCM"):
+    alaw_guid = bytes([6]) + _PCM_GUID[1:]  # KSDATAFORMAT A-law
+    bad = payload.replace(_PCM_GUID, alaw_guid)
+    with pytest.raises(WavUnsupported, match="neither PCM nor IEEE float"):
         decode_wav(bad)
 
 

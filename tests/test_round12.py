@@ -148,3 +148,224 @@ def test_resample_audio_float_wav_keeps_format(spark):
     assert y.dtype == np.float32 and y.shape[0] == 50
     # nearest-frame policy: frame j comes from floor(j * 100 / 50)
     assert y.ravel().tolist() == x[::2].ravel().tolist()
+
+
+# ------------------------------------------------------ JPEG codec
+from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.jpeg import (  # noqa: E402
+    JpegUnsupported,
+    decode_jpeg,
+    encode_jpeg,
+    is_jpeg,
+)
+
+
+def _gray(arr):
+    h, w = arr.shape
+    return encode_jpeg(w, h, 1, arr.astype(np.uint8).tobytes())
+
+
+def test_jpeg_dc_only_gray_roundtrip_exact():
+    # constant 8x8 blocks are DC-only; with the all-ones quant table
+    # the lossy pipeline is EXACT for them — the property the oracle
+    # fixture is built on
+    vals = np.array([[0, 65, 255], [128, 3, 200]], dtype=np.uint8)
+    img = np.repeat(np.repeat(vals, 8, 0), 8, 1)  # 16x24
+    w, h, c, px = decode_jpeg(_gray(img))
+    assert (w, h, c) == (24, 16, 1)
+    assert np.frombuffer(px, dtype=np.uint8).reshape(16, 24).tolist() == img.tolist()
+
+
+@pytest.mark.parametrize("sub", ["444", "420"])
+def test_jpeg_dc_only_color_roundtrip_exact(sub):
+    # R=G=B constant blocks: Y = value, Cb = Cr = 128 exactly under
+    # BT.601 — color conversion, subsampling and MCU interleave all
+    # invert exactly
+    vals = np.array([[10, 250], [128, 77]], dtype=np.uint8)
+    img = np.repeat(np.repeat(vals, 8, 0), 8, 1)
+    rgb = np.repeat(img[:, :, None], 3, axis=2)
+    p = encode_jpeg(16, 16, 3, rgb.tobytes(), subsampling=sub)
+    w, h, c, px = decode_jpeg(p)
+    assert (w, h, c) == (16, 16, 3)
+    assert np.frombuffer(px, dtype=np.uint8).reshape(16, 16, 3).tolist() == rgb.tolist()
+
+
+def test_jpeg_noise_roundtrip_near_lossless_with_unit_quant():
+    # general content with q=1: the only loss is coefficient rounding,
+    # which bounds pixel error to a few counts — this exercises the
+    # FULL AC Huffman path (runs, ZRL, magnitude categories) both ways
+    rng = np.random.default_rng(1212)
+    g = rng.integers(0, 256, (17, 13), dtype=np.uint8)  # odd dims: padding
+    w, h, c, px = decode_jpeg(_gray(g))
+    assert (w, h, c) == (13, 17, 1)
+    err = np.abs(np.frombuffer(px, np.uint8).reshape(17, 13).astype(int) - g.astype(int))
+    assert err.max() <= 2
+
+    # 444 bound: +/-0.5 YCbCr round x ~2.4 conversion gain + DCT
+    # rounding ~= 4
+    rgb = rng.integers(0, 256, (24, 40, 3), dtype=np.uint8)
+    p = encode_jpeg(40, 24, 3, rgb.tobytes(), subsampling="444")
+    w, h, c, px = decode_jpeg(p)
+    assert (w, h, c) == (40, 24, 3)
+    out = np.frombuffer(px, np.uint8).reshape(24, 40, 3).astype(int)
+    assert np.abs(out - rgb.astype(int)).max() <= 5
+
+    # 420: per-pixel chroma noise is destroyed BY DESIGN (2x2 box
+    # mean), so use chroma that is constant per 2x2 box — half-res
+    # noise upsampled x2 — where subsampling itself is lossless and
+    # the same near-lossless bound must hold
+    half = rng.integers(0, 256, (12, 20, 3), dtype=np.uint8)
+    rgb2 = np.repeat(np.repeat(half, 2, axis=0), 2, axis=1)
+    p = encode_jpeg(40, 24, 3, rgb2.tobytes(), subsampling="420")
+    w, h, c, px = decode_jpeg(p)
+    assert (w, h, c) == (40, 24, 3)
+    out = np.frombuffer(px, np.uint8).reshape(24, 40, 3).astype(int)
+    assert np.abs(out - rgb2.astype(int)).max() <= 5
+
+
+def test_jpeg_annex_k_quant_table_and_restart_markers():
+    rng = np.random.default_rng(7)
+    qt = np.array(
+        [16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+         14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+         18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+         49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99],
+        dtype=np.int32,
+    )
+    g = rng.integers(0, 256, (32, 24), dtype=np.uint8)
+    p = encode_jpeg(24, 32, 1, g.tobytes(), qtable=qt)
+    w, h, c, px = decode_jpeg(p)
+    assert (w, h, c) == (24, 32, 1)  # lossy but structurally exact
+
+    # restart markers: RSTn every 2 MCUs must decode identically to
+    # the no-DRI stream (predictor resets and segment walk both right)
+    rgb = rng.integers(0, 256, (24, 40, 3), dtype=np.uint8)
+    p_rst = encode_jpeg(40, 24, 3, rgb.tobytes(), subsampling="420", restart_interval=2)
+    p_none = encode_jpeg(40, 24, 3, rgb.tobytes(), subsampling="420")
+    assert b"\xff\xd0" in p_rst or b"\xff\xd1" in p_rst
+    assert decode_jpeg(p_rst)[3] == decode_jpeg(p_none)[3]
+
+
+def test_jpeg_byte_stuffing_roundtrip():
+    # hunt a payload whose entropy stream contains stuffed 0xFF00 —
+    # the unstuffing path must reproduce pixels exactly (q=1, DC-only
+    # so the roundtrip stays exact even with stuffing present)
+    found = 0
+    for b in range(0, 256, 5):
+        img = np.repeat(
+            np.repeat(np.array([[0, b]], dtype=np.uint8), 8, 0), 8, 1
+        )
+        p = encode_jpeg(16, 8, 1, img.tobytes())
+        scan = p[p.index(b"\xff\xda") :]
+        if b"\xff\x00" in scan:
+            found += 1
+            w, h, c, px = decode_jpeg(p)
+            assert np.frombuffer(px, np.uint8).reshape(8, 16).tolist() == img.tolist()
+    assert found >= 10, "stuffing sweep produced too few stuffed streams"
+
+
+def test_jpeg_handcrafted_bitstream_decodes_known_coefficients():
+    # decoder-only check, independent of our encoder: a minimal JPEG
+    # built byte-by-byte with a trivial DHT (codes '0'=sym0, '10'=sym6
+    # for DC; AC table with EOB='0') and a hand-assembled entropy
+    # stream: DC category 6, magnitude bits 111111 (= +63), EOB.
+    # Expected block: constant DC = +63 -> pixel = 63/8... with q=8
+    # the dequantized DC is 63*8 = 504 -> pixel = 504/8 + 128 = 191.
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", 2 + len(body)) + body
+
+    zz_q = bytes([8] + [1] * 63)  # DC quant 8, AC 1 (zigzag order)
+    dqt = seg(0xDB, bytes([0x00]) + zz_q)
+    sof = seg(0xC0, bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0]))
+    # DC table: bits=[1,1,0...] -> '0'->first val (6); '10'->second (0)
+    dht_dc = seg(0xC4, bytes([0x00]) + bytes([1, 1] + [0] * 14) + bytes([6, 0]))
+    # AC table: one 1-bit code '0' -> 0x00 (EOB)
+    dht_ac = seg(0xC4, bytes([0x10]) + bytes([1] + [0] * 15) + bytes([0x00]))
+    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    # entropy: '0' (DC cat 6) + '111111' (+63) + '0' (EOB) = 8 bits
+    entropy = bytes([0b01111110])
+    p = b"\xff\xd8" + dqt + sof + dht_dc + dht_ac + sos + entropy + b"\xff\xd9"
+    w, h, c, px = decode_jpeg(p)
+    assert (w, h, c) == (8, 8, 1)
+    assert set(px) == {191}
+
+
+def test_jpeg_amplification_guard_is_a_constant_cap():
+    # a tiny payload declaring huge dimensions must be refused BEFORE
+    # any allocation — the cap is a constant, not header-relative
+    img = np.full((8, 8), 9, dtype=np.uint8)
+    p = bytearray(_gray(img))
+    i = p.index(b"\xff\xc0")
+    struct.pack_into(">HH", p, i + 5, 30000, 30000)
+    with pytest.raises(JpegUnsupported, match="cap"):
+        decode_jpeg(bytes(p))
+
+
+def test_jpeg_hostile_payloads_raise_jpegunsupported_only():
+    rng = random.Random(12)
+    good = encode_jpeg(16, 16, 1, bytes(range(256)))
+    hostile = [b"", b"\xff\xd8", b"\xff\xd8\xff", b"\xff\xd8\xff\xe0"]
+    hostile += [good[:n] for n in (4, 10, 25, 60, len(good) - 6)]
+    for i in (2, 5, 21, 40, 80, len(good) // 2, len(good) - 10):
+        hostile.append(good[:i] + bytes([good[i] ^ 0xFF]) + good[i + 1 :])
+    hostile += [
+        b"\xff\xd8\xff" + bytes(rng.randrange(256) for _ in range(64))
+        for _ in range(10)
+    ]
+    saw_raise = 0
+    for p in hostile:
+        try:
+            decode_jpeg(p)
+        except JpegUnsupported:
+            saw_raise += 1
+        # any other exception type fails the test by propagating
+    assert saw_raise >= len(hostile) - 4  # bit flips in entropy data may still decode
+
+
+def test_jpeg_progressive_and_unsupported_markers_refused():
+    img = np.full((8, 8), 50, dtype=np.uint8)
+    p = bytearray(_gray(img))
+    i = p.index(b"\xff\xc0")
+    p[i + 1] = 0xC2  # SOF2: progressive
+    with pytest.raises(JpegUnsupported, match="progressive"):
+        decode_jpeg(bytes(p))
+    assert not is_jpeg(b"GIF89a")
+    assert is_jpeg(_gray(img))
+
+
+def test_jpeg_routing_in_decode_image_batch():
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm import multimodal as mm
+
+    img = np.repeat(np.repeat(np.array([[9, 200]], dtype=np.uint8), 8, 0), 8, 1)
+    jp = encode_jpeg(16, 8, 1, img.tobytes())
+    png = mm.encode_png(2, 2, 1, bytes(4))
+    decoded, mimes = mm._decode_image_batch([jp, png, b"nope", None])
+    assert mimes[0] == "image/jpeg" and decoded[0][0:3] == (16, 8, 1)
+    assert np.frombuffer(decoded[0][3], np.uint8).sum() == int(img.sum())
+    assert mimes[1] == "image/png" and decoded[1] is not None
+    assert decoded[2] is None and decoded[3] is None
+
+
+def test_jpeg_payload_query_features(spark):
+    # the oracle fixture end-to-end in Spark: channels/pixel_sum flip
+    # on the color docs, sums replay from the text
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.multimodal import (
+        extract_features,
+        text_to_jpeg_payload,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "abcd"), (1, "Q"), (2, None), (3, "zzzz~")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in extract_features(text_to_jpeg_payload(df, "text")).collect()
+    }
+    def expect(text):
+        s = ("" if text is None else text)[:4].ljust(4)
+        return 64 * sum(ord(ch) % 256 for ch in s)
+    for i, t in ((0, "abcd"), (1, "Q"), (2, None), (3, "zzzz~")):
+        mult = 3 if i % 3 == 0 else 1
+        assert rows[i]["channels"] == (3 if i % 3 == 0 else 1)
+        assert rows[i]["pixel_sum"] == mult * expect(t)
+        assert (rows[i]["width"], rows[i]["height"]) == (16, 16)
