@@ -319,33 +319,65 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
     seg_i = -1
     seg = b""
     acc = nb = 0
-    bpos = seg_end = 0
+    bpos = 0
+    seg_end = real_bits = 0
     zig = _ZIGZAG
-
-    def _seg_consumed_ok() -> bool:
-        return bpos * 8 - nb <= seg_end * 8
-
+    pow2 = tuple(1 << s for s in range(33))  # nb can reach 31 at the mask
+    half = tuple(1 << (s - 1) if s else 0 for s in range(17))
+    # per-block work expanded per MCU: (comp, dsym, dlen, asym, alen)
+    blocks_order = []
+    for ci, dtab, atab in order:
+        blocks_order += [(ci, dtab[0], dtab[1], atab[0], atab[1])] * (
+            comps[ci][1] * comps[ci][2]
+        )
     for m in range(n_mcu):
         if dri and m % dri == 0 or m == 0:
-            if m and not _seg_consumed_ok():
+            # consumed bits may never exceed the segment's real bits
+            # (JPEG's byte-boundary padding is flushed, not decoded)
+            if m and bpos * 8 - nb > real_bits:
                 raise JpegUnsupported("entropy segment truncated")
             seg_i += 1
             if seg_i >= len(segs):
                 raise JpegUnsupported("missing restart segment")
             seg = segs[seg_i]
             seg_end = len(seg)
+            real_bits = seg_end * 8
             acc = nb = 0
             bpos = 0
             if m:
                 pred = [0] * nc
-        for ci, (dsym, dlen), (asym, alen) in order:
-            for _ in range(comps[ci][1] * comps[ci][2]):
-                blk = [0] * 64
-                # refill to >=32 bits (1-bit pad past the end, max 4
-                # buffer bytes); the mask keeps `acc` a machine int
-                # across the stream instead of a growing bigint
+        for ci, dsym, dlen, asym, alen in blocks_order:
+            blk = [0] * 64
+            # refill to >=32 bits (1-bit pad past the end, max 4
+            # buffer bytes); the mask keeps `acc` a machine int
+            # across the stream instead of a growing bigint
+            if nb < 32:
+                acc &= pow2[nb] - 1
+                while nb < 32:
+                    if bpos < seg_end:
+                        acc = (acc << 8) | seg[bpos]
+                    elif bpos < seg_end + 4:
+                        acc = (acc << 8) | 0xFF
+                    else:
+                        raise JpegUnsupported("entropy stream truncated")
+                    bpos += 1
+                    nb += 8
+            peek = (acc >> (nb - 16)) & 0xFFFF
+            s = dsym[peek]
+            if s < 0:
+                raise JpegUnsupported("invalid DC Huffman code")
+            nb -= dlen[peek]
+            if s:
+                if s > 15:
+                    raise JpegUnsupported("DC magnitude overruns")
+                nb -= s
+                v = (acc >> nb) & (pow2[s] - 1)
+                pred[ci] += v + 1 - pow2[s] if v < half[s] else v
+            blk[0] = pred[ci]
+            k = 1
+            while k < 64:
                 if nb < 32:
-                    acc &= (1 << nb) - 1
+                    acc &= pow2[nb] - 1
                     while nb < 32:
                         if bpos < seg_end:
                             acc = (acc << 8) | seg[bpos]
@@ -356,57 +388,30 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
                         bpos += 1
                         nb += 8
                 peek = (acc >> (nb - 16)) & 0xFFFF
-                s = dsym[peek]
-                if s < 0:
-                    raise JpegUnsupported("invalid DC Huffman code")
-                nb -= dlen[peek]
-                if s:
-                    if s > 15:
-                        raise JpegUnsupported("DC magnitude overruns")
-                    diff = _extend((acc >> (nb - s)) & ((1 << s) - 1), s)
-                    nb -= s
-                else:
-                    diff = 0
-                if not _seg_consumed_ok():
-                    raise JpegUnsupported("entropy stream truncated")
-                pred[ci] += diff
-                blk[0] = pred[ci]
-                k = 1
-                while k < 64:
-                    if nb < 32:
-                        acc &= (1 << nb) - 1
-                        while nb < 32:
-                            if bpos < seg_end:
-                                acc = (acc << 8) | seg[bpos]
-                            elif bpos < seg_end + 4:
-                                acc = (acc << 8) | 0xFF
-                            else:
-                                raise JpegUnsupported("entropy stream truncated")
-                            bpos += 1
-                            nb += 8
-                    peek = (acc >> (nb - 16)) & 0xFFFF
-                    rs = asym[peek]
-                    if rs < 0:
-                        raise JpegUnsupported("invalid AC Huffman code")
-                    nb -= alen[peek]
+                rs = asym[peek]
+                if rs <= 0:
                     if rs == 0:  # EOB
+                        nb -= alen[peek]
                         break
-                    r, s = rs >> 4, rs & 0x0F
-                    if s == 0:
-                        if r != 15:
-                            raise JpegUnsupported("invalid AC run/size")
-                        k += 16  # ZRL
-                        continue
-                    k += r
-                    if k > 63:
-                        raise JpegUnsupported("AC coefficient overruns block")
-                    blk[zig[k]] = _extend((acc >> (nb - s)) & ((1 << s) - 1), s)
-                    nb -= s
-                    k += 1
-                if not _seg_consumed_ok():
-                    raise JpegUnsupported("entropy stream truncated")
-                rows[ci].append(blk)
-    if not _seg_consumed_ok():
+                    raise JpegUnsupported("invalid AC Huffman code")
+                nb -= alen[peek]
+                s = rs & 0x0F
+                if s == 0:
+                    if rs != 0xF0:
+                        raise JpegUnsupported("invalid AC run/size")
+                    k += 16  # ZRL
+                    continue
+                k += rs >> 4
+                if k > 63:
+                    raise JpegUnsupported("AC coefficient overruns block")
+                nb -= s
+                v = (acc >> nb) & (pow2[s] - 1)
+                blk[zig[k]] = v + 1 - pow2[s] if v < half[s] else v
+                k += 1
+            if bpos * 8 - nb > real_bits:
+                raise JpegUnsupported("entropy stream truncated")
+            rows[ci].append(blk)
+    if bpos * 8 - nb > real_bits:
         raise JpegUnsupported("entropy stream truncated")
     planes = []
     for ci, (cid, hi, vi, tq) in enumerate(comps):
@@ -615,7 +620,8 @@ def encode_jpeg(
     """Encode interleaved uint8 pixels as a baseline JFIF JPEG.
 
     ``channels`` 1 (grayscale) or 3 (RGB -> BT.601 YCbCr);
-    ``subsampling`` '444' or '420' (3-channel only); ``qtable`` is a
+    ``subsampling`` '444', '422', '440' or '420' (3-channel only;
+    luma factors 1x1 / 2x1 / 1x2 / 2x2 with 1x1 chroma); ``qtable`` is a
     64-entry block-order quantization table used for every component
     (default all-ones — near-lossless, and EXACTLY lossless for
     blocks that are constant, which is what the oracle fixtures use);
@@ -623,7 +629,8 @@ def encode_jpeg(
     MCUs."""
     if channels not in (1, 3):
         raise JpegUnsupported(f"{channels} channels")
-    if subsampling not in ("444", "420"):
+    _LUMA_SAMP = {"444": (1, 1), "422": (2, 1), "440": (1, 2), "420": (2, 2)}
+    if subsampling not in _LUMA_SAMP:
         raise JpegUnsupported(f"subsampling {subsampling}")
     arr = np.frombuffer(bytes(pixels), dtype=np.uint8)
     if arr.size != width * height * channels:
@@ -644,7 +651,7 @@ def encode_jpeg(
         planes = [
             np.clip(p, 0, 255).astype(np.uint8) for p in (y, cb, cr)
         ]
-        samp = [(1, 1)] * 3 if subsampling == "444" else [(2, 2), (1, 1), (1, 1)]
+        samp = [_LUMA_SAMP[subsampling], (1, 1), (1, 1)]
     hmax = max(s[0] for s in samp)
     vmax = max(s[1] for s in samp)
     mcux = (width + 8 * hmax - 1) // (8 * hmax)
