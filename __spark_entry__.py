@@ -917,16 +917,19 @@ def q_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     Every 3rd doc is packaged as COLOR 4:2:0 (R=G=B, Cb=Cr=128 — also
     exact under BT.601 both ways), so chroma subsampling, MCU
     interleave and color conversion sit inside the same green row
-    (channels and pixel_sum flip via CASE on doc_id). Decode runs in
-    the shared Arrow-batched extract_features stage: marker walk,
-    canonical Huffman, dequantize, one-einsum batched IDCT
-    (llm/jpeg.py)."""
+    (channels and pixel_sum flip via CASE on doc_id); every 5th doc is
+    written PROGRESSIVE (SOF2 — multi-scan successive approximation
+    carrying the same quantized coefficients, so the features replay
+    UNCHANGED and the progressive scan machinery is driver-proven with
+    no registry growth). Decode runs in the shared Arrow-batched
+    extract_features stage: marker walk, canonical Huffman,
+    dequantize, one-einsum batched IDCT (llm/jpeg.py)."""
     from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.multimodal import (
         text_to_jpeg_payload,
     )
 
     d = T(spark, sf_dir, "documents")
-    feats = extract_features(text_to_jpeg_payload(d, "text"))
+    feats = extract_features(text_to_jpeg_payload(d, "text", progressive_every=5))
     return feats.select("doc_id", "width", "height", "channels", "pixel_sum")
 
 

@@ -3,27 +3,37 @@ stages — the sixth real codec, and the last real-corpus image format
 that was still routed to the digest stub (VERDICT r11 #1).
 
 Unlike PNG/BMP/TIFF/WAV, JPEG is a transform codec: entropy-coded
-(Huffman) quantized DCT coefficients. Baseline sequential JPEG (ITU
-T.81): JFIF container markers, canonical Huffman tables from DHT,
-zigzag + dequantize, 8x8 inverse DCT, optional 4:2:0/4:2:2 chroma
-subsampling and BT.601 YCbCr->RGB. No codec library is needed — the
-bit-level entropy decode runs in Python over a 16-bit lookup table
-(tables are cached across payloads, so the per-image cost is the
-symbol loop), and everything after the symbol loop is vectorized
-numpy over ALL blocks at once (one einsum IDCT per component, one
-reshape/transpose to assemble planes).
+(Huffman) quantized DCT coefficients. Both Huffman coding modes real
+corpora contain are decoded FOR REAL: baseline/extended sequential
+(SOF0/SOF1) and PROGRESSIVE (SOF2 — multi-scan spectral selection +
+successive approximation, EOB-run codes, DC/AC refinement). JFIF
+container markers, canonical Huffman tables from DHT, zigzag +
+dequantize, 8x8 inverse DCT, optional chroma subsampling and BT.601
+YCbCr->RGB. No codec library is needed — the bit-level entropy decode
+runs in Python over a 16-bit lookup table (tables are cached across
+payloads, so the per-image cost is the symbol loop), and everything
+after the symbol loop is vectorized numpy over ALL blocks at once
+(one einsum IDCT per component at EOI, however many scans
+contributed coefficients).
 
 Scope (everything else raises ``JpegUnsupported`` and callers fall
 back to the digest stub, exactly like the other five codecs):
 
-- baseline or extended-sequential Huffman (SOF0/SOF1), 8-bit
-  precision, single interleaved scan; progressive (SOF2),
+- Huffman sequential (SOF0/SOF1, single or multiple scans) and
+  Huffman progressive (SOF2), 8-bit precision; lossless,
   hierarchical, arithmetic-coded and 12-bit files are refused;
 - 1 (grayscale) or 3 (YCbCr) components; luma sampling factors 1x1,
   2x1, 1x2 or 2x2 with 1x1 chroma (4:4:4, 4:2:2, 4:4:0, 4:2:0 — what
-  real encoders emit); restart markers (DRI/RSTn) supported;
+  real encoders emit); restart markers (DRI/RSTn) supported in both
+  modes;
 - 8-bit DQT tables; DHT tables are validated as canonical prefix
   codes before a LUT is built.
+
+The encoders (:func:`encode_jpeg`, :func:`encode_jpeg_progressive`)
+exist for fixtures and proof: both transmit the SAME quantized
+coefficients, so progressive-vs-baseline decode equality is asserted
+pixel-exact in tests — an entropy-layer bug in either mode breaks the
+equivalence, independent of the DC-only oracle path.
 
 Decode output matches :mod:`.png` / :mod:`.bmp` / :mod:`.tiff`:
 ``(width, height, channels, pixel_bytes)`` row-major top-down,
@@ -148,104 +158,12 @@ def _extend(v: int, s: int) -> int:
 # ---------------------------------------------------------- decoder
 
 
-def _parse_markers(data: bytes):
-    """Walk the marker stream up to SOS. Returns (qtabs, huff_dc,
-    huff_ac, frame, restart_interval, scan_comps, scan_start)."""
-    qtabs: dict[int, np.ndarray] = {}
-    hdc: dict[int, tuple[list, list]] = {}
-    hac: dict[int, tuple[list, list]] = {}
-    frame = None
-    dri = 0
-    pos = 2
-    n = len(data)
-    while True:
-        if pos + 4 > n:
-            raise JpegUnsupported("marker stream truncated before SOS")
-        if data[pos] != 0xFF:
-            raise JpegUnsupported(f"expected marker at {pos}")
-        marker = data[pos + 1]
-        if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
-            raise JpegUnsupported("stray SOI/RST marker in header")
-        (seglen,) = struct.unpack_from(">H", data, pos + 2)
-        if seglen < 2 or pos + 2 + seglen > n:
-            raise JpegUnsupported(f"marker 0x{marker:02x} length overruns payload")
-        body = data[pos + 4 : pos + 2 + seglen]
-        pos += 2 + seglen
-        if marker == 0xDB:  # DQT
-            b = 0
-            while b < len(body):
-                pq, tq = body[b] >> 4, body[b] & 0x0F
-                if pq != 0:
-                    raise JpegUnsupported("16-bit quantization table")
-                if b + 65 > len(body):
-                    raise JpegUnsupported("DQT truncated")
-                tab = np.frombuffer(body[b + 1 : b + 65], dtype=np.uint8)
-                q = np.empty(64, dtype=np.int32)
-                q[np.array(_ZIGZAG)] = tab  # store in block order
-                if (q == 0).any():
-                    raise JpegUnsupported("zero in quantization table")
-                qtabs[tq] = q
-                b += 65
-        elif marker == 0xC4:  # DHT
-            b = 0
-            while b + 17 <= len(body):
-                tc, th = body[b] >> 4, body[b] & 0x0F
-                bits = body[b + 1 : b + 17]
-                nv = sum(bits)
-                if b + 17 + nv > len(body):
-                    raise JpegUnsupported("DHT truncated")
-                vals = body[b + 17 : b + 17 + nv]
-                (hdc if tc == 0 else hac)[th] = _build_lut(bits, vals)
-                b += 17 + nv
-            if b != len(body):
-                raise JpegUnsupported("DHT trailing bytes")
-        elif marker in (0xC0, 0xC1):  # SOF0 / SOF1
-            if frame is not None:
-                raise JpegUnsupported("multiple frames")
-            if len(body) < 6:
-                raise JpegUnsupported("SOF truncated")
-            prec, h, w, nc = body[0], (body[1] << 8) | body[2], (body[3] << 8) | body[4], body[5]
-            if prec != 8:
-                raise JpegUnsupported(f"{prec}-bit precision")
-            if nc not in (1, 3):
-                raise JpegUnsupported(f"{nc} components")
-            if len(body) != 6 + 3 * nc:
-                raise JpegUnsupported("SOF component list truncated")
-            comps = []
-            for i in range(nc):
-                cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
-                comps.append([cid, hv >> 4, hv & 0x0F, tq])
-            frame = (w, h, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise JpegUnsupported("progressive/hierarchical/arithmetic JPEG")
-        elif marker == 0xDD:  # DRI
-            if len(body) != 2:
-                raise JpegUnsupported("DRI length")
-            dri = (body[0] << 8) | body[1]
-        elif marker == 0xDA:  # SOS
-            if frame is None:
-                raise JpegUnsupported("SOS before SOF")
-            ns = body[0] if body else -1
-            if ns != len(frame[2]):
-                raise JpegUnsupported("scan does not cover all components")
-            if len(body) != 1 + 2 * ns + 3:
-                raise JpegUnsupported("SOS truncated")
-            scan = []
-            for i in range(ns):
-                cs, tt = body[1 + 2 * i], body[2 + 2 * i]
-                scan.append((cs, tt >> 4, tt & 0x0F))
-            ss, se, ahal = body[1 + 2 * ns : 4 + 2 * ns]
-            if (ss, se, ahal) != (0, 63, 0):
-                raise JpegUnsupported("non-sequential scan parameters")
-            return qtabs, hdc, hac, frame, dri, scan, pos
-        elif marker == 0xD9:
-            raise JpegUnsupported("EOI before SOS")
-        # else: APPn/COM/DNL etc — skipped via seglen
-
-
-def _scan_segments(data: bytes, start: int) -> list[bytes]:
-    """Split the entropy-coded scan into restart segments, unstuffing
-    0xFF00 -> 0xFF in each. Ends at the first non-RST marker (EOI)."""
+def _scan_segments(data: bytes, start: int) -> tuple[list[bytes], int]:
+    """Split one scan's entropy-coded data into restart segments,
+    unstuffing 0xFF00 -> 0xFF in each. Returns (segments, end) where
+    ``end`` is the offset of the terminating non-RST marker's 0xFF (or
+    ``len(data)`` when the tail is truncated — the MCU-count and
+    consumed-bits checks decide whether the data sufficed)."""
     segs = []
     seg_start = start
     pos = start
@@ -253,10 +171,8 @@ def _scan_segments(data: bytes, start: int) -> list[bytes]:
     while True:
         idx = data.find(b"\xff", pos)
         if idx < 0 or idx + 1 >= n:
-            # no terminating marker: tolerate a missing EOI (truncated
-            # tail) — the MCU-count check decides if data was enough
             segs.append(data[seg_start:n].replace(b"\xff\x00", b"\xff"))
-            return segs
+            return segs, n
         nxt = data[idx + 1]
         if nxt == 0x00 or nxt == 0xFF:
             pos = idx + 2 if nxt == 0x00 else idx + 1
@@ -265,72 +181,96 @@ def _scan_segments(data: bytes, start: int) -> list[bytes]:
         if 0xD0 <= nxt <= 0xD7:  # RSTn
             seg_start = pos = idx + 2
             continue
-        return segs
+        return segs, idx
 
 
-def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
-    """Decode a baseline JPEG payload -> ``(width, height, channels,
-    pixel_bytes)``, channels 1 (grayscale) or 3 (RGB, BT.601)."""
-    data = bytes(payload)
-    if not is_jpeg(data):
-        raise JpegUnsupported("bad signature")
-    qtabs, hdc, hac, frame, dri, scan, spos = _parse_markers(data)
-    w, h, comps = frame
-    if w == 0 or h == 0:
-        raise JpegUnsupported("zero dimension")
+class _BitReader:
+    """Bit reader over one unstuffed entropy segment, used by the
+    PROGRESSIVE scan modes (the sequential hot loop stays inline in
+    `_decode_scan_sequential` — baseline decode speed is unchanged).
+    Same buffer rule as the inline loop: the buffer may be FILLED with
+    1-bit padding past the end (the peek window needs it), but
+    consumed bits may never exceed the segment's real bits."""
+
+    __slots__ = ("seg", "n", "acc", "nb", "bpos")
+
+    def __init__(self, seg: bytes):
+        self.seg = seg
+        self.n = len(seg)
+        self.acc = 0
+        self.nb = 0
+        self.bpos = 0
+
+    def _fill(self) -> None:
+        acc = self.acc & ((1 << self.nb) - 1)
+        nb, bpos, seg, n = self.nb, self.bpos, self.seg, self.n
+        while nb < 32:
+            if bpos < n:
+                acc = (acc << 8) | seg[bpos]
+            elif bpos < n + 4:
+                acc = (acc << 8) | 0xFF
+            else:
+                raise JpegUnsupported("entropy stream truncated")
+            bpos += 1
+            nb += 8
+        self.acc, self.nb, self.bpos = acc, nb, bpos
+
+    def huff(self, sym: list, length: list) -> int:
+        if self.nb < 16:
+            self._fill()
+        peek = (self.acc >> (self.nb - 16)) & 0xFFFF
+        s = sym[peek]
+        if s < 0:
+            raise JpegUnsupported("invalid Huffman code")
+        self.nb -= length[peek]
+        return s
+
+    def bits(self, s: int) -> int:
+        if self.nb < s:
+            self._fill()
+        self.nb -= s
+        return (self.acc >> self.nb) & ((1 << s) - 1)
+
+    def receive_extend(self, s: int) -> int:
+        v = self.bits(s)
+        return v - (1 << s) + 1 if v < (1 << (s - 1)) else v
+
+    def consumed_ok(self) -> bool:
+        return self.bpos * 8 - self.nb <= self.n * 8
+
+
+def _decode_scan_sequential(segs, comps, coef, order, geom, dri):
+    """Sequential (SOF0/SOF1) scan: the baseline hot loop. Interleaved
+    (ns > 1) iterates MCUs; single-component scans iterate the
+    component's TRUE block grid (T.81: non-interleaved MCU = 1 block).
+    Writes into the raster-order padded block grid `coef[ci]`."""
+    mcux, mcuy, grids = geom
     nc = len(comps)
-    if w * h * nc > _MAX_OUTPUT_BYTES:
-        raise JpegUnsupported(
-            f"{w}x{h}x{nc} exceeds the {_MAX_OUTPUT_BYTES}-byte output cap"
-        )
-    if nc == 1:
-        comps[0][1] = comps[0][2] = 1  # single-component scans are MCU=1 block
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
-    for cid, hi, vi, tq in comps:
-        if hi not in (1, 2) or vi not in (1, 2):
-            raise JpegUnsupported(f"sampling factor {hi}x{vi}")
-        if (hi, vi) != (hmax, vmax) and (hi, vi) != (1, 1):
-            raise JpegUnsupported("mixed sampling factors beyond luma-subsampled chroma")
-        if tq not in qtabs:
-            raise JpegUnsupported(f"missing quantization table {tq}")
-    mcux = (w + 8 * hmax - 1) // (8 * hmax)
-    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
-    n_mcu = mcux * mcuy
-
-    # per-scan-component huffman tables, aligned to frame components
-    order = []
-    for cs, td, ta in scan:
-        match = [c for c in comps if c[0] == cs]
-        if not match:
-            raise JpegUnsupported(f"scan references unknown component {cs}")
-        if td not in hdc or ta not in hac:
-            raise JpegUnsupported("scan references missing Huffman table")
-        order.append((comps.index(match[0]), hdc[td], hac[ta]))
-
-    segs = _scan_segments(data, spos)
-    # entropy decode: per-component zigzag coefficient rows.
-    # Bit buffer rule: the buffer may be FILLED with 1-bit padding past
-    # the segment end (the peek window legitimately reaches past the
-    # final byte), but CONSUMED bits may never exceed the segment's
-    # real bits — JPEG's byte-boundary padding is flushed, not decoded.
-    rows = [[] for _ in comps]  # python-side row buffers (fast append)
+    zig = _ZIGZAG
+    pow2 = tuple(1 << s for s in range(33))
+    half = tuple(1 << (s - 1) if s else 0 for s in range(17))
+    interleaved = len(order) > 1
+    if interleaved:
+        # (ci, dy, dx, dsym, dlen, asym, alen) per block slot of an MCU
+        slots = []
+        for ci, dtab, atab in order:
+            hi, vi = comps[ci][1], comps[ci][2]
+            for dy in range(vi):
+                for dx in range(hi):
+                    slots.append((ci, dy, dx, dtab[0], dtab[1], atab[0], atab[1]))
+        n_units = mcux * mcuy
+    else:
+        ci, dtab, atab = order[0]
+        bw, bh = grids[ci][2], grids[ci][3]
+        slots = [(ci, 0, 0, dtab[0], dtab[1], atab[0], atab[1])]
+        n_units = bw * bh
     pred = [0] * nc
     seg_i = -1
     seg = b""
     acc = nb = 0
     bpos = 0
     seg_end = real_bits = 0
-    zig = _ZIGZAG
-    pow2 = tuple(1 << s for s in range(33))  # nb can reach 31 at the mask
-    half = tuple(1 << (s - 1) if s else 0 for s in range(17))
-    # per-block work expanded per MCU: (comp, dsym, dlen, asym, alen)
-    blocks_order = []
-    for ci, dtab, atab in order:
-        blocks_order += [(ci, dtab[0], dtab[1], atab[0], atab[1])] * (
-            comps[ci][1] * comps[ci][2]
-        )
-    for m in range(n_mcu):
+    for m in range(n_units):
         if dri and m % dri == 0 or m == 0:
             # consumed bits may never exceed the segment's real bits
             # (JPEG's byte-boundary padding is flushed, not decoded)
@@ -346,8 +286,15 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
             bpos = 0
             if m:
                 pred = [0] * nc
-        for ci, dsym, dlen, asym, alen in blocks_order:
-            blk = [0] * 64
+        for ci, dy, dx, dsym, dlen, asym, alen in slots:
+            if interleaved:
+                bwp, hi, vi = grids[ci][0], comps[ci][1], comps[ci][2]
+                my, mx = divmod(m, mcux)
+                idx = (my * vi + dy) * bwp + mx * hi + dx
+            else:
+                bwp, bw = grids[ci][0], grids[ci][2]
+                idx = (m // bw) * bwp + m % bw
+            blk = coef[ci][idx]
             # refill to >=32 bits (1-bit pad past the end, max 4
             # buffer bytes); the mask keeps `acc` a machine int
             # across the stream instead of a growing bigint
@@ -410,20 +357,362 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
                 k += 1
             if bpos * 8 - nb > real_bits:
                 raise JpegUnsupported("entropy stream truncated")
-            rows[ci].append(blk)
     if bpos * 8 - nb > real_bits:
         raise JpegUnsupported("entropy stream truncated")
+
+
+def _decode_scan_progressive(segs, comps, coef, order, geom, dri, ss, se, ah, al):
+    """One progressive (SOF2) scan — the four T.81 modes: DC first
+    (diffs at reduced precision, << Al), DC refinement (one raw bit
+    per block), AC first (band Ss..Se run-length with EOB-run codes),
+    AC refinement (correction bits on known coefficients + newly
+    significant +/-2^Al). Spec constraints enforced by the caller: AC
+    scans are single-component; Ah == 0 or Ah == Al + 1."""
+    mcux, mcuy, grids = geom
+    nc = len(comps)
+    zig = _ZIGZAG
+    interleaved = len(order) > 1
+    if ss == 0:
+        units = []
+        if interleaved:
+            for m in range(mcux * mcuy):
+                my, mx = divmod(m, mcux)
+                for ci, _dt, _at in order:
+                    bwp, hi, vi = grids[ci][0], comps[ci][1], comps[ci][2]
+                    for dy in range(vi):
+                        for dx in range(hi):
+                            units.append((ci, (my * vi + dy) * bwp + mx * hi + dx))
+        else:
+            ci = order[0][0]
+            bwp, bw, bh = grids[ci][0], grids[ci][2], grids[ci][3]
+            units = [
+                (ci, (m // bw) * bwp + m % bw) for m in range(bw * bh)
+            ]
+        n_units = mcux * mcuy if interleaved else len(units)
+        per_mcu = len(units) // n_units if n_units else 1
+    else:
+        ci = order[0][0]
+        bwp, bw, bh = grids[ci][0], grids[ci][2], grids[ci][3]
+        units = [(ci, (m // bw) * bwp + m % bw) for m in range(bw * bh)]
+        n_units = len(units)
+        per_mcu = 1
+
+    tabs = {ci: (dtab, atab) for ci, dtab, atab in order}
+    pred = [0] * nc
+    eobrun = 0
+    br = None
+    seg_i = -1
+    p1 = 1 << al
+    m1 = -p1
+    for m in range(n_units):
+        if dri and m % dri == 0 or m == 0:
+            if m and not br.consumed_ok():
+                raise JpegUnsupported("entropy segment truncated")
+            seg_i += 1
+            if seg_i >= len(segs):
+                raise JpegUnsupported("missing restart segment")
+            br = _BitReader(segs[seg_i])
+            if m:
+                pred = [0] * nc
+                eobrun = 0
+        for u in range(per_mcu):
+            ci, idx = units[m * per_mcu + u]
+            blk = coef[ci][idx]
+            if ss == 0:
+                if ah == 0:  # DC first
+                    dsym, dlen = tabs[ci][0]
+                    s = br.huff(dsym, dlen)
+                    if s:
+                        if s > 15:
+                            raise JpegUnsupported("DC magnitude overruns")
+                        pred[ci] += br.receive_extend(s)
+                    blk[0] = pred[ci] << al
+                else:  # DC refinement: one raw bit
+                    if br.bits(1):
+                        blk[0] |= p1
+                continue
+            # AC scans (single component)
+            asym, alen = tabs[ci][1]
+            if ah == 0:  # AC first
+                if eobrun:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = br.huff(asym, alen)
+                    r, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if r == 15:
+                            k += 16  # ZRL
+                            continue
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += br.bits(r)
+                        break
+                    k += r
+                    if k > se:
+                        raise JpegUnsupported("AC coefficient overruns band")
+                    blk[zig[k]] = br.receive_extend(s) << al
+                    k += 1
+            else:  # AC refinement
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = br.huff(asym, alen)
+                        r, s = rs >> 4, rs & 0x0F
+                        v = 0
+                        if s == 0:
+                            if r < 15:
+                                # NOTE no -1, unlike the first-scan
+                                # form: here the CURRENT block flows
+                                # into the shared eobrun>0 logic below,
+                                # which also decrements
+                                eobrun = 1 << r
+                                if r:
+                                    eobrun += br.bits(r)
+                                break
+                            # r == 15: ZRL — skip 16 zero-history slots
+                        else:
+                            if s != 1:
+                                raise JpegUnsupported("refinement size != 1")
+                            v = p1 if br.bits(1) else m1
+                        # advance over r zero-history slots, emitting
+                        # correction bits for nonzero-history ones
+                        while k <= se:
+                            z = zig[k]
+                            cur = blk[z]
+                            if cur != 0:
+                                if br.bits(1) and (cur & p1) == 0:
+                                    blk[z] = cur + (p1 if cur >= 0 else m1)
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if v:
+                            if k > se:
+                                raise JpegUnsupported("refinement overruns band")
+                            blk[zig[k]] = v
+                        k += 1
+                if eobrun > 0:
+                    while k <= se:
+                        z = zig[k]
+                        cur = blk[z]
+                        if cur != 0 and br.bits(1) and (cur & p1) == 0:
+                            blk[z] = cur + (p1 if cur >= 0 else m1)
+                        k += 1
+                    eobrun -= 1
+    if br is not None and not br.consumed_ok():
+        raise JpegUnsupported("entropy stream truncated")
+
+
+def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Decode a baseline/extended-sequential (SOF0/SOF1) or
+    PROGRESSIVE (SOF2) JPEG payload -> ``(width, height, channels,
+    pixel_bytes)``, channels 1 (grayscale) or 3 (RGB, BT.601).
+    Coefficients accumulate across scans in a raster-order padded
+    block grid per component; dequantize + batched IDCT + plane
+    assembly run ONCE at the end, shared by both coding modes."""
+    data = bytes(payload)
+    if not is_jpeg(data):
+        raise JpegUnsupported("bad signature")
+    qtabs: dict[int, np.ndarray] = {}
+    hdc: dict[int, tuple[list, list]] = {}
+    hac: dict[int, tuple[list, list]] = {}
+    frame = None
+    progressive = False
+    dri = 0
+    coef = None
+    geom = None
+    dc_done = set()
+    saw_scan = False
+    pos = 2
+    n = len(data)
+    while True:
+        if pos >= n:
+            if saw_scan:
+                break  # tolerated missing EOI after a complete scan
+            raise JpegUnsupported("marker stream truncated before SOS")
+        if pos + 2 > n or data[pos] != 0xFF:
+            raise JpegUnsupported(f"expected marker at {pos}")
+        marker = data[pos + 1]
+        if marker == 0xD9:  # EOI
+            if not saw_scan:
+                raise JpegUnsupported("EOI before SOS")
+            break
+        if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0xFF:
+            raise JpegUnsupported("stray SOI/RST/fill marker in header")
+        if pos + 4 > n:
+            raise JpegUnsupported("marker stream truncated")
+        (seglen,) = struct.unpack_from(">H", data, pos + 2)
+        if seglen < 2 or pos + 2 + seglen > n:
+            raise JpegUnsupported(f"marker 0x{marker:02x} length overruns payload")
+        body = data[pos + 4 : pos + 2 + seglen]
+        pos += 2 + seglen
+        if marker == 0xDB:  # DQT
+            b = 0
+            while b < len(body):
+                pq, tq = body[b] >> 4, body[b] & 0x0F
+                if pq != 0:
+                    raise JpegUnsupported("16-bit quantization table")
+                if b + 65 > len(body):
+                    raise JpegUnsupported("DQT truncated")
+                tab = np.frombuffer(body[b + 1 : b + 65], dtype=np.uint8)
+                q = np.empty(64, dtype=np.int32)
+                q[np.array(_ZIGZAG)] = tab  # store in block order
+                if (q == 0).any():
+                    raise JpegUnsupported("zero in quantization table")
+                qtabs[tq] = q
+                b += 65
+        elif marker == 0xC4:  # DHT
+            b = 0
+            while b + 17 <= len(body):
+                tc, th = body[b] >> 4, body[b] & 0x0F
+                bits = body[b + 1 : b + 17]
+                nv = sum(bits)
+                if b + 17 + nv > len(body):
+                    raise JpegUnsupported("DHT truncated")
+                vals = body[b + 17 : b + 17 + nv]
+                (hdc if tc == 0 else hac)[th] = _build_lut(bits, vals)
+                b += 17 + nv
+            if b != len(body):
+                raise JpegUnsupported("DHT trailing bytes")
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0 / SOF1 / SOF2
+            if frame is not None:
+                raise JpegUnsupported("multiple frames")
+            progressive = marker == 0xC2
+            if len(body) < 6:
+                raise JpegUnsupported("SOF truncated")
+            prec = body[0]
+            h, w = (body[1] << 8) | body[2], (body[3] << 8) | body[4]
+            ncomp = body[5]
+            if prec != 8:
+                raise JpegUnsupported(f"{prec}-bit precision")
+            if ncomp not in (1, 3):
+                raise JpegUnsupported(f"{ncomp} components")
+            if len(body) != 6 + 3 * ncomp:
+                raise JpegUnsupported("SOF component list truncated")
+            comps = []
+            for i in range(ncomp):
+                cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
+                comps.append([cid, hv >> 4, hv & 0x0F, tq])
+            if w == 0 or h == 0:
+                raise JpegUnsupported("zero dimension")
+            if w * h * ncomp > _MAX_OUTPUT_BYTES:
+                raise JpegUnsupported(
+                    f"{w}x{h}x{ncomp} exceeds the {_MAX_OUTPUT_BYTES}-byte output cap"
+                )
+            if ncomp == 1:
+                comps[0][1] = comps[0][2] = 1
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            for cid, hi, vi, tq in comps:
+                if hi not in (1, 2) or vi not in (1, 2):
+                    raise JpegUnsupported(f"sampling factor {hi}x{vi}")
+                if (hi, vi) != (hmax, vmax) and (hi, vi) != (1, 1):
+                    raise JpegUnsupported(
+                        "mixed sampling factors beyond luma-subsampled chroma"
+                    )
+            mcux = (w + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+            grids = []
+            coef = []
+            for cid, hi, vi, tq in comps:
+                bwp, bhp = mcux * hi, mcuy * vi
+                cw = (w * hi + hmax - 1) // hmax
+                ch = (h * vi + vmax - 1) // vmax
+                bw, bh = (cw + 7) // 8, (ch + 7) // 8
+                grids.append((bwp, bhp, bw, bh))
+                coef.append([[0] * 64 for _ in range(bwp * bhp)])
+            frame = (w, h, comps, hmax, vmax)
+            geom = (mcux, mcuy, grids)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise JpegUnsupported("lossless/hierarchical/arithmetic JPEG")
+        elif marker == 0xDD:  # DRI
+            if len(body) != 2:
+                raise JpegUnsupported("DRI length")
+            dri = (body[0] << 8) | body[1]
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise JpegUnsupported("SOS before SOF")
+            w, h, comps, hmax, vmax = frame
+            ns = body[0] if body else -1
+            if ns < 1 or ns > len(comps) or len(body) != 1 + 2 * ns + 3:
+                raise JpegUnsupported("SOS truncated")
+            order = []
+            for i in range(ns):
+                cs, tt = body[1 + 2 * i], body[2 + 2 * i]
+                match = [c for c in comps if c[0] == cs]
+                if not match:
+                    raise JpegUnsupported(f"scan references unknown component {cs}")
+                ci = comps.index(match[0])
+                if any(o[0] == ci for o in order):
+                    raise JpegUnsupported("component repeated in scan")
+                order.append((ci, tt >> 4, tt & 0x0F))
+            ss, se, ahal = body[1 + 2 * ns : 4 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
+            if not progressive:
+                if (ss, se, ah, al) != (0, 63, 0, 0):
+                    raise JpegUnsupported("non-sequential scan parameters")
+                resolved = []
+                for ci, td, ta in order:
+                    if td not in hdc or ta not in hac:
+                        raise JpegUnsupported("scan references missing Huffman table")
+                    if comps[ci][3] not in qtabs:
+                        raise JpegUnsupported("missing quantization table")
+                    resolved.append((ci, hdc[td], hac[ta]))
+                segs, pos = _scan_segments(data, pos)
+                _decode_scan_sequential(segs, comps, coef, resolved, geom, dri)
+            else:
+                if al > 13 or (ah and ah != al + 1):
+                    raise JpegUnsupported("successive-approximation parameters")
+                if ss == 0:
+                    if se != 0:
+                        raise JpegUnsupported("DC scan with Se != 0")
+                elif ns != 1 or se < ss or se > 63:
+                    raise JpegUnsupported("AC scan parameters")
+                resolved = []
+                for ci, td, ta in order:
+                    dtab = atab = ([], [])
+                    if ss == 0 and ah == 0:
+                        if td not in hdc:
+                            raise JpegUnsupported("missing DC Huffman table")
+                        dtab = hdc[td]
+                        if ci in dc_done:
+                            raise JpegUnsupported("duplicate DC first scan")
+                        dc_done.add(ci)
+                    if ss > 0:
+                        if ta not in hac:
+                            raise JpegUnsupported("missing AC Huffman table")
+                        atab = hac[ta]
+                        if ci not in dc_done:
+                            raise JpegUnsupported("AC scan before DC scan")
+                    if comps[ci][3] not in qtabs:
+                        raise JpegUnsupported("missing quantization table")
+                    resolved.append((ci, dtab, atab))
+                segs, pos = _scan_segments(data, pos)
+                _decode_scan_progressive(
+                    segs, comps, coef, resolved, geom, dri, ss, se, ah, al
+                )
+            saw_scan = True
+        # else: APPn/COM/DNL etc — skipped via seglen
+
+    if frame is None or not saw_scan:
+        raise JpegUnsupported("no decoded scan")
+    w, h, comps, hmax, vmax = frame
+    mcux, mcuy, grids = geom
+    nc = len(comps)
     planes = []
     for ci, (cid, hi, vi, tq) in enumerate(comps):
-        arr = np.array(rows[ci], dtype=np.int32)  # (n_mcu*hi*vi, 64)
+        bwp, bhp = grids[ci][0], grids[ci][1]
+        arr = np.array(coef[ci], dtype=np.int32)  # (bwp*bhp, 64) raster
         deq = (arr * qtabs[tq][None, :]).astype(np.float64)
         spatial = _idct_blocks(deq.reshape(-1, 8, 8))
         px = np.clip(np.round(spatial + 128.0), 0, 255).astype(np.uint8)
-        # MCU raster -> plane: (mcuy, mcux, vi, hi, 8, 8)
         plane = (
-            px.reshape(mcuy, mcux, vi, hi, 8, 8)
-            .transpose(0, 2, 4, 1, 3, 5)
-            .reshape(mcuy * vi * 8, mcux * hi * 8)
+            px.reshape(bhp, bwp, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(bhp * 8, bwp * 8)
         )
         cw = (w * hi + hmax - 1) // hmax
         ch = (h * vi + vmax - 1) // vmax
@@ -608,6 +897,85 @@ def _pad_plane(plane: np.ndarray, mh: int, mw: int) -> np.ndarray:
     return np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
 
 
+def _prepare_encode(width, height, channels, pixels, subsampling, qtable):
+    """Shared encoder front half: RGB->YCbCr, chroma box-mean
+    downsample, MCU-grid edge padding, FDCT + quantize + zigzag.
+    Returns (blocks_zz per comp in raster padded layout, samp, grids,
+    mcux, mcuy, q)."""
+    if channels not in (1, 3):
+        raise JpegUnsupported(f"{channels} channels")
+    luma_samp = {"444": (1, 1), "422": (2, 1), "440": (1, 2), "420": (2, 2)}
+    if subsampling not in luma_samp:
+        raise JpegUnsupported(f"subsampling {subsampling}")
+    arr = np.frombuffer(bytes(pixels), dtype=np.uint8)
+    if arr.size != width * height * channels:
+        raise JpegUnsupported("pixel buffer does not match dimensions")
+    q = (
+        np.ones(64, dtype=np.int32)
+        if qtable is None
+        else np.asarray(qtable, dtype=np.int32).reshape(64)
+    )
+    if (q < 1).any() or (q > 255).any():
+        raise JpegUnsupported("quantization values must be 1..255")
+    if channels == 1:
+        planes = [arr.reshape(height, width)]
+        samp = [(1, 1)]
+    else:
+        rgb = arr.reshape(height, width, 3).astype(np.float64)
+        r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+        y = np.round(0.299 * r + 0.587 * g + 0.114 * b)
+        cb = np.round(128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b)
+        cr = np.round(128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b)
+        planes = [np.clip(p, 0, 255).astype(np.uint8) for p in (y, cb, cr)]
+        samp = [luma_samp[subsampling], (1, 1), (1, 1)]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = (width + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+    blocks_zz = []
+    grids = []
+    for (hi, vi), plane in zip(samp, planes):
+        if (hi, vi) != (hmax, vmax):  # box-mean downsample chroma
+            p = _pad_plane(plane, vmax // vi, hmax // hi).astype(np.float64)
+            fy, fx = vmax // vi, hmax // hi
+            p = p.reshape(p.shape[0] // fy, fy, p.shape[1] // fx, fx).mean(axis=(1, 3))
+            plane = np.clip(np.round(p), 0, 255).astype(np.uint8)
+        # pad to this component's full MCU grid (edge replication)
+        plane = _pad_plane(plane, 8 * vi * mcuy, 8 * hi * mcux)
+        blocks_zz.append(_plane_to_blocks(plane, q))
+        grids.append((mcux * hi, mcuy * vi, hi, vi))
+    return blocks_zz, samp, grids, mcux, mcuy, q
+
+
+def _emit_headers(width, height, nc, samp, q, sof_marker):
+    """SOI + JFIF APP0 + DQT + SOF + the four Annex K DHTs."""
+    out = bytearray(b"\xff\xd8")
+    out += (
+        b"\xff\xe0"
+        + struct.pack(">H", 16)
+        + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    )
+    zz = np.array(_ZIGZAG)
+    out += b"\xff\xdb" + struct.pack(">H", 2 + 65) + bytes([0x00]) + bytes(
+        int(v) for v in q[zz]
+    )
+    sof = bytes([8]) + struct.pack(">HH", height, width) + bytes([nc])
+    for ci in range(nc):
+        hi, vi = samp[ci]
+        sof += bytes([ci + 1, (hi << 4) | vi, 0])
+    out += bytes([0xFF, sof_marker]) + struct.pack(">H", 2 + len(sof)) + sof
+    tables = [(0x00, _DC_LUMA_BITS, _DC_LUMA_VALS), (0x10, _AC_LUMA_BITS, _AC_LUMA_VALS)]
+    if nc == 3:
+        tables += [
+            (0x01, _DC_CHROMA_BITS, _DC_CHROMA_VALS),
+            (0x11, _AC_CHROMA_BITS, _AC_CHROMA_VALS),
+        ]
+    for tid, bits, vals in tables:
+        body = bytes([tid]) + bits + vals
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+    return out
+
+
 def encode_jpeg(
     width: int,
     height: int,
@@ -627,72 +995,11 @@ def encode_jpeg(
     blocks that are constant, which is what the oracle fixtures use);
     ``restart_interval`` > 0 emits DRI + RSTn markers every that many
     MCUs."""
-    if channels not in (1, 3):
-        raise JpegUnsupported(f"{channels} channels")
-    _LUMA_SAMP = {"444": (1, 1), "422": (2, 1), "440": (1, 2), "420": (2, 2)}
-    if subsampling not in _LUMA_SAMP:
-        raise JpegUnsupported(f"subsampling {subsampling}")
-    arr = np.frombuffer(bytes(pixels), dtype=np.uint8)
-    if arr.size != width * height * channels:
-        raise JpegUnsupported("pixel buffer does not match dimensions")
-    q = np.ones(64, dtype=np.int32) if qtable is None else np.asarray(qtable, dtype=np.int32).reshape(64)
-    if (q < 1).any() or (q > 255).any():
-        raise JpegUnsupported("quantization values must be 1..255")
-
-    if channels == 1:
-        planes = [arr.reshape(height, width)]
-        samp = [(1, 1)]
-    else:
-        rgb = arr.reshape(height, width, 3).astype(np.float64)
-        r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
-        y = np.round(0.299 * r + 0.587 * g + 0.114 * b)
-        cb = np.round(128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b)
-        cr = np.round(128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b)
-        planes = [
-            np.clip(p, 0, 255).astype(np.uint8) for p in (y, cb, cr)
-        ]
-        samp = [_LUMA_SAMP[subsampling], (1, 1), (1, 1)]
-    hmax = max(s[0] for s in samp)
-    vmax = max(s[1] for s in samp)
-    mcux = (width + 8 * hmax - 1) // (8 * hmax)
-    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
-
-    blocks_zz = []
-    grids = []
-    for ci, ((hi, vi), plane) in enumerate(zip(samp, planes)):
-        if (hi, vi) != (hmax, vmax):  # box-mean downsample chroma
-            p = _pad_plane(plane, vmax // vi, hmax // hi).astype(np.float64)
-            fy, fx = vmax // vi, hmax // hi
-            p = p.reshape(p.shape[0] // fy, fy, p.shape[1] // fx, fx).mean(axis=(1, 3))
-            plane = np.clip(np.round(p), 0, 255).astype(np.uint8)
-        # pad to this component's full MCU grid (edge replication)
-        plane = _pad_plane(plane, 8 * vi * mcuy, 8 * hi * mcux)
-        blocks_zz.append(_plane_to_blocks(plane, q))
-        grids.append((mcux * hi, mcuy * vi, hi, vi))
-
-    # marker stream
-    out = bytearray(b"\xff\xd8")
-    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
-    zz = np.array(_ZIGZAG)
-    out += b"\xff\xdb" + struct.pack(">H", 2 + 65) + bytes([0x00]) + bytes(
-        int(v) for v in q[zz]
+    blocks_zz, samp, grids, mcux, mcuy, q = _prepare_encode(
+        width, height, channels, pixels, subsampling, qtable
     )
     nc = channels
-    sof = bytes([8]) + struct.pack(">HH", height, width) + bytes([nc])
-    for ci in range(nc):
-        hi, vi = samp[ci]
-        sof += bytes([ci + 1, (hi << 4) | vi, 0])
-    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
-
-    tables = [(0x00, _DC_LUMA_BITS, _DC_LUMA_VALS), (0x10, _AC_LUMA_BITS, _AC_LUMA_VALS)]
-    if nc == 3:
-        tables += [
-            (0x01, _DC_CHROMA_BITS, _DC_CHROMA_VALS),
-            (0x11, _AC_CHROMA_BITS, _AC_CHROMA_VALS),
-        ]
-    for tid, bits, vals in tables:
-        body = bytes([tid]) + bits + vals
-        out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+    out = _emit_headers(width, height, nc, samp, q, sof_marker=0xC0)
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
 
@@ -732,5 +1039,248 @@ def encode_jpeg(
         _encode_blocks(bw, blocks_zz, order, pred, dc_codes, ac_codes)
     bw.flush()
     out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# Generic AC table for PROGRESSIVE scans (see encode_jpeg_progressive):
+# all 256 run/size symbols, 128 at length 8 + 128 at length 9.
+_AC_PROG_BITS = bytes([0, 0, 0, 0, 0, 0, 0, 128, 128, 0, 0, 0, 0, 0, 0, 0])
+_AC_PROG_VALS = bytes(range(256))
+
+
+def _flush_eobrun(bw: _BitWriter, ac: dict, eobrun: int, run_bits: list) -> int:
+    """Emit a pending EOB-run (EOBn code + extra bits) followed by the
+    buffered correction bits of the blocks in the run. Returns 0."""
+    if eobrun:
+        r = eobrun.bit_length() - 1
+        code, ln = ac[r << 4]
+        bw.put(code, ln)
+        if r:
+            bw.put(eobrun - (1 << r), r)
+        for b in run_bits:
+            bw.put(b, 1)
+        run_bits.clear()
+    return 0
+
+
+def encode_jpeg_progressive(
+    width: int,
+    height: int,
+    channels: int,
+    pixels: bytes,
+    subsampling: str = "444",
+    qtable: np.ndarray | None = None,
+    spectral_only: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode interleaved uint8 pixels as a PROGRESSIVE (SOF2) JFIF
+    JPEG — the fixture/equivalence counterpart of the progressive
+    decoder: it transmits exactly the same quantized coefficients as
+    :func:`encode_jpeg`, just reordered into scans, so
+    ``decode_jpeg(progressive) == decode_jpeg(baseline)`` pixel-exact
+    for the same inputs (asserted in tests).
+
+    Scan script (mirrors libjpeg's simple progression shape):
+    spectral-selection-only (``spectral_only=True``): interleaved DC
+    scan, then one full AC scan per component. Default adds successive
+    approximation so every decoder mode is exercised: DC first at
+    Al=1, AC first (bands 1-5 and 6-63) at Al=1, then DC/AC refinement
+    scans at Al=0. ``restart_interval`` > 0 emits DRI + RSTn in every
+    scan (units: MCUs for the DC scan, blocks for AC scans)."""
+    blocks_zz, samp, grids, mcux, mcuy, q = _prepare_encode(
+        width, height, channels, pixels, subsampling, qtable
+    )
+    nc = channels
+    out = _emit_headers(width, height, nc, samp, q, sof_marker=0xC2)
+    # The Annex K AC tables carry no EOBn (n > 0) symbols — progressive
+    # AC scans need them, which is exactly why real progressive files
+    # ship custom DHTs. Emit a generic AC table (id 2) covering ALL 256
+    # run/size symbols: 128 at 8 bits + 128 at 9 bits (canonical, the
+    # all-ones 9-bit code stays unused as T.81 requires).
+    out += (
+        b"\xff\xc4"
+        + struct.pack(">H", 2 + 17 + 256)
+        + bytes([0x12])
+        + _AC_PROG_BITS
+        + _AC_PROG_VALS
+    )
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+
+    dc_l = _enc_codes(_DC_LUMA_BITS, _DC_LUMA_VALS)
+    dc_c = _enc_codes(_DC_CHROMA_BITS, _DC_CHROMA_VALS)
+    dc_codes = [dc_l] + [dc_c] * (nc - 1)
+    ac_prog = _enc_codes(_AC_PROG_BITS, _AC_PROG_VALS)
+    ac_codes = [ac_prog] * nc
+
+    rst_state = [0]
+
+    def sos_header(comp_ids, ss, se, ah, al):
+        body = bytes([len(comp_ids)])
+        for ci in comp_ids:
+            # DC scans read Td (Annex K 0/1); AC scans read Ta = 2 (the
+            # generic progressive table emitted above)
+            body += bytes([ci + 1, ((0 if ci == 0 else 1) << 4) | 2])
+        body += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + struct.pack(">H", 2 + len(body)) + body
+
+    def emit_rst(buf, bw):
+        bw.flush()
+        buf += bw.out
+        buf += bytes([0xFF, 0xD0 + rst_state[0] % 8])
+        rst_state[0] += 1
+        return _BitWriter()
+
+    def dc_scan(al, refine):
+        buf = bytearray(sos_header(list(range(nc)), 0, 0, al + 1 if refine else 0, al))
+        bw = _BitWriter()
+        pred = [0] * nc
+        for m in range(mcux * mcuy):
+            if restart_interval and m and m % restart_interval == 0:
+                bw = emit_rst(buf, bw)
+                pred = [0] * nc
+            my, mx = divmod(m, mcux)
+            for ci in range(nc):
+                bpl, _r, hi, vi = grids[ci]
+                for dy in range(vi):
+                    for dx in range(hi):
+                        dc = int(blocks_zz[ci][(my * vi + dy) * bpl + mx * hi + dx][0])
+                        if refine:
+                            bw.put((dc >> al) & 1, 1)
+                            continue
+                        v = dc >> al  # arithmetic shift: T.81 DC point transform
+                        diff = v - pred[ci]
+                        pred[ci] = v
+                        s = _category(diff)
+                        code, ln = dc_codes[ci][s]
+                        bw.put(code, ln)
+                        if s:
+                            bw.put(diff if diff >= 0 else diff - 1 + (1 << s), s)
+        bw.flush()
+        buf += bw.out
+        return buf
+
+    def _pt(v, al):  # AC point transform: truncate toward zero
+        return v >> al if v >= 0 else -((-v) >> al)
+
+    def ac_first_scan(ci, ss, se, al):
+        buf = bytearray(sos_header([ci], ss, se, 0, al))
+        bw = _BitWriter()
+        ac = ac_codes[ci]
+        bpl, _bhp, hi, vi = grids[ci]
+        bw_true, bh_true = _true_grid(ci)
+        eobrun = 0
+        for m in range(bw_true * bh_true):
+            if restart_interval and m and m % restart_interval == 0:
+                eobrun = _flush_eobrun(bw, ac, eobrun, [])
+                bw = emit_rst(buf, bw)
+            blk = blocks_zz[ci][(m // bw_true) * bpl + m % bw_true]
+            vals = [_pt(int(blk[k]), al) for k in range(ss, se + 1)]
+            if not any(vals):
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    eobrun = _flush_eobrun(bw, ac, eobrun, [])
+                continue
+            eobrun = _flush_eobrun(bw, ac, eobrun, [])
+            r = 0
+            for v in vals:
+                if v == 0:
+                    r += 1
+                    continue
+                while r > 15:
+                    code, ln = ac[0xF0]
+                    bw.put(code, ln)
+                    r -= 16
+                s = _category(v)
+                code, ln = ac[(r << 4) | s]
+                bw.put(code, ln)
+                bw.put(v if v >= 0 else v - 1 + (1 << s), s)
+                r = 0
+            if r:
+                eobrun = 1
+        _flush_eobrun(bw, ac, eobrun, [])
+        bw.flush()
+        buf += bw.out
+        return buf
+
+    def ac_refine_scan(ci, ss, se, al):
+        buf = bytearray(sos_header([ci], ss, se, al + 1, al))
+        bw = _BitWriter()
+        ac = ac_codes[ci]
+        bpl, _bhp, hi, vi = grids[ci]
+        bw_true, bh_true = _true_grid(ci)
+        eobrun = 0
+        run_bits: list[int] = []
+        for m in range(bw_true * bh_true):
+            if restart_interval and m and m % restart_interval == 0:
+                eobrun = _flush_eobrun(bw, ac, eobrun, run_bits)
+                bw = emit_rst(buf, bw)
+            blk = blocks_zz[ci][(m // bw_true) * bpl + m % bw_true]
+            band = [int(blk[k]) for k in range(ss, se + 1)]
+            hist = [_pt(v, al + 1) for v in band]
+            cur = [_pt(v, al) for v in band]
+            newly = [h == 0 and c != 0 for h, c in zip(hist, cur)]
+            if not any(newly):
+                # block joins the EOB run; its correction bits queue up
+                eobrun += 1
+                run_bits.extend((abs(v) >> al) & 1 for v, h in zip(band, hist) if h)
+                if eobrun == 0x7FFF:
+                    eobrun = _flush_eobrun(bw, ac, eobrun, run_bits)
+                continue
+            eobrun = _flush_eobrun(bw, ac, eobrun, run_bits)
+            r = 0
+            pending: list[int] = []
+            tail = False
+            for v, h, is_new in zip(band, hist, newly):
+                if h != 0:
+                    pending.append((abs(v) >> al) & 1)
+                    continue
+                if not is_new:
+                    r += 1
+                    continue
+                while r > 15:
+                    code, ln = ac[0xF0]
+                    bw.put(code, ln)
+                    for b in pending:
+                        bw.put(b, 1)
+                    pending.clear()
+                    r -= 16
+                code, ln = ac[(r << 4) | 1]
+                bw.put(code, ln)
+                bw.put(1 if v > 0 else 0, 1)
+                for b in pending:
+                    bw.put(b, 1)
+                pending.clear()
+                r = 0
+            if r or pending:
+                eobrun = 1
+                run_bits = pending
+        _flush_eobrun(bw, ac, eobrun, run_bits)
+        bw.flush()
+        buf += bw.out
+        return buf
+
+    def _true_grid(ci):
+        hi, vi = samp[ci]
+        hmax = max(s[0] for s in samp)
+        vmax = max(s[1] for s in samp)
+        cw = (width * hi + hmax - 1) // hmax
+        ch = (height * vi + vmax - 1) // vmax
+        return (cw + 7) // 8, (ch + 7) // 8
+
+    if spectral_only:
+        out += dc_scan(0, refine=False)
+        for ci in range(nc):
+            out += ac_first_scan(ci, 1, 63, 0)
+    else:
+        out += dc_scan(1, refine=False)
+        for ci in range(nc):
+            out += ac_first_scan(ci, 1, 5, 1)
+            out += ac_first_scan(ci, 6, 63, 1)
+        out += dc_scan(0, refine=True)
+        for ci in range(nc):
+            out += ac_refine_scan(ci, 1, 5, 0)
+            out += ac_refine_scan(ci, 6, 63, 0)
     out += b"\xff\xd9"
     return bytes(out)

@@ -32,7 +32,13 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .bmp import BmpUnsupported, decode_bmp, encode_bmp, is_bmp
-from .jpeg import JpegUnsupported, decode_jpeg, encode_jpeg, is_jpeg
+from .jpeg import (
+    JpegUnsupported,
+    decode_jpeg,
+    encode_jpeg,
+    encode_jpeg_progressive,
+    is_jpeg,
+)
 from .tiff import TiffUnsupported, decode_tiff, encode_tiff, is_tiff
 from .wav import WavUnsupported, decode_wav, encode_wav, is_wav
 from .png import (
@@ -672,6 +678,7 @@ def text_to_jpeg_payload(
     blocks_y: int = 2,
     id_col: str = "doc_id",
     color_every: int | None = 3,
+    progressive_every: int | None = None,
 ) -> DataFrame:
     """JPEG twin of :func:`text_to_png_payload`, built around the one
     thing a LOSSY codec can replay exactly: a DC-only image. Each
@@ -692,8 +699,14 @@ def text_to_jpeg_payload(
     also exact end-to-end, BT.601 both ways) — exercising chroma
     subsampling, MCU interleave and color conversion inside the same
     oracle query; those rows decode with channels=3 and 3x the pixel
-    sum. Arrow-batched, map-only; projects (id, text) first so the
-    scan prunes."""
+    sum. With ``progressive_every=k2``, every doc whose id is
+    divisible by ``k2`` is written as a PROGRESSIVE (SOF2) JPEG —
+    multi-scan successive approximation carrying the same quantized
+    coefficients, so the features replay from the text UNCHANGED and
+    the green row proves the progressive scan machinery end-to-end
+    with no registry growth (the WAV ``float_every`` pattern).
+    Arrow-batched, map-only; projects (id, text) first so the scan
+    prunes."""
     n = blocks_x * blocks_y
     width, height = 8 * blocks_x, 8 * blocks_y
     df = df.select(id_col, src_col)
@@ -707,15 +720,18 @@ def text_to_jpeg_payload(
                     [ord(ch) % 256 for ch in s], dtype=np.uint8
                 ).reshape(blocks_y, blocks_x)
                 gray = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
+                enc = (
+                    encode_jpeg_progressive
+                    if progressive_every and int(i) % progressive_every == 0
+                    else encode_jpeg
+                )
                 if color_every and int(i) % color_every == 0:
                     rgb = np.repeat(gray[:, :, None], 3, axis=2)
                     payloads.append(
-                        encode_jpeg(
-                            width, height, 3, rgb.tobytes(), subsampling="420"
-                        )
+                        enc(width, height, 3, rgb.tobytes(), subsampling="420")
                     )
                 else:
-                    payloads.append(encode_jpeg(width, height, 1, gray.tobytes()))
+                    payloads.append(enc(width, height, 1, gray.tobytes()))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],

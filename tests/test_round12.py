@@ -321,12 +321,20 @@ def test_jpeg_hostile_payloads_raise_jpegunsupported_only():
     assert saw_raise >= len(hostile) - 4  # bit flips in entropy data may still decode
 
 
-def test_jpeg_progressive_and_unsupported_markers_refused():
+def test_jpeg_unsupported_codings_refused():
     img = np.full((8, 8), 50, dtype=np.uint8)
     p = bytearray(_gray(img))
     i = p.index(b"\xff\xc0")
-    p[i + 1] = 0xC2  # SOF2: progressive
-    with pytest.raises(JpegUnsupported, match="progressive"):
+    p[i + 1] = 0xC3  # SOF3: lossless
+    with pytest.raises(JpegUnsupported, match="lossless"):
+        decode_jpeg(bytes(p))
+    p[i + 1] = 0xC9  # arithmetic sequential
+    with pytest.raises(JpegUnsupported, match="arithmetic"):
+        decode_jpeg(bytes(p))
+    # SOF2 (progressive) is SUPPORTED since r12 — but a progressive
+    # frame whose scan still carries baseline Ss..Se=0..63 is malformed
+    p[i + 1] = 0xC2
+    with pytest.raises(JpegUnsupported, match="Se != 0"):
         decode_jpeg(bytes(p))
     assert not is_jpeg(b"GIF89a")
     assert is_jpeg(_gray(img))
@@ -369,3 +377,128 @@ def test_jpeg_payload_query_features(spark):
         assert rows[i]["channels"] == (3 if i % 3 == 0 else 1)
         assert rows[i]["pixel_sum"] == mult * expect(t)
         assert (rows[i]["width"], rows[i]["height"]) == (16, 16)
+
+
+# ------------------------------------------------ progressive JPEG
+from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.jpeg import (  # noqa: E402
+    encode_jpeg_progressive,
+)
+
+
+def test_jpeg_progressive_equals_baseline_pixel_exact():
+    """The decisive equivalence: progressive transmits the SAME
+    quantized coefficients as baseline, so decode must be IDENTICAL
+    pixels — any entropy-layer bug in either coding mode (EOB runs,
+    refinement bits, successive approximation, scan interleave)
+    breaks this, independent of the encoders sharing a front half."""
+    rng = np.random.default_rng(9)
+    cases = (((17, 13), 1, "444"), ((24, 40), 3, "444"), ((23, 39), 3, "420"),
+             ((16, 16), 3, "422"), ((32, 48), 3, "440"))
+    for shape, ch, sub in cases:
+        px = rng.integers(0, 256, shape + ((3,) if ch == 3 else ()), dtype=np.uint8)
+        w, h = shape[1], shape[0]
+        base = decode_jpeg(encode_jpeg(w, h, ch, px.tobytes(), subsampling=sub))
+        for spectral_only in (True, False):
+            for ri in (0, 3):
+                prog = decode_jpeg(
+                    encode_jpeg_progressive(
+                        w, h, ch, px.tobytes(), subsampling=sub,
+                        spectral_only=spectral_only, restart_interval=ri,
+                    )
+                )
+                assert prog == base, (shape, ch, sub, spectral_only, ri)
+
+
+def test_jpeg_progressive_long_eob_runs_smooth_content():
+    # smooth content + a real quant table -> most blocks are all-zero
+    # in the AC bands, driving multi-block EOB runs (EOBn, n > 0) and
+    # the run-buffered correction bits through both encoder and decoder
+    qt = np.array(
+        [16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+         14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+         18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+         49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99])
+    gx, gy = np.meshgrid(np.arange(128), np.arange(96))
+    sm3 = np.repeat((((gx + gy) / 2).astype(np.uint8))[:, :, None], 3, 2)
+    base = decode_jpeg(encode_jpeg(128, 96, 3, sm3.tobytes(), subsampling="420", qtable=qt))
+    for spectral_only in (True, False):
+        prog = decode_jpeg(
+            encode_jpeg_progressive(
+                128, 96, 3, sm3.tobytes(), subsampling="420", qtable=qt,
+                spectral_only=spectral_only,
+            )
+        )
+        assert prog == base
+
+
+def test_jpeg_progressive_dc_only_fixture_exact():
+    # the oracle property survives the progressive path too
+    vals = np.array([[65, 200], [3, 128]], dtype=np.uint8)
+    img = np.repeat(np.repeat(vals, 8, 0), 8, 1)
+    w, h, c, px = decode_jpeg(encode_jpeg_progressive(16, 16, 1, img.tobytes()))
+    assert np.frombuffer(px, np.uint8).reshape(16, 16).tolist() == img.tolist()
+    rgb = np.repeat(img[:, :, None], 3, 2)
+    w, h, c, px = decode_jpeg(
+        encode_jpeg_progressive(16, 16, 3, rgb.tobytes(), subsampling="420")
+    )
+    assert c == 3
+    assert np.frombuffer(px, np.uint8).reshape(16, 16, 3).tolist() == rgb.tolist()
+
+
+def test_jpeg_progressive_scan_validation_and_hostile_fuzz():
+    rng = random.Random(34)
+    img = np.arange(256, dtype=np.uint8).reshape(16, 16)
+    good = encode_jpeg_progressive(16, 16, 1, img.tobytes())
+    # truncation mid-scan raises; truncation at a SCAN BOUNDARY is the
+    # format's defining feature — a prefix of a progressive file IS a
+    # coarser image — so a successful decode must only keep geometry
+    base = decode_jpeg(good)
+    for cut in range(4, len(good), 7):
+        try:
+            out = decode_jpeg(good[:cut])
+            assert out[:3] == base[:3]
+        except JpegUnsupported:
+            pass
+    # bit flips never raise foreign exceptions
+    for i in (2, 30, 100, 200, len(good) // 2, len(good) - 20):
+        mut = good[:i] + bytes([good[i] ^ 0xFF]) + good[i + 1 :]
+        try:
+            decode_jpeg(mut)
+        except JpegUnsupported:
+            pass
+    # malformed scan parameters are refused
+    p = bytearray(good)
+    i = p.index(b"\xff\xda")
+    # first scan is DC (Ss=0,Se=0): corrupt Se -> "DC scan with Se != 0"
+    (ln,) = struct.unpack_from(">H", p, i + 2)
+    p[i + 2 + ln - 2] = 7  # Se byte of the Ss/Se/AhAl triple
+    with pytest.raises(JpegUnsupported, match="Se != 0"):
+        decode_jpeg(bytes(p))
+
+
+def test_jpeg_progressive_routing_and_payload_mix(spark):
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm import multimodal as mm
+
+    img = np.repeat(np.repeat(np.array([[9, 200]], dtype=np.uint8), 8, 0), 8, 1)
+    prog = encode_jpeg_progressive(16, 8, 1, img.tobytes())
+    decoded, mimes = mm._decode_image_batch([prog])
+    assert mimes[0] == "image/jpeg"
+    assert decoded[0][:3] == (16, 8, 1)
+    assert np.frombuffer(decoded[0][3], np.uint8).sum() == int(img.sum())
+
+    # the oracle fixture mix: ids 0,3,6,9 color; 0,5,10 progressive
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.multimodal import (
+        extract_features,
+        text_to_jpeg_payload,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "wxyz") for i in range(12)], "doc_id long, text string"
+    )
+    feats = text_to_jpeg_payload(df, "text", progressive_every=5)
+    rows = {r["doc_id"]: r for r in extract_features(feats).collect()}
+    want = 64 * sum(ord(ch) % 256 for ch in "wxyz")
+    for i in range(12):
+        mult = 3 if i % 3 == 0 else 1
+        assert rows[i]["pixel_sum"] == mult * want, i
+        assert rows[i]["channels"] == (3 if i % 3 == 0 else 1)
