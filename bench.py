@@ -100,6 +100,7 @@ EXTRA_QUERIES = [
     "multimodal_wav_features",
     # new in r12
     "multimodal_jpeg_pixels",
+    "multimodal_gif_pixels",
 ]
 
 HEADLINE = [

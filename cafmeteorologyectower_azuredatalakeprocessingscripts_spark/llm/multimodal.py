@@ -3,9 +3,10 @@
 Images/audio/video ride through the engine as ``binary`` columns with a
 metadata struct; decode/feature-extraction run as Arrow-batched
 ``mapInPandas`` stages (the only place Python touches data, amortized
-per-batch). PNG, BMP, baseline-TIFF and baseline-JPEG payloads are
-decoded FOR REAL by the pure-stdlib codecs in :mod:`.png` /
-:mod:`.bmp` / :mod:`.tiff` / :mod:`.jpeg` — features and resizes on
+per-batch). PNG, BMP, baseline-TIFF, JPEG (baseline AND
+progressive) and GIF payloads are decoded FOR REAL by the pure-stdlib
+codecs in :mod:`.png` / :mod:`.bmp` / :mod:`.tiff` / :mod:`.jpeg` /
+:mod:`.gif` — features and resizes on
 those formats come from actual pixels — and integer/IEEE-float PCM
 WAV audio decodes for real via :mod:`.wav` (see
 :func:`extract_audio_features`). The remaining compressed media
@@ -32,6 +33,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .bmp import BmpUnsupported, decode_bmp, encode_bmp, is_bmp
+from .gif import GifUnsupported, decode_gif, encode_gif, is_gif
 from .jpeg import (
     JpegUnsupported,
     decode_jpeg,
@@ -83,13 +85,14 @@ def to_binary_payload(df: DataFrame, src_col: str, id_col: str = "doc_id") -> Da
 def decode_stub(payload: bytes) -> object:
     """Placeholder for a real compressed-media decode — MP3 and video
     containers, which genuinely need codec/demuxer libraries absent
-    from this container. PNG, BMP, baseline TIFF, baseline JPEG and
-    PCM/IEEE-float WAV all decode for real via the stdlib codecs."""
+    from this container. PNG, BMP, baseline TIFF, JPEG (baseline +
+    progressive), GIF and PCM/IEEE-float WAV all decode for real via
+    the stdlib codecs."""
     raise NotImplementedError(
         "compressed-media decoding requires codec libraries not present "
         "in this environment; extract_features uses a deterministic fake "
         "for such payloads (and real pixels/samples for "
-        "PNG/BMP/TIFF/JPEG/WAV)"
+        "PNG/BMP/TIFF/JPEG/GIF/WAV)"
     )
 
 
@@ -127,6 +130,12 @@ def _decode_image_batch(payloads: list) -> tuple[list, list]:
                     decoded[j] = decode_jpeg(p)
                     mimes[j] = "image/jpeg"
                 except JpegUnsupported:
+                    pass
+            elif is_gif(p):
+                try:
+                    decoded[j] = decode_gif(p)
+                    mimes[j] = "image/gif"
+                except GifUnsupported:
                     pass
     return decoded, mimes
 
@@ -669,6 +678,50 @@ def text_to_tiff_payload(
     return _text_to_image_payload(
         df, src_col, width, height, id_col, encode_tiff, "image/tiff"
     )
+
+
+def text_to_gif_payload(
+    df: DataFrame,
+    src_col: str = "text",
+    width: int = 8,
+    height: int = 8,
+    id_col: str = "doc_id",
+    interlace_every: int | None = 3,
+) -> DataFrame:
+    """GIF twin of :func:`text_to_png_payload`: the same
+    codepoints-mod-256 grayscale image, packaged as a single-frame GIF
+    with a grayscale-identity palette — GIF is LOSSLESS, so the shared
+    pixel-sum oracle replays unchanged and a green row proves the LZW
+    stream, sub-block walk and palette machinery invert exactly. Every
+    ``interlace_every``-th doc is written INTERLACED (the 4-pass row
+    order), folding that path into the same query."""
+    n = width * height
+    df = df.select(id_col, src_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for i, t in zip(pdf[id_col], pdf[src_col]):
+                s = ("" if t is None else str(t))[:n].ljust(n)
+                px = bytes(ord(ch) % 256 for ch in s)
+                payloads.append(
+                    encode_gif(
+                        width, height, 1, px,
+                        interlace=bool(interlace_every)
+                        and int(i) % interlace_every == 0,
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "payload": payloads,
+                    "meta": [
+                        {"mime": "image/gif", "n_bytes": len(p)} for p in payloads
+                    ],
+                }
+            )
+
+    return df.mapInPandas(run, _TEXT_IMAGE_SCHEMA)
 
 
 def text_to_jpeg_payload(

@@ -161,11 +161,11 @@ def test_rotation_order_covers_full_registry():
     assert set(q) == set(entrymod._R12_ORDER)
     assert list(q) == entrymod._R12_ORDER
     assert list(entrymod.oracle_sql()) == entrymod._R12_ORDER
-    # VERDICT r11 #5: the new JPEG query leads (first driver row in
-    # its first round), then the 13 entries whose newest driver row
-    # is r9 — the exact cohort the verdict listed.
-    assert entrymod._R12_ORDER[:14] == [
-        "multimodal_jpeg_pixels",
+    # VERDICT r11 #5: the two new codec queries lead (first driver row
+    # in their first round), then the 13 entries whose newest driver
+    # row is r9 — the exact cohort the verdict listed.
+    assert entrymod._R12_ORDER[:15] == [
+        "multimodal_jpeg_pixels", "multimodal_gif_pixels",
         "null_profile", "last10d_window", "pricing_summary",
         "top_revenue", "text_stats", "text_lang_id",
         "text_fingerprint", "text_tfidf_topk", "dedup_ngram_jaccard",
