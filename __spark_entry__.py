@@ -2796,10 +2796,11 @@ def q_percentile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
 # fit the cap (re-verified locally in CORRECTNESS_LOCAL_r09.json, first
 # claim on r10 slots); 60-109 = driver-green in r8.
 _R12_ORDER = [
-    # r12 rotation (114 entries; registry grew 113 -> 114 for the one
-    # capability gap VERDICT r11 #1 named — baseline JPEG — and is
-    # otherwise FROZEN). Exactly `tools/rotation_debt.py --suggest 114`
-    # (VERDICT r11 #5):
+    # r12 rotation (115 entries; registry grew 113 -> 115: JPEG for the
+    # capability gap VERDICT r11 #1 named, GIF as the second-wave
+    # format gap #6's exception clause allows — otherwise FROZEN).
+    # Exactly `tools/rotation_debt.py --suggest` order (VERDICT r11
+    # #5), the two new queries leading:
     # ---- 1-2: NEW this round (multimodal_jpeg_pixels per VERDICT
     # r11 #1, multimodal_gif_pixels from the second wave — both need a
     # driver row in their first round).
@@ -2953,8 +2954,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NEW in r11 (VERDICT r10 #5): first non-image modality;
         # registry 112 -> 113, AT the <=113 freeze cap.
         "multimodal_wav_features": q_multimodal_wav,
-        # NEW in r12 (VERDICT r11 #1): baseline JPEG decode — the one
-        # registry growth this round; 113 -> 114, at the freeze cap.
+        # NEW in r12: JPEG (VERDICT r11 #1) and GIF (second wave) —
+        # registry 113 -> 115 under #6's genuine-gap exception.
         "multimodal_jpeg_pixels": q_multimodal_jpeg,
         "multimodal_gif_pixels": q_multimodal_gif,
         "sessionize": q_sessionize,

@@ -984,6 +984,7 @@ def encode_jpeg(
     subsampling: str = "444",
     qtable: np.ndarray | None = None,
     restart_interval: int = 0,
+    non_interleaved: bool = False,
 ) -> bytes:
     """Encode interleaved uint8 pixels as a baseline JFIF JPEG.
 
@@ -994,7 +995,11 @@ def encode_jpeg(
     (default all-ones — near-lossless, and EXACTLY lossless for
     blocks that are constant, which is what the oracle fixtures use);
     ``restart_interval`` > 0 emits DRI + RSTn markers every that many
-    MCUs."""
+    MCUs. ``non_interleaved=True`` (3-channel only) writes ONE SCAN
+    PER COMPONENT over its true block grid — the other legal
+    sequential layout (T.81 non-interleaved scans, MCU = 1 block),
+    emitted by some scanners; exists to exercise that decoder branch
+    with an exact equivalence against the interleaved form."""
     blocks_zz, samp, grids, mcux, mcuy, q = _prepare_encode(
         width, height, channels, pixels, subsampling, qtable
     )
@@ -1003,19 +1008,44 @@ def encode_jpeg(
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
 
-    sos = bytes([nc])
-    for ci in range(nc):
-        td_ta = 0x00 if ci == 0 else 0x11
-        sos += bytes([ci + 1, td_ta])
-    sos += bytes([0, 63, 0])
-    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
-
     dc_l = _enc_codes(_DC_LUMA_BITS, _DC_LUMA_VALS)
     ac_l = _enc_codes(_AC_LUMA_BITS, _AC_LUMA_VALS)
     dc_c = _enc_codes(_DC_CHROMA_BITS, _DC_CHROMA_VALS)
     ac_c = _enc_codes(_AC_CHROMA_BITS, _AC_CHROMA_VALS)
     dc_codes = [dc_l] + [dc_c] * (nc - 1)
     ac_codes = [ac_l] + [ac_c] * (nc - 1)
+
+    if non_interleaved:
+        if nc == 1:
+            raise JpegUnsupported("non_interleaved requires 3 channels")
+        if restart_interval:
+            raise JpegUnsupported("non_interleaved does not emit restarts")
+        hmax = max(s[0] for s in samp)
+        vmax = max(s[1] for s in samp)
+        for ci in range(nc):
+            sos = bytes([1, ci + 1, 0x00 if ci == 0 else 0x11, 0, 63, 0])
+            out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+            hi, vi = samp[ci]
+            bpl = grids[ci][0]
+            cw = (width * hi + hmax - 1) // hmax
+            ch = (height * vi + vmax - 1) // vmax
+            bw_t, bh_t = (cw + 7) // 8, (ch + 7) // 8
+            bwr = _BitWriter()
+            pred = [0] * nc
+            for m in range(bw_t * bh_t):
+                idx = (m // bw_t) * bpl + m % bw_t
+                _encode_blocks(bwr, blocks_zz, [(ci, idx)], pred, dc_codes, ac_codes)
+            bwr.flush()
+            out += bwr.out
+        out += b"\xff\xd9"
+        return bytes(out)
+
+    sos = bytes([nc])
+    for ci in range(nc):
+        td_ta = 0x00 if ci == 0 else 0x11
+        sos += bytes([ci + 1, td_ta])
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
 
     bw = _BitWriter()
     pred = [0] * nc

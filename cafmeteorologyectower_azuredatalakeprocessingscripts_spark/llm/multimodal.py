@@ -142,10 +142,10 @@ def _decode_image_batch(payloads: list) -> tuple[list, list]:
 
 def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Arrow-batched feature extraction over binary payloads.
-    PNG/BMP/TIFF payloads additionally emit pixel-derived columns
-    (width, height, channels, exact pixel byte sum) from a REAL stdlib
-    decode; other payloads carry nulls there and keep the digest
-    features."""
+    PNG/BMP/TIFF/JPEG/GIF payloads additionally emit pixel-derived
+    columns (width, height, channels, exact pixel byte sum) from a
+    REAL stdlib decode; other payloads carry nulls there and keep the
+    digest features."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -612,3 +612,21 @@ def test_gif_routing_and_query_fixture(spark):
         s = ("" if t is None else t)[:64].ljust(64)
         assert rows[i]["pixel_sum"] == sum(ord(ch) % 256 for ch in s)
         assert (rows[i]["width"], rows[i]["height"], rows[i]["channels"]) == (8, 8, 1)
+
+
+def test_jpeg_non_interleaved_sequential_scans_equal_interleaved():
+    """The OTHER legal sequential layout (T.81 non-interleaved: one
+    scan per component, MCU = 1 block over the component's true block
+    grid — some scanners emit this) must decode identically to the
+    single interleaved scan: same quantized coefficients, different
+    scan structure."""
+    rng = np.random.default_rng(11)
+    for shape, sub in (((24, 40), "444"), ((23, 39), "420"), ((16, 16), "422")):
+        rgb = rng.integers(0, 256, shape + (3,), dtype=np.uint8)
+        w, h = shape[1], shape[0]
+        base = decode_jpeg(encode_jpeg(w, h, 3, rgb.tobytes(), subsampling=sub))
+        ni_payload = encode_jpeg(
+            w, h, 3, rgb.tobytes(), subsampling=sub, non_interleaved=True
+        )
+        assert ni_payload.count(b"\xff\xda") >= 3  # really multi-scan
+        assert decode_jpeg(ni_payload) == base
