@@ -929,7 +929,16 @@ def q_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = T(spark, sf_dir, "documents")
-    feats = extract_features(text_to_jpeg_payload(d, "text", progressive_every=5))
+    feats = extract_features(
+        text_to_jpeg_payload(
+            d, "text", progressive_every=5,
+            # JPEG work is ~10x the sibling codecs per byte and the
+            # test tables are single parquet files (one task): size
+            # the CPU-bound Arrow stage to cores. At 100 TB the scan's
+            # own row-group parallelism makes this a no-op choice.
+            n_partitions=spark.sparkContext.defaultParallelism,
+        )
+    )
     return feats.select("doc_id", "width", "height", "channels", "pixel_sum")
 
 

@@ -11,9 +11,11 @@ Paeth rows and BMP RLE runs) + one numpy palette gather.
 Scope (everything else raises ``GifUnsupported`` and callers fall back
 to the digest stub, exactly like the other codecs):
 
-- GIF87a and GIF89a; the FIRST image frame is decoded (the baseline-
-  reader behavior, mirroring TIFF IFD0 for multi-page files) —
-  later frames and animation timing are skipped structurally;
+- GIF87a and GIF89a; :func:`decode_gif` returns the FIRST frame (the
+  baseline-reader behavior, mirroring TIFF IFD0 for multi-page
+  files); :func:`decode_gif_frames` demuxes ANIMATIONS into
+  composited canvas snapshots honoring transparency and disposal
+  methods — the real backend of the frame-sampling stage;
 - global or local color table; interlaced and non-interlaced;
 - GIF89a graphic-control transparency: a transparent index makes the
   output RGBA; a grayscale-identity palette (the BMP rule) collapses
@@ -342,5 +344,132 @@ def encode_gif(
     )
     out += bytes([8])  # LZW minimum code size
     out += _lzw_encode(idx, 8)
+    out += bytes([0x3B])
+    return bytes(out)
+
+
+def decode_gif_frames(
+    payload: bytes, max_frames: int = 256
+) -> tuple[int, int, list[bytes]]:
+    """Decode an ANIMATED GIF into composited RGB canvas snapshots —
+    the real demuxer behind the frame-sampling stage (GIF is the one
+    animation container decodable without codec libraries). Returns
+    ``(width, height, frames)`` with each frame the full canvas as
+    interleaved RGB bytes after that image was drawn, honoring the
+    GIF89a graphic-control semantics: per-frame transparency (holes
+    keep prior content), disposal 0/1 (leave), 2 (restore the frame
+    RECT to background) and 3 (restore to previous canvas). Output is
+    bounded by ``max_frames`` x canvas under the shared constant cap —
+    never by stream content."""
+    data = bytes(payload)
+    if not is_gif(data):
+        raise GifUnsupported("bad signature")
+    if len(data) < 13:
+        raise GifUnsupported("truncated header")
+    cw, ch_, flags, bg, _ar = struct.unpack_from("<HHBBB", data, 6)
+    if cw == 0 or ch_ == 0:
+        raise GifUnsupported("zero canvas dimension")
+    if cw * ch_ * 3 * max(1, max_frames) > _MAX_OUTPUT_BYTES:
+        raise GifUnsupported("canvas x max_frames exceeds the output cap")
+    gct, pos = _color_table(data, 13, flags)
+
+    if gct is not None and bg < len(gct):
+        bg_rgb = gct[bg]
+    else:
+        bg_rgb = np.zeros(3, dtype=np.uint8)
+    canvas = np.empty((ch_, cw, 3), dtype=np.uint8)
+    canvas[:] = bg_rgb
+    frames: list[bytes] = []
+    transparent = None
+    disposal = 0
+    while len(frames) < max_frames:
+        if pos >= len(data):
+            break  # tolerated missing trailer after >=1 frame
+        block = data[pos]
+        pos += 1
+        if block == 0x3B:
+            break
+        if block == 0x21:
+            if pos >= len(data):
+                raise GifUnsupported("extension overruns payload")
+            label = data[pos]
+            pos += 1
+            if label == 0xF9 and pos + 6 <= len(data) and data[pos] == 4:
+                gflags, _delay, tindex = struct.unpack_from("<BHB", data, pos + 1)
+                transparent = tindex if gflags & 0x01 else None
+                disposal = (gflags >> 2) & 0x07
+            pos = _skip_subblocks(data, pos)
+            continue
+        if block != 0x2C:
+            raise GifUnsupported(f"unknown block 0x{block:02x}")
+        if pos + 9 > len(data):
+            raise GifUnsupported("image descriptor truncated")
+        left, top, fw, fh, iflags = struct.unpack_from("<HHHHB", data, pos)
+        pos += 9
+        if fw == 0 or fh == 0 or left + fw > cw or top + fh > ch_:
+            raise GifUnsupported("frame exceeds canvas")
+        lct, pos = _color_table(data, pos, iflags)
+        palette = lct if lct is not None else gct
+        if palette is None:
+            raise GifUnsupported("no color table")
+        if pos >= len(data):
+            raise GifUnsupported("missing LZW data")
+        min_code = data[pos]
+        pos += 1
+        idx, pos = _lzw_decode(data, pos, min_code, fw * fh)
+        if idx.size < fw * fh:
+            raise GifUnsupported("LZW stream shorter than frame")
+        if (idx >= len(palette)).any():
+            raise GifUnsupported("pixel index beyond color table")
+        if iflags & 0x40:
+            idx = _deinterlace(idx, fw, fh)
+        idx = idx.reshape(fh, fw)
+        prev = canvas.copy() if disposal == 3 else None
+        region = canvas[top : top + fh, left : left + fw]
+        if transparent is not None:
+            mask = idx != transparent
+            region[mask] = palette[idx[mask]]
+        else:
+            region[:] = palette[idx]
+        frames.append(canvas.tobytes())
+        if disposal == 2:
+            canvas[top : top + fh, left : left + fw] = bg_rgb
+        elif disposal == 3 and prev is not None:
+            canvas = prev
+        transparent = None
+        disposal = 0
+    if not frames:
+        raise GifUnsupported("no image frame in file")
+    return cw, ch_, frames
+
+
+def encode_gif_animation(
+    width: int,
+    height: int,
+    frames: list,
+    disposals: list | None = None,
+    transparents: list | None = None,
+    offsets: list | None = None,
+) -> bytes:
+    """Encode a multi-frame grayscale-identity GIF89a animation for
+    fixtures: ``frames`` is a list of uint8 index arrays (each either
+    full-canvas ``(height, width)`` or a sub-rect matching its entry
+    in ``offsets`` = [(left, top)]); per-frame ``disposals`` (0-3) and
+    ``transparents`` (index or None) go into graphic-control
+    extensions."""
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", width, height, 0x80 | 0x07, 0, 0)
+    out += np.repeat(np.arange(256, dtype=np.uint8)[:, None], 3, axis=1).tobytes()
+    for fi, frame in enumerate(frames):
+        arr = np.asarray(frame, dtype=np.uint8)
+        left, top = (offsets[fi] if offsets else (0, 0))
+        fh, fw = arr.shape
+        disp = disposals[fi] if disposals else 0
+        trans = transparents[fi] if transparents else None
+        gflags = (disp & 0x07) << 2 | (0x01 if trans is not None else 0)
+        out += bytes([0x21, 0xF9, 4, gflags, 0, 0, trans or 0, 0])
+        out += bytes([0x2C]) + struct.pack("<HHHHB", left, top, fw, fh, 0)
+        out += bytes([8])
+        out += _lzw_encode(arr.reshape(-1), 8)
     out += bytes([0x3B])
     return bytes(out)

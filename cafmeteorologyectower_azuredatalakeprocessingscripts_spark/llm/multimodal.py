@@ -732,6 +732,7 @@ def text_to_jpeg_payload(
     id_col: str = "doc_id",
     color_every: int | None = 3,
     progressive_every: int | None = None,
+    n_partitions: int | None = None,
 ) -> DataFrame:
     """JPEG twin of :func:`text_to_png_payload`, built around the one
     thing a LOSSY codec can replay exactly: a DC-only image. Each
@@ -758,11 +759,20 @@ def text_to_jpeg_payload(
     coefficients, so the features replay from the text UNCHANGED and
     the green row proves the progressive scan machinery end-to-end
     with no registry growth (the WAV ``float_every`` pattern).
-    Arrow-batched, map-only; projects (id, text) first so the scan
-    prunes."""
+    Arrow-batched; projects (id, text) first so the scan prunes.
+    ``n_partitions`` repartitions BEFORE the encode stage: JPEG work
+    is ~10x the other codecs per byte, so when the input's file
+    layout is coarser than the core count (one parquet file = one
+    task), sizing the CPU-bound stage to cores is the correct Spark
+    pattern — the exchange moves only (id, text) and buys full-width
+    parallelism for the expensive map. Leave None to inherit the
+    scan's partitioning (the 100 TB case, where row-groups already
+    out-number cores)."""
     n = blocks_x * blocks_y
     width, height = 8 * blocks_x, 8 * blocks_y
     df = df.select(id_col, src_col)
+    if n_partitions:
+        df = df.repartition(n_partitions)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -814,18 +824,34 @@ def sample_frames(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Video frame-sampling stage: one input payload fans out to every
-    ``every_n``-th fixed-size frame — a 1:N Arrow-batched flatMap.
+    ``every_n``-th frame — a 1:N Arrow-batched flatMap.
 
-    Real containers need a demuxer (absent; see ``decode_stub``); the
-    stand-in treats the payload as a flat array of ``frame_bytes``-byte
-    frames, which keeps the fan-out dataflow (row multiplication inside
-    mapInPandas) and the output schema real."""
+    ANIMATED GIF payloads are demuxed FOR REAL (r12): frames are the
+    composited RGB canvas snapshots from :func:`.gif.decode_gif_frames`
+    (transparency holes and disposal methods honored — GIF is the one
+    animation container decodable without codec libraries). Other
+    containers still need demuxer libs the container lacks (see
+    ``decode_stub``); for those the stand-in treats the payload as a
+    flat array of ``frame_bytes``-byte frames, which keeps the fan-out
+    dataflow (row multiplication inside mapInPandas) and the output
+    schema real either way."""
+    from .gif import decode_gif_frames
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, nos, frames = [], [], []
             for i, p in zip(pdf[id_col], pdf["payload"]):
                 b = bytes(p) if p is not None else b""
+                if is_gif(b):
+                    try:
+                        _w, _h, fr = decode_gif_frames(b)
+                        for k in range(0, len(fr), every_n):
+                            ids.append(i)
+                            nos.append(k)
+                            frames.append(fr[k])
+                        continue
+                    except GifUnsupported:
+                        pass  # corrupt GIF falls to the byte-splitter
                 n_frames = len(b) // frame_bytes
                 for k in range(0, n_frames, every_n):
                     ids.append(i)

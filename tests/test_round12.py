@@ -630,3 +630,73 @@ def test_jpeg_non_interleaved_sequential_scans_equal_interleaved():
         )
         assert ni_payload.count(b"\xff\xda") >= 3  # really multi-scan
         assert decode_jpeg(ni_payload) == base
+
+
+def test_gif_animation_demux_compositing_semantics():
+    """decode_gif_frames composites like a viewer: full frames, a
+    sub-rect frame, disposal 2 (restore rect to background), and a
+    transparency hole that keeps the PRIOR canvas content."""
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.gif import (
+        decode_gif_frames,
+        encode_gif_animation,
+    )
+
+    f0 = np.full((4, 6), 10, dtype=np.uint8)
+    f1 = np.full((2, 2), 200, dtype=np.uint8)
+    f2 = np.full((4, 6), 30, dtype=np.uint8)
+    f2[0, 0] = 99
+    p = encode_gif_animation(
+        6, 4, [f0, f1, f2],
+        disposals=[0, 2, 0],
+        transparents=[None, None, 99],
+        offsets=[(0, 0), (2, 1), (0, 0)],
+    )
+    w, h, frames = decode_gif_frames(p)
+    assert (w, h, len(frames)) == (6, 4, 3)
+    a = [np.frombuffer(f, np.uint8).reshape(4, 6, 3) for f in frames]
+    assert (a[0] == 10).all()
+    assert (a[1][1:3, 2:4] == 200).all() and (a[1][0] == 10).all()
+    # after disposal 2 the rect went back to background, then frame 2
+    # painted 30 everywhere except its transparent hole at (0,0),
+    # which shows frame 0's 10
+    assert (a[2][1, 1] == 30).all() and (a[2][0, 0] == 10).all()
+    # disposal 3: restore-to-previous
+    p3 = encode_gif_animation(
+        4, 2, [np.full((2, 4), 5, dtype=np.uint8),
+               np.full((2, 4), 50, dtype=np.uint8),
+               np.zeros((1, 1), dtype=np.uint8) + 77],
+        disposals=[0, 3, 0], offsets=[(0, 0), (0, 0), (0, 0)],
+    )
+    _, _, fr3 = decode_gif_frames(p3)
+    b = [np.frombuffer(f, np.uint8).reshape(2, 4, 3) for f in fr3]
+    assert (b[1] == 50).all()
+    # frame 2 painted its 1x1 over the RESTORED frame-1 canvas (5s)
+    assert (b[2][0, 0] == 77).all() and (b[2][1, 1] == 5).all()
+
+
+def test_sample_frames_demuxes_real_gif_animations(spark):
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.gif import (
+        encode_gif_animation,
+    )
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.multimodal import (
+        sample_frames,
+    )
+
+    anim = encode_gif_animation(
+        2, 2, [np.full((2, 2), v, dtype=np.uint8) for v in (1, 2, 3, 4, 5)]
+    )
+    blob = bytes(range(64))  # non-GIF payload: byte-splitter stand-in
+    df = spark.createDataFrame(
+        [(1, bytearray(anim)), (2, bytearray(blob))],
+        "doc_id long, payload binary",
+    )
+    rows = sample_frames(df, frame_bytes=16, every_n=2).collect()
+    gif_rows = sorted(
+        (r["frame_no"], bytes(r["frame"])) for r in rows if r["doc_id"] == 1
+    )
+    # 5 frames sampled every 2nd -> frames 0, 2, 4; each a 2x2 RGB canvas
+    assert [n for n, _ in gif_rows] == [0, 2, 4]
+    for (n, f), v in zip(gif_rows, (1, 3, 5)):
+        assert f == bytes([v] * 12)
+    blob_rows = [r for r in rows if r["doc_id"] == 2]
+    assert len(blob_rows) == 2 and all(len(r["frame"]) == 16 for r in blob_rows)
