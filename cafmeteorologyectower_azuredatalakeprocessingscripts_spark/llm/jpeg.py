@@ -86,7 +86,6 @@ _ZIGZAG = tuple(
         key=lambda rc: rc[1] if d % 2 else rc[0],
     )
 )
-_UNZIGZAG = np.argsort(np.array(_ZIGZAG))  # block order -> zigzag slot
 
 # Orthonormal DCT-II basis A[u, x] = c(u)/2 * cos((2x+1)u*pi/16):
 # spatial = A.T @ F @ A, frequency = A @ f @ A.T.
@@ -148,11 +147,6 @@ def _build_lut(bits: bytes, vals: bytes) -> tuple[list, list]:
         _LUT_CACHE.pop(next(iter(_LUT_CACHE)))
     _LUT_CACHE[key] = (sym, length)
     return sym, length
-
-
-def _extend(v: int, s: int) -> int:
-    """T.81 EXTEND: map s received magnitude bits to a signed value."""
-    return v - (1 << s) + 1 if v < (1 << (s - 1)) else v
 
 
 # ---------------------------------------------------------- decoder
@@ -1198,7 +1192,7 @@ def encode_jpeg_progressive(
         buf = bytearray(sos_header([ci], ss, se, 0, al))
         bw = _BitWriter()
         ac = ac_codes[ci]
-        bpl, _bhp, hi, vi = grids[ci]
+        bpl = grids[ci][0]
         bw_true, bh_true = _true_grid(ci)
         eobrun = 0
         for m in range(bw_true * bh_true):
@@ -1238,7 +1232,7 @@ def encode_jpeg_progressive(
         buf = bytearray(sos_header([ci], ss, se, al + 1, al))
         bw = _BitWriter()
         ac = ac_codes[ci]
-        bpl, _bhp, hi, vi = grids[ci]
+        bpl = grids[ci][0]
         bw_true, bh_true = _true_grid(ci)
         eobrun = 0
         run_bits: list[int] = []
@@ -1261,7 +1255,6 @@ def encode_jpeg_progressive(
             eobrun = _flush_eobrun(bw, ac, eobrun, run_bits)
             r = 0
             pending: list[int] = []
-            tail = False
             for v, h, is_new in zip(band, hist, newly):
                 if h != 0:
                     pending.append((abs(v) >> al) & 1)
