@@ -891,11 +891,16 @@ def _pad_plane(plane: np.ndarray, mh: int, mw: int) -> np.ndarray:
     return np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
 
 
-def _prepare_encode(width, height, channels, pixels, subsampling, qtable):
+def _prepare_encode(
+    width, height, channels, pixels, subsampling, qtable, qtable_chroma=None
+):
     """Shared encoder front half: RGB->YCbCr, chroma box-mean
     downsample, MCU-grid edge padding, FDCT + quantize + zigzag.
     Returns (blocks_zz per comp in raster padded layout, samp, grids,
-    mcux, mcuy, q)."""
+    mcux, mcuy, qs) with ``qs`` the per-component quantization tables
+    — [luma] or [luma, chroma, chroma] (real encoders ship separate
+    luma/chroma tables; ``qtable_chroma=None`` reuses the luma table
+    and keeps the single-DQT stream byte-identical to pre-r12)."""
     if channels not in (1, 3):
         raise JpegUnsupported(f"{channels} channels")
     luma_samp = {"444": (1, 1), "422": (2, 1), "440": (1, 2), "420": (2, 2)}
@@ -904,13 +909,17 @@ def _prepare_encode(width, height, channels, pixels, subsampling, qtable):
     arr = np.frombuffer(bytes(pixels), dtype=np.uint8)
     if arr.size != width * height * channels:
         raise JpegUnsupported("pixel buffer does not match dimensions")
-    q = (
-        np.ones(64, dtype=np.int32)
-        if qtable is None
-        else np.asarray(qtable, dtype=np.int32).reshape(64)
-    )
-    if (q < 1).any() or (q > 255).any():
-        raise JpegUnsupported("quantization values must be 1..255")
+
+    def _qt(t):
+        t = np.ones(64, dtype=np.int32) if t is None else np.asarray(
+            t, dtype=np.int32
+        ).reshape(64)
+        if (t < 1).any() or (t > 255).any():
+            raise JpegUnsupported("quantization values must be 1..255")
+        return t
+
+    q = _qt(qtable)
+    qc = q if qtable_chroma is None else _qt(qtable_chroma)
     if channels == 1:
         planes = [arr.reshape(height, width)]
         samp = [(1, 1)]
@@ -926,9 +935,10 @@ def _prepare_encode(width, height, channels, pixels, subsampling, qtable):
     vmax = max(s[1] for s in samp)
     mcux = (width + 8 * hmax - 1) // (8 * hmax)
     mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+    qs = [q] + [qc] * (channels - 1)
     blocks_zz = []
     grids = []
-    for (hi, vi), plane in zip(samp, planes):
+    for ci, ((hi, vi), plane) in enumerate(zip(samp, planes)):
         if (hi, vi) != (hmax, vmax):  # box-mean downsample chroma
             p = _pad_plane(plane, vmax // vi, hmax // hi).astype(np.float64)
             fy, fx = vmax // vi, hmax // hi
@@ -936,13 +946,16 @@ def _prepare_encode(width, height, channels, pixels, subsampling, qtable):
             plane = np.clip(np.round(p), 0, 255).astype(np.uint8)
         # pad to this component's full MCU grid (edge replication)
         plane = _pad_plane(plane, 8 * vi * mcuy, 8 * hi * mcux)
-        blocks_zz.append(_plane_to_blocks(plane, q))
+        blocks_zz.append(_plane_to_blocks(plane, qs[ci]))
         grids.append((mcux * hi, mcuy * vi, hi, vi))
-    return blocks_zz, samp, grids, mcux, mcuy, q
+    return blocks_zz, samp, grids, mcux, mcuy, qs
 
 
-def _emit_headers(width, height, nc, samp, q, sof_marker):
-    """SOI + JFIF APP0 + DQT + SOF + the four Annex K DHTs."""
+def _emit_headers(width, height, nc, samp, qs, sof_marker):
+    """SOI + JFIF APP0 + DQT(s) + SOF + the four Annex K DHTs. A
+    distinct chroma table gets its own DQT (id 1) and the chroma
+    components reference Tq=1 — the two-table layout every real
+    encoder emits."""
     out = bytearray(b"\xff\xd8")
     out += (
         b"\xff\xe0"
@@ -950,13 +963,19 @@ def _emit_headers(width, height, nc, samp, q, sof_marker):
         + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
     )
     zz = np.array(_ZIGZAG)
+    two_tables = nc == 3 and qs[1] is not qs[0]
     out += b"\xff\xdb" + struct.pack(">H", 2 + 65) + bytes([0x00]) + bytes(
-        int(v) for v in q[zz]
+        int(v) for v in qs[0][zz]
     )
+    if two_tables:
+        out += b"\xff\xdb" + struct.pack(">H", 2 + 65) + bytes([0x01]) + bytes(
+            int(v) for v in qs[1][zz]
+        )
     sof = bytes([8]) + struct.pack(">HH", height, width) + bytes([nc])
     for ci in range(nc):
         hi, vi = samp[ci]
-        sof += bytes([ci + 1, (hi << 4) | vi, 0])
+        tq = 1 if two_tables and ci else 0
+        sof += bytes([ci + 1, (hi << 4) | vi, tq])
     out += bytes([0xFF, sof_marker]) + struct.pack(">H", 2 + len(sof)) + sof
     tables = [(0x00, _DC_LUMA_BITS, _DC_LUMA_VALS), (0x10, _AC_LUMA_BITS, _AC_LUMA_VALS)]
     if nc == 3:
@@ -977,6 +996,7 @@ def encode_jpeg(
     pixels: bytes,
     subsampling: str = "444",
     qtable: np.ndarray | None = None,
+    qtable_chroma: np.ndarray | None = None,
     restart_interval: int = 0,
     non_interleaved: bool = False,
 ) -> bytes:
@@ -994,11 +1014,11 @@ def encode_jpeg(
     sequential layout (T.81 non-interleaved scans, MCU = 1 block),
     emitted by some scanners; exists to exercise that decoder branch
     with an exact equivalence against the interleaved form."""
-    blocks_zz, samp, grids, mcux, mcuy, q = _prepare_encode(
-        width, height, channels, pixels, subsampling, qtable
+    blocks_zz, samp, grids, mcux, mcuy, qs = _prepare_encode(
+        width, height, channels, pixels, subsampling, qtable, qtable_chroma
     )
     nc = channels
-    out = _emit_headers(width, height, nc, samp, q, sof_marker=0xC0)
+    out = _emit_headers(width, height, nc, samp, qs, sof_marker=0xC0)
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
 
@@ -1095,6 +1115,7 @@ def encode_jpeg_progressive(
     pixels: bytes,
     subsampling: str = "444",
     qtable: np.ndarray | None = None,
+    qtable_chroma: np.ndarray | None = None,
     spectral_only: bool = False,
     restart_interval: int = 0,
 ) -> bytes:
@@ -1112,11 +1133,11 @@ def encode_jpeg_progressive(
     Al=1, AC first (bands 1-5 and 6-63) at Al=1, then DC/AC refinement
     scans at Al=0. ``restart_interval`` > 0 emits DRI + RSTn in every
     scan (units: MCUs for the DC scan, blocks for AC scans)."""
-    blocks_zz, samp, grids, mcux, mcuy, q = _prepare_encode(
-        width, height, channels, pixels, subsampling, qtable
+    blocks_zz, samp, grids, mcux, mcuy, qs = _prepare_encode(
+        width, height, channels, pixels, subsampling, qtable, qtable_chroma
     )
     nc = channels
-    out = _emit_headers(width, height, nc, samp, q, sof_marker=0xC2)
+    out = _emit_headers(width, height, nc, samp, qs, sof_marker=0xC2)
     # The Annex K AC tables carry no EOBn (n > 0) symbols — progressive
     # AC scans need them, which is exactly why real progressive files
     # ship custom DHTs. Emit a generic AC table (id 2) covering ALL 256

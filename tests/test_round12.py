@@ -700,3 +700,47 @@ def test_sample_frames_demuxes_real_gif_animations(spark):
         assert f == bytes([v] * 12)
     blob_rows = [r for r in rows if r["doc_id"] == 2]
     assert len(blob_rows) == 2 and all(len(r["frame"]) == 16 for r in blob_rows)
+
+
+def test_jpeg_two_quant_tables_real_world_layout():
+    """Every real color JPEG carries SEPARATE luma/chroma DQTs (ids
+    0/1, chroma components Tq=1): the decoder's per-component dequant
+    must route each table correctly, asserted via progressive/baseline
+    equivalence (a swap or misroute breaks the pixel identity), and
+    the default single-table stream stays byte-compatible."""
+    rng = np.random.default_rng(13)
+    qt_l = np.array(
+        [16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+         14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+         18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+         49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99])
+    qt_c = np.array(
+        [17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+         24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99]
+        + [99] * 32)
+    rgb = rng.integers(0, 256, (24, 40, 3), dtype=np.uint8)
+    p2 = encode_jpeg(40, 24, 3, rgb.tobytes(), subsampling="420",
+                     qtable=qt_l, qtable_chroma=qt_c)
+    assert p2.count(b"\xff\xdb") == 2
+    base = decode_jpeg(p2)
+    assert base[:3] == (40, 24, 3)
+    pp = encode_jpeg_progressive(40, 24, 3, rgb.tobytes(), subsampling="420",
+                                 qtable=qt_l, qtable_chroma=qt_c)
+    assert decode_jpeg(pp) == base
+    # default single-table stream unchanged (frozen-oracle compat)
+    assert encode_jpeg(16, 16, 1, bytes(range(256))).count(b"\xff\xdb") == 1
+
+
+def test_jpeg_lut_cache_stays_bounded_under_hostile_table_spam():
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm import jpeg as J
+
+    # payloads with ever-different DHT value tables would grow the
+    # cache without the FIFO bound; spam unique tables directly
+    for i in range(300):
+        bits = bytes([0, 2] + [0] * 14)
+        vals = bytes([i % 256, (i * 7 + 1) % 256])
+        try:
+            J._build_lut(bits, vals)
+        except J.JpegUnsupported:
+            pass
+    assert len(J._LUT_CACHE) <= J._LUT_CACHE_MAX
