@@ -61,7 +61,7 @@ import numpy as np
 
 class JpegUnsupported(ValueError):
     """Payload is not a JPEG this codec handles (bad magic,
-    progressive/arithmetic coding, unsupported sampling, or corrupt
+    lossless/arithmetic coding, unsupported sampling, or corrupt
     marker/entropy structure)."""
 
 
