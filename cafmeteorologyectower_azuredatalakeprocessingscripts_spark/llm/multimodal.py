@@ -526,13 +526,16 @@ def resize_images(
 ) -> DataFrame:
     """Image-resize stage: Arrow-batched, map-only, schema-preserving.
 
-    PNG/BMP/TIFF payloads are REALLY resized: stdlib decode →
-    nearest-neighbor resample (deterministic integer mapping) →
-    re-encode IN THE SOURCE FORMAT, emitted with the matching mime.
-    Other payloads fall back to the deterministic stand-in (scale to
-    ``width*height`` bytes by repeat/truncate, ``mime='image/raw-stub'``)
-    so batch shapes, output schema, and metadata handling are exercised
-    end-to-end for any media."""
+    PNG/BMP/TIFF/JPEG/GIF payloads are REALLY resized: stdlib decode
+    → nearest-neighbor resample (deterministic integer mapping) →
+    re-encode IN THE SOURCE FORMAT, emitted with the matching mime
+    (fallbacks to PNG where the source layout cannot carry the decoded
+    channels: gray+alpha, and resampled true-color GIFs that exceed
+    256 distinct colors). Other payloads fall back to the
+    deterministic stand-in (scale to ``width*height`` bytes by
+    repeat/truncate, ``mime='image/raw-stub'``) so batch shapes,
+    output schema, and metadata handling are exercised end-to-end for
+    any media."""
     target = width * height
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -544,15 +547,25 @@ def resize_images(
                 if dec is not None:
                     w0, h0, c, pix = dec
                     resampled = resize_nearest(w0, h0, c, pix, width, height)
-                    # re-encode in the SOURCE format; gray+alpha has no
-                    # BMP/TIFF layout here, PNG carries it
+                    # re-encode in the SOURCE format; gray+alpha has
+                    # no BMP/TIFF/JPEG layout here, PNG carries it
                     enc = encode_png
                     if c in (1, 3, 4):
                         if mime == "image/bmp":
                             enc = encode_bmp
                         elif mime == "image/tiff":
                             enc = encode_tiff
-                    resized = enc(width, height, c, resampled)
+                        elif mime == "image/jpeg" and c in (1, 3):
+                            enc = encode_jpeg
+                        elif mime == "image/gif" and c in (1, 3):
+                            enc = encode_gif
+                    try:
+                        resized = enc(width, height, c, resampled)
+                    except GifUnsupported:
+                        # a resampled true-color GIF can exceed 256
+                        # distinct colors — PNG carries it losslessly
+                        enc = encode_png
+                        resized = enc(width, height, c, resampled)
                     out_payload.append(resized)
                     out_meta.append(
                         {

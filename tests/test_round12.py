@@ -744,3 +744,28 @@ def test_jpeg_lut_cache_stays_bounded_under_hostile_table_spam():
         except J.JpegUnsupported:
             pass
     assert len(J._LUT_CACHE) <= J._LUT_CACHE_MAX
+
+
+def test_resize_images_reencodes_jpeg_and_gif_in_source_format(spark):
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.multimodal import (
+        resize_images,
+    )
+
+    img = np.repeat(np.repeat(np.arange(4, dtype=np.uint8).reshape(2, 2) * 60, 8, 0), 8, 1)
+    jp = encode_jpeg(16, 16, 1, img.tobytes())
+    gf = encode_gif(16, 16, 1, img.tobytes())
+    df = spark.createDataFrame(
+        [(1, bytearray(jp), {"mime": "image/jpeg"}),
+         (2, bytearray(gf), {"mime": "image/gif"})],
+        "doc_id long, payload binary, meta map<string,string>",
+    )
+    rows = {r["doc_id"]: r for r in resize_images(df, 8, 8).collect()}
+    assert rows[1]["meta"]["mime"] == "image/jpeg"
+    assert is_jpeg(bytes(rows[1]["payload"]))
+    w, h, c, px = decode_jpeg(bytes(rows[1]["payload"]))
+    assert (w, h, c) == (8, 8, 1)
+    assert rows[2]["meta"]["mime"] == "image/gif"
+    w, h, c, px = decode_gif(bytes(rows[2]["payload"]))
+    assert (w, h, c) == (8, 8, 1)
+    # GIF is lossless: the nearest-resampled pixels survive exactly
+    assert np.frombuffer(px, np.uint8).reshape(8, 8).tolist() == img[::2, ::2].tolist()
