@@ -15,10 +15,11 @@ back to the digest stub, exactly like ``PngUnsupported`` /
 
 - baseline IFD0 only (multi-page files decode their first page —
   the baseline-reader behavior the spec prescribes);
-- 8 bits per sample, Compression=1 (none) or 32773 (PackBits — the
-  other compression baseline readers MUST support; per-run loop,
-  output bounded to the strip's declared geometry), Planar-
-  Configuration=1 (chunky) or absent;
+- 8 bits per sample, Compression=1 (none), 5 (LZW — MSB-first with
+  the EarlyChange width bump, per-code loop, optional horizontal
+  Predictor inverted by one vectorized cumsum) or 32773 (PackBits —
+  per-run loop); all compressed output is bounded to the strip's
+  declared geometry; PlanarConfiguration=1 (chunky) or absent;
 - PhotometricInterpretation 0 (WhiteIsZero — inverted to gray), 1
   (BlackIsZero — gray), 2 (RGB; SamplesPerPixel 3, or 4 = RGBA with
   an alpha extra sample);
@@ -108,10 +109,13 @@ def decode_tiff(payload: bytes) -> tuple[int, int, int, bytes]:
     compression = one(259, 1)
     photometric = one(262)
     spp = one(277, 1)
-    if compression not in (1, 32773):
+    if compression not in (1, 5, 32773):
         raise TiffUnsupported(
-            f"compression={compression} (only uncompressed/PackBits)"
+            f"compression={compression} (only uncompressed/LZW/PackBits)"
         )
+    predictor = one(317, 1)
+    if predictor not in (1, 2):
+        raise TiffUnsupported(f"predictor={predictor} (only none/horizontal)")
     if one(284, 1) != 1:
         raise TiffUnsupported("planar configuration (only chunky)")
     if 322 in e or 323 in e:
@@ -155,12 +159,23 @@ def decode_tiff(payload: bytes) -> tuple[int, int, int, bytes]:
         if compression == 32773:
             parts.append(_unpackbits(data, off, cnt, expected))
             continue
+        if compression == 5:
+            parts.append(_unlzw(data, off, cnt, expected))
+            continue
         if cnt != expected:
             raise TiffUnsupported(
                 f"strip {i} byte count {cnt} != {expected} expected"
             )
         parts.append(np.frombuffer(data, dtype=np.uint8, count=cnt, offset=off))
     px = np.concatenate(parts)
+    if predictor == 2:
+        # horizontal differencing: each sample stores the delta to its
+        # left neighbour (same channel); rows are independent, so one
+        # vectorized cumsum mod 256 over the whole image inverts it
+        px = (
+            np.cumsum(px.reshape(height, width, spp), axis=1, dtype=np.int64)
+            % 256
+        ).astype(np.uint8).reshape(-1)
     if photometric == 0:  # WhiteIsZero → invert to plain gray
         px = (255 - px).astype(np.uint8)
     return width, height, spp, px.tobytes()
@@ -197,18 +212,36 @@ def _unpackbits(data: bytes, off: int, cnt: int, expected: int) -> np.ndarray:
     return out
 
 
-def encode_tiff(width: int, height: int, channels: int, pixels: bytes) -> bytes:
+def encode_tiff(
+    width: int,
+    height: int,
+    channels: int,
+    pixels: bytes,
+    compression: int = 1,
+    predictor: int = 1,
+) -> bytes:
     """Encode row-major top-down pixels (gray / RGB / RGBA) as a
-    minimal little-endian baseline TIFF: one strip, BlackIsZero or RGB,
-    Compression=1."""
+    minimal little-endian baseline TIFF: one strip, BlackIsZero or
+    RGB. ``compression`` 1 (none, the byte-identical default) or 5
+    (LZW); ``predictor`` 2 applies horizontal differencing before
+    compression (the pairing real LZW writers use)."""
     if channels not in (1, 3, 4):
         raise TiffUnsupported(f"channels={channels}")
+    if compression not in (1, 5) or predictor not in (1, 2):
+        raise TiffUnsupported("compression must be 1/5, predictor 1/2")
     if len(pixels) != width * height * channels:
         raise TiffUnsupported(
             f"pixel buffer {len(pixels)} != {width}x{height}x{channels}"
         )
     photometric = 1 if channels == 1 else 2
     body = bytes(pixels)
+    if predictor == 2:
+        arr = np.frombuffer(body, dtype=np.uint8).reshape(height, width, channels)
+        diff = arr.astype(np.int16)
+        diff[:, 1:, :] -= arr[:, :-1, :].astype(np.int16)
+        body = (diff % 256).astype(np.uint8).tobytes()
+    if compression == 5:
+        body = _lzw_compress(body)
     # layout: header(8) | pixel strip | bits-per-sample array (if >2
     # values, stored out-of-line) | IFD
     strip_off = 8
@@ -219,7 +252,7 @@ def encode_tiff(width: int, height: int, channels: int, pixels: bytes) -> bytes:
         (256, 4, 1, width),           # ImageWidth
         (257, 4, 1, height),          # ImageLength
         (258, 3, channels, 8 if bps_inline else bps_off),  # BitsPerSample
-        (259, 3, 1, 1),               # Compression: none
+        (259, 3, 1, compression),     # Compression
         (262, 3, 1, photometric),     # PhotometricInterpretation
         (273, 4, 1, strip_off),       # StripOffsets
         (277, 3, 1, channels),        # SamplesPerPixel
@@ -227,6 +260,8 @@ def encode_tiff(width: int, height: int, channels: int, pixels: bytes) -> bytes:
         (279, 4, 1, len(body)),       # StripByteCounts
         (284, 3, 1, 1),               # PlanarConfiguration: chunky
     ]
+    if predictor == 2:
+        tags.append((317, 3, 1, 2))   # Predictor: horizontal
     out = bytearray(b"II*\x00" + struct.pack("<I", ifd_off))
     out += body
     if not bps_inline:
@@ -238,4 +273,107 @@ def encode_tiff(width: int, height: int, channels: int, pixels: bytes) -> bytes:
         else:
             out += struct.pack("<HHII", tag, ftype, count, value)
     out += struct.pack("<I", 0)  # no next IFD
+    return bytes(out)
+
+
+def _unlzw(data: bytes, off: int, cnt: int, expected: int) -> np.ndarray:
+    """TIFF-variant LZW decompression of one strip → exactly
+    ``expected`` bytes. Differences from GIF's LZW: codes are packed
+    MSB-first, the root alphabet is all 256 bytes (Clear=256, EOI=257)
+    with 9-bit initial codes, and the code width bumps ONE CODE EARLY
+    (the "EarlyChange" TIFF spec behavior every writer uses). Output
+    is allocated at the strip's declared geometry and every append is
+    capped — a hostile stream cannot expand past it."""
+    clear, eoi = 256, 257
+    base = [bytes([i]) for i in range(256)] + [b"", b""]
+    table = list(base)
+    width = 9
+    out = bytearray()
+    acc = nb = 0
+    pos, end = off, off + cnt
+    prev = None
+    while len(out) < expected:
+        while nb < width:
+            if pos >= end:
+                raise TiffUnsupported("LZW strip truncated")
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nb += 8
+        nb -= width
+        code = (acc >> nb) & ((1 << width) - 1)
+        if code == clear:
+            table = list(base)
+            width = 9
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= 256:
+                raise TiffUnsupported("LZW code before any root")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):  # KwKwK
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise TiffUnsupported("LZW code beyond dictionary")
+        room = expected - len(out)
+        out += entry[:room]
+        prev = entry
+        # EarlyChange: the encoder bumps when ITS next_code reaches
+        # 2^w - 1; the decoder's insert count lags the encoder's by
+        # exactly one at read time, so its threshold sits one lower
+        if len(table) == (1 << width) - 2 and width < 12:
+            width += 1
+    if len(out) != expected:
+        raise TiffUnsupported("LZW strip shorter than declared geometry")
+    return np.frombuffer(bytes(out), dtype=np.uint8)
+
+
+def _lzw_compress(raw: bytes) -> bytes:
+    """TIFF-variant LZW compressor (MSB-first, EarlyChange) for
+    fixtures — exercising the decoder's dictionary machinery is the
+    point, like the GIF twin."""
+    clear, eoi = 256, 257
+    out = bytearray()
+    acc = nb = 0
+
+    def put(code: int, width: int) -> None:
+        nonlocal acc, nb
+        acc = (acc << width) | code
+        nb += width
+        while nb >= 8:
+            out.append((acc >> (nb - 8)) & 0xFF)
+            nb -= 8
+            acc &= (1 << nb) - 1
+
+    table = {bytes([i]): i for i in range(256)}
+    next_code = eoi + 1
+    width = 9
+    put(clear, width)
+    prev = b""
+    for v in raw:
+        cur = prev + bytes([v])
+        if cur in table:
+            prev = cur
+            continue
+        put(table[prev], width)
+        table[cur] = next_code
+        next_code += 1
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
+        if next_code == 4094:  # table nearly full: clear and restart
+            put(clear, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = eoi + 1
+            width = 9
+        prev = bytes([v])
+    if prev:
+        put(table[prev], width)
+    put(eoi, width)
+    if nb:
+        out.append((acc << (8 - nb)) & 0xFF)
     return bytes(out)

@@ -769,3 +769,67 @@ def test_resize_images_reencodes_jpeg_and_gif_in_source_format(spark):
     assert (w, h, c) == (8, 8, 1)
     # GIF is lossless: the nearest-resampled pixels survive exactly
     assert np.frombuffer(px, np.uint8).reshape(8, 8).tolist() == img[::2, ::2].tolist()
+
+
+# ------------------------------------------------------ TIFF LZW
+def test_tiff_lzw_and_predictor_roundtrip_exact():
+    """Compression=5 (the third real-world TIFF compression): MSB-first
+    LZW with the EarlyChange width bump, optional horizontal Predictor.
+    Every (compression, predictor) combination must decode to the same
+    pixels as the uncompressed form."""
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.tiff import (
+        decode_tiff,
+        encode_tiff,
+    )
+
+    rng = np.random.default_rng(4)
+    for shape, ch in (((17, 13), 1), ((9, 21), 3), ((6, 6), 4)):
+        px = rng.integers(
+            0, 256, shape + ((ch,) if ch > 1 else ()), dtype=np.uint8
+        )
+        w, h = shape[1], shape[0]
+        ref = decode_tiff(encode_tiff(w, h, ch, px.tobytes()))
+        for comp in (1, 5):
+            for pred in (1, 2):
+                assert decode_tiff(
+                    encode_tiff(w, h, ch, px.tobytes(), compression=comp, predictor=pred)
+                ) == ref, (shape, ch, comp, pred)
+    # the predictor is not decoration: on gradients (its target case)
+    # LZW+predictor compresses ~8x better than LZW alone
+    gx, gy = np.meshgrid(np.arange(200), np.arange(100))
+    sm = ((gx + gy) % 256).astype(np.uint8).tobytes()
+    plain = len(encode_tiff(200, 100, 1, sm, compression=5))
+    pred = len(encode_tiff(200, 100, 1, sm, compression=5, predictor=2))
+    assert pred * 4 < plain
+
+
+def test_tiff_lzw_width_growth_clears_and_hostile_streams():
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.tiff import (
+        TiffUnsupported,
+        _lzw_compress,
+        _unlzw,
+        decode_tiff,
+        encode_tiff,
+    )
+
+    rng = np.random.default_rng(3)
+    # 300k incompressible bytes force all code widths + multiple clears
+    raw = bytes(rng.integers(0, 256, 300_000, dtype=np.uint8))
+    comp = _lzw_compress(raw)
+    assert _unlzw(comp, 0, len(comp), len(raw)).tobytes() == raw
+    # constant runs drive the KwKwK case
+    runs = bytes([7]) * 5000
+    comp2 = _lzw_compress(runs)
+    assert _unlzw(comp2, 0, len(comp2), len(runs)).tobytes() == runs
+    # hostile: corrupt LZW strips raise TiffUnsupported only, and the
+    # output stays bounded at the declared geometry
+    rnd = random.Random(9)
+    good = encode_tiff(13, 17, 1, rng.integers(0, 256, 221, dtype=np.uint8).tobytes(),
+                       compression=5, predictor=2)
+    for _ in range(300):
+        b = bytes(x if rnd.random() > 0.12 else rnd.randrange(256) for x in good)
+        try:
+            out = decode_tiff(b)
+            assert len(out[3]) == out[0] * out[1] * out[2]
+        except TiffUnsupported:
+            pass  # the only allowed failure mode
