@@ -959,6 +959,48 @@ SELECT doc_id, CAST(k AS INTEGER) AS frame_no,
 FROM documents, unnest(range(0, length(text) // 16, 2)) AS t(k)
 """
 
+# Animated-GIF frame demux twin (r13): four composited 8x8 canvas
+# snapshots per doc, each canvas byte-sum a closed-form codepoint
+# expression. cp = 1-based list of the first 88 codepoints mod 256
+# (space-padded). Frame 0 = full canvas cp[1..64]; frame 1 draws a
+# 4x4 rect at (2,2) from cp[65..80] with TRANSPARENT index 0 (holes
+# keep frame-0 content) and disposal 2 (rect -> background after the
+# snapshot); frame 2 draws 2x2 at (0,0) from cp[81..84] with disposal
+# 3 (canvas restored after); frame 3 draws 2x2 at (6,0) from
+# cp[85..88]. Canvases are RGB (identity palette), so sums triple.
+_MULTIMODAL_GIF_FRAMES_SQL = """
+WITH base AS (
+  SELECT doc_id,
+         list_transform(range(1, 89),
+           i -> ascii(substr(rpad(coalesce(text, ''), 88, ' '), CAST(i AS INTEGER), 1)) % 256) AS cp
+  FROM documents
+), sums AS (
+  SELECT doc_id, cp,
+    CAST(list_sum(list_transform(range(1, 65), i -> cp[CAST(i AS INTEGER)])) AS BIGINT) AS s0,
+    -- frame-1 rect rows 2-5 x cols 2-5 (0-based): flat p = r*8+c, cp index p+1
+    CAST(list_sum(list_transform(range(0, 16),
+      j -> cp[CAST((2 + j // 4) * 8 + (2 + j % 4) + 1 AS INTEGER)])) AS BIGINT) AS old1,
+    CAST(list_sum(list_transform(range(0, 16),
+      j -> CASE WHEN cp[CAST(65 + j AS INTEGER)] = 0 THEN 0
+                ELSE cp[CAST(65 + j AS INTEGER)]
+                     - cp[CAST((2 + j // 4) * 8 + (2 + j % 4) + 1 AS INTEGER)] END)) AS BIGINT) AS d1
+  FROM base
+), f AS (
+  SELECT doc_id, s0, s0 + d1 AS s1,
+    -- pre-frame-2 canvas = frame-0 canvas with rect1 zeroed (disposal 2, bg=0)
+    s0 - old1 - (cp[1] + cp[2] + cp[9] + cp[10])
+              + (cp[81] + cp[82] + cp[83] + cp[84]) AS s2,
+    -- frame-2 disposal 3 restores the pre-frame-2 canvas before frame 3
+    s0 - old1 - (cp[7] + cp[8] + cp[15] + cp[16])
+              + (cp[85] + cp[86] + cp[87] + cp[88]) AS s3
+  FROM sums
+)
+SELECT doc_id, 0 AS frame_no, 192 AS frame_len, CAST(3 * s0 AS BIGINT) AS frame_sum FROM f
+UNION ALL SELECT doc_id, 1, 192, CAST(3 * s1 AS BIGINT) FROM f
+UNION ALL SELECT doc_id, 2, 192, CAST(3 * s2 AS BIGINT) FROM f
+UNION ALL SELECT doc_id, 3, 192, CAST(3 * s3 AS BIGINT) FROM f
+"""
+
 _EMB_DIM = 64
 
 # 8 planes = 256 buckets/table: at threshold 0.45 recall is modest (LSH

@@ -83,7 +83,11 @@ def _lzw_decode(data: bytes, pos: int, min_code: int, n_pixels: int) -> tuple[np
     """Variable-width LZW over length-prefixed sub-blocks. Output is
     capped at ``n_pixels`` — decoding stops the moment the frame is
     full, so stream contents can never drive allocation."""
-    if not 2 <= min_code <= 11:
+    # GIF-legal range is 2..8 (roots are palette indices, max 256);
+    # 9-11 would pass a width check but make bytes([i]) blow up at
+    # i=256 with a bare ValueError that escapes the GifUnsupported
+    # fallback routing in multimodal.py.
+    if not 2 <= min_code <= 8:
         raise GifUnsupported(f"LZW minimum code size {min_code}")
     # concatenate sub-blocks (validated), remember stream end
     chunks = []

@@ -76,14 +76,17 @@ _MAX_OUTPUT_BYTES = 1 << 26
 # ---------------------------------------------------------------- DCT
 
 # zigzag[k] = flat (row*8+col) index of the k-th coefficient in zigzag
-# scan order, generated from the diagonal rule (even diagonals run
-# bottom-left -> top-right) rather than typed as a literal table.
+# scan order, generated from the diagonal rule (T.81 Figure 5: odd
+# diagonals run top-right -> bottom-left i.e. ascending row, even
+# diagonals bottom-left -> top-right i.e. ascending column) rather
+# than typed as a literal table; tests assert equality against the
+# literal T.81 table.
 _ZIGZAG = tuple(
     r * 8 + c
     for d in range(15)
     for (r, c) in sorted(
         ((r, d - r) for r in range(8) if 0 <= d - r < 8),
-        key=lambda rc: rc[1] if d % 2 else rc[0],
+        key=lambda rc: rc[0] if d % 2 else rc[1],
     )
 )
 
@@ -115,15 +118,54 @@ def _fdct_blocks(samples: np.ndarray) -> np.ndarray:
 
 # ------------------------------------------------------- Huffman LUTs
 
-# DHT bytes -> (sym_list, len_list) 65536-entry lookup; bounded FIFO
-# cache (tables repeat across payloads — every real encoder ships the
-# Annex K tables — so the build cost amortizes to ~zero per image).
-_LUT_CACHE: dict[bytes, tuple[list, list]] = {}
+# DHT bytes -> (sym_list, len_list, fast_list) 65536-entry lookups;
+# bounded FIFO cache (tables repeat across payloads — every real
+# encoder ships the Annex K tables — so the build cost amortizes to
+# ~zero per image).
+_LUT_CACHE: dict[bytes, tuple[list, list, list]] = {}
 _LUT_CACHE_MAX = 64
 
 
-def _build_lut(bits: bytes, vals: bytes) -> tuple[list, list]:
-    key = bytes(bits) + bytes(vals)
+def _fast_pack(sym: list, length: list, is_dc: bool) -> list:
+    """Packed one-peek decode table for the sequential hot loop: for
+    each 16-bit peek, a single int that resolves the WHOLE (code,
+    value) pair when both fit the window.
+
+    e > 0  — full decode: extended value+65536 in bits 0..16, zero
+             run in bits 17..22, total consumed bits in 23..27;
+    e < 0  — valid coefficient code whose value bits overrun the
+             window (len+size > 16): -e packs len (bits 0..4),
+             size (5..9), run (10..13) so the loop finishes the
+             extraction without re-deriving them from two LUTs;
+    e == 0 — everything else (AC EOB/ZRL, invalid codes): the slow
+             path re-reads sym/length and raises or branches.
+
+    Built vectorized in numpy over all 65536 peeks, then .tolist()
+    once — Python list indexing is the fastest per-symbol access.
+    """
+    sym_np = np.asarray(sym, dtype=np.int64)
+    len_np = np.asarray(length, dtype=np.int64)
+    if is_dc:
+        s = np.clip(sym_np, 0, 15)
+        run = np.zeros_like(s)
+        ok = (sym_np >= 0) & (sym_np <= 15)
+    else:
+        s = sym_np & 15
+        run = sym_np >> 4
+        ok = (sym_np > 0) & (s > 0)
+    tot = len_np + s
+    fits = ok & (tot <= 16)
+    peek = np.arange(65536, dtype=np.int64)
+    vbits = (peek >> np.clip(16 - tot, 0, 16)) & ((1 << s) - 1)
+    half_v = 1 << np.clip(s - 1, 0, 14)
+    ext = np.where((s > 0) & (vbits < half_v), vbits + 1 - (1 << s), vbits)
+    e_fast = (ext + 65536) | (run << 17) | (tot << 23)
+    e_slow = -((run << 10) | (s << 5) | len_np)
+    return np.where(fits, e_fast, np.where(ok, e_slow, 0)).tolist()
+
+
+def _build_lut(bits: bytes, vals: bytes, is_dc: bool) -> tuple[list, list, list]:
+    key = bytes([is_dc]) + bytes(bits) + bytes(vals)
     hit = _LUT_CACHE.get(key)
     if hit is not None:
         return hit
@@ -143,10 +185,11 @@ def _build_lut(bits: bytes, vals: bytes) -> tuple[list, list]:
             code += 1
             k += 1
         code <<= 1
+    entry = (sym, length, _fast_pack(sym, length, is_dc))
     if len(_LUT_CACHE) >= _LUT_CACHE_MAX:
         _LUT_CACHE.pop(next(iter(_LUT_CACHE)))
-    _LUT_CACHE[key] = (sym, length)
-    return sym, length
+    _LUT_CACHE[key] = entry
+    return entry
 
 
 # ---------------------------------------------------------- decoder
@@ -237,122 +280,156 @@ def _decode_scan_sequential(segs, comps, coef, order, geom, dri):
     """Sequential (SOF0/SOF1) scan: the baseline hot loop. Interleaved
     (ns > 1) iterates MCUs; single-component scans iterate the
     component's TRUE block grid (T.81: non-interleaved MCU = 1 block).
-    Writes into the raster-order padded block grid `coef[ci]`."""
+
+    Hot-path choices (r13, ~2.5x over the r12 accumulator loop): NO
+    bit accumulator at all — the loop keeps one small-int ``bitpos``
+    and peeks 16 bits anywhere via a numpy-prebuilt list of 32-bit
+    words at every even byte offset (so every arithmetic op stays a
+    1-2 digit CPython int; the r12 acc held up to 63 bits, making
+    every shift a 3-digit bigint op). The packed fast LUT from
+    :func:`_fast_pack` resolves a whole (code, value) pair per peek
+    whenever both fit the window, with a second packed form for long
+    codes; and each coefficient APPENDS one packed
+    (target<<17 | value+65536) int, scattered into the numpy grid
+    ``coef[ci]`` with one vectorized assignment per scan — the loop
+    never touches numpy scalars, and grid memory is 4
+    bytes/coefficient instead of a Python list cell."""
     mcux, mcuy, grids = geom
     nc = len(comps)
-    zig = _ZIGZAG
+    # zig extended past 63 with a sentinel block-flat index: a run
+    # overrunning the block packs an out-of-grid target and the
+    # scatter's bounds check at scan end raises — cheaper than a
+    # per-coefficient k>63 compare in the hot loop
+    zig = _ZIGZAG + (1 << 30,) * 16
+    zig17 = tuple(z << 17 for z in zig)
     pow2 = tuple(1 << s for s in range(33))
     half = tuple(1 << (s - 1) if s else 0 for s in range(17))
+    # per-component packed scatter buffers: (flat_index << 17) | val17
+    out = [[] for _ in range(nc)]
     interleaved = len(order) > 1
+    # slot = (ci, A, B, C, pk, dfast, afast, asym, alen) with the
+    # block's raster index as the affine my*A + mx*B + C, divmod
+    # hoisted out of the slot loop
     if interleaved:
-        # (ci, dy, dx, dsym, dlen, asym, alen) per block slot of an MCU
         slots = []
         for ci, dtab, atab in order:
             hi, vi = comps[ci][1], comps[ci][2]
+            bwp = grids[ci][0]
             for dy in range(vi):
                 for dx in range(hi):
-                    slots.append((ci, dy, dx, dtab[0], dtab[1], atab[0], atab[1]))
+                    slots.append(
+                        (ci, vi * bwp, hi, dy * bwp + dx, out[ci].append,
+                         dtab[2], atab[2], atab[0], atab[1])
+                    )
         n_units = mcux * mcuy
+        mdiv = mcux
     else:
         ci, dtab, atab = order[0]
-        bw, bh = grids[ci][2], grids[ci][3]
-        slots = [(ci, 0, 0, dtab[0], dtab[1], atab[0], atab[1])]
+        bwp, _bhp, bw, bh = grids[ci]
+        slots = [
+            (ci, bwp, 1, 0, out[ci].append, dtab[2], atab[2], atab[0], atab[1])
+        ]
         n_units = bw * bh
+        mdiv = bw
     pred = [0] * nc
     seg_i = -1
-    seg = b""
-    acc = nb = 0
-    bpos = 0
-    seg_end = real_bits = 0
+    w32: list = []
+    bitpos = 0
+    real_bits = 0
     for m in range(n_units):
         if dri and m % dri == 0 or m == 0:
             # consumed bits may never exceed the segment's real bits
             # (JPEG's byte-boundary padding is flushed, not decoded)
-            if m and bpos * 8 - nb > real_bits:
+            if m and bitpos > real_bits:
                 raise JpegUnsupported("entropy segment truncated")
             seg_i += 1
             if seg_i >= len(segs):
                 raise JpegUnsupported("missing restart segment")
-            seg = segs[seg_i]
-            seg_end = len(seg)
-            real_bits = seg_end * 8
-            acc = nb = 0
-            bpos = 0
+            raw = segs[seg_i]
+            real_bits = len(raw) * 8
+            # 0xFF pad covers the worst block-level overrun between
+            # truncation checks: one DC + 63 coeffs + 3 ZRL + EOB at
+            # <=31 bits each is exactly 2048 bits, plus a final 32-bit
+            # peek; the per-block check then raises before the next
+            # block can read further. 280 bytes = 2240 bits > 2080.
+            padded = raw + b"\xff" * 280
+            b = np.frombuffer(padded, dtype=np.uint8).astype(np.int64)
+            w32 = (
+                (b[0:-3:2] << 24) | (b[1:-2:2] << 16) | (b[2:-1:2] << 8) | b[3::2]
+            ).tolist()
+            bitpos = 0
             if m:
                 pred = [0] * nc
-        for ci, dy, dx, dsym, dlen, asym, alen in slots:
-            if interleaved:
-                bwp, hi, vi = grids[ci][0], comps[ci][1], comps[ci][2]
-                my, mx = divmod(m, mcux)
-                idx = (my * vi + dy) * bwp + mx * hi + dx
+        my, mx = divmod(m, mdiv)
+        for ci, ay, ax, c0, pk, dfast, afast, asym, alen in slots:
+            base17 = (my * ay + mx * ax + c0) << 23  # (idx * 64) << 17
+            e = dfast[(w32[bitpos >> 4] >> (16 - (bitpos & 15))) & 0xFFFF]
+            if e > 0:
+                bitpos += e >> 23
+                p = pred[ci] + (e & 0x1FFFF) - 65536
+            elif e < 0:
+                w = -e
+                s = (w >> 5) & 31
+                bitpos += w & 31
+                v = (w32[bitpos >> 4] >> (32 - (bitpos & 15) - s)) & (pow2[s] - 1)
+                bitpos += s
+                p = pred[ci] + (v + 1 - pow2[s] if v < half[s] else v)
             else:
-                bwp, bw = grids[ci][0], grids[ci][2]
-                idx = (m // bw) * bwp + m % bw
-            blk = coef[ci][idx]
-            # refill to >=32 bits (1-bit pad past the end, max 4
-            # buffer bytes); the mask keeps `acc` a machine int
-            # across the stream instead of a growing bigint
-            if nb < 32:
-                acc &= pow2[nb] - 1
-                while nb < 32:
-                    if bpos < seg_end:
-                        acc = (acc << 8) | seg[bpos]
-                    elif bpos < seg_end + 4:
-                        acc = (acc << 8) | 0xFF
-                    else:
-                        raise JpegUnsupported("entropy stream truncated")
-                    bpos += 1
-                    nb += 8
-            peek = (acc >> (nb - 16)) & 0xFFFF
-            s = dsym[peek]
-            if s < 0:
                 raise JpegUnsupported("invalid DC Huffman code")
-            nb -= dlen[peek]
-            if s:
-                if s > 15:
-                    raise JpegUnsupported("DC magnitude overruns")
-                nb -= s
-                v = (acc >> nb) & (pow2[s] - 1)
-                pred[ci] += v + 1 - pow2[s] if v < half[s] else v
-            blk[0] = pred[ci]
+            # legal 8-bit DC magnitudes stay <= 2047; 16x headroom
+            # keeps hostile streams from overflowing the int32 grid
+            if not -32768 <= p <= 32767:
+                raise JpegUnsupported("DC predictor out of range")
+            pred[ci] = p
+            pk(base17 | (p + 65536))
             k = 1
             while k < 64:
-                if nb < 32:
-                    acc &= pow2[nb] - 1
-                    while nb < 32:
-                        if bpos < seg_end:
-                            acc = (acc << 8) | seg[bpos]
-                        elif bpos < seg_end + 4:
-                            acc = (acc << 8) | 0xFF
-                        else:
-                            raise JpegUnsupported("entropy stream truncated")
-                        bpos += 1
-                        nb += 8
-                peek = (acc >> (nb - 16)) & 0xFFFF
-                rs = asym[peek]
-                if rs <= 0:
+                peek = (w32[bitpos >> 4] >> (16 - (bitpos & 15))) & 0xFFFF
+                e = afast[peek]
+                if e > 0:  # one-peek (code, value) decode
+                    k += (e >> 17) & 63
+                    bitpos += e >> 23
+                    pk(base17 | zig17[k] | (e & 0x1FFFF))
+                    k += 1
+                elif e < 0:  # valid code, value bits overrun the peek
+                    w = -e
+                    k += w >> 10
+                    s = (w >> 5) & 31
+                    bitpos += w & 31
+                    v = (w32[bitpos >> 4] >> (32 - (bitpos & 15) - s)) & (
+                        pow2[s] - 1
+                    )
+                    bitpos += s
+                    pk(
+                        base17
+                        | zig17[k]
+                        | ((v + 1 - pow2[s] if v < half[s] else v) + 65536)
+                    )
+                    k += 1
+                else:  # EOB / ZRL / invalid
+                    rs = asym[peek]
                     if rs == 0:  # EOB
-                        nb -= alen[peek]
+                        bitpos += alen[peek]
                         break
+                    if rs == 0xF0:  # ZRL
+                        bitpos += alen[peek]
+                        k += 16
+                        continue
                     raise JpegUnsupported("invalid AC Huffman code")
-                nb -= alen[peek]
-                s = rs & 0x0F
-                if s == 0:
-                    if rs != 0xF0:
-                        raise JpegUnsupported("invalid AC run/size")
-                    k += 16  # ZRL
-                    continue
-                k += rs >> 4
-                if k > 63:
-                    raise JpegUnsupported("AC coefficient overruns block")
-                nb -= s
-                v = (acc >> nb) & (pow2[s] - 1)
-                blk[zig[k]] = v + 1 - pow2[s] if v < half[s] else v
-                k += 1
-            if bpos * 8 - nb > real_bits:
+            if bitpos > real_bits:
                 raise JpegUnsupported("entropy stream truncated")
-    if bpos * 8 - nb > real_bits:
+    if bitpos > real_bits:
         raise JpegUnsupported("entropy stream truncated")
+    for ci in range(nc):
+        if out[ci]:
+            arr = np.asarray(out[ci], dtype=np.int64)
+            idx = arr >> 17
+            flat = coef[ci].reshape(-1)
+            # the zig sentinel (and any corrupt run) lands out of
+            # grid range — this is the hoisted k>63 check
+            if int(idx.max()) >= flat.shape[0]:
+                raise JpegUnsupported("AC coefficient overruns block")
+            flat[idx] = (arr & 0x1FFFF) - 65536
 
 
 def _decode_scan_progressive(segs, comps, coef, order, geom, dri, ss, se, ah, al):
@@ -414,19 +491,24 @@ def _decode_scan_progressive(segs, comps, coef, order, geom, dri, ss, se, ah, al
             blk = coef[ci][idx]
             if ss == 0:
                 if ah == 0:  # DC first
-                    dsym, dlen = tabs[ci][0]
+                    dsym, dlen = tabs[ci][0][0], tabs[ci][0][1]
                     s = br.huff(dsym, dlen)
                     if s:
                         if s > 15:
                             raise JpegUnsupported("DC magnitude overruns")
                         pred[ci] += br.receive_extend(s)
+                        # legal 8-bit DC stays <= 2047 even before
+                        # the << al shift; 16x headroom keeps hostile
+                        # streams inside the int32 grid
+                        if not -32768 <= pred[ci] <= 32767:
+                            raise JpegUnsupported("DC predictor out of range")
                     blk[0] = pred[ci] << al
                 else:  # DC refinement: one raw bit
                     if br.bits(1):
                         blk[0] |= p1
                 continue
             # AC scans (single component)
-            asym, alen = tabs[ci][1]
+            asym, alen = tabs[ci][1][0], tabs[ci][1][1]
             if ah == 0:  # AC first
                 if eobrun:
                     eobrun -= 1
@@ -529,13 +611,20 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
             raise JpegUnsupported("marker stream truncated before SOS")
         if pos + 2 > n or data[pos] != 0xFF:
             raise JpegUnsupported(f"expected marker at {pos}")
+        # T.81 B.1.1.2: any marker may be preceded by 0xFF fill bytes —
+        # some encoders pad with them, so skip the run instead of
+        # treating a doubled 0xFF as corruption
+        while data[pos + 1] == 0xFF:
+            pos += 1
+            if pos + 2 > n:
+                raise JpegUnsupported("marker stream truncated in fill bytes")
         marker = data[pos + 1]
         if marker == 0xD9:  # EOI
             if not saw_scan:
                 raise JpegUnsupported("EOI before SOS")
             break
-        if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0xFF:
-            raise JpegUnsupported("stray SOI/RST/fill marker in header")
+        if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
+            raise JpegUnsupported("stray SOI/RST marker in header")
         if pos + 4 > n:
             raise JpegUnsupported("marker stream truncated")
         (seglen,) = struct.unpack_from(">H", data, pos + 2)
@@ -567,7 +656,7 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
                 if b + 17 + nv > len(body):
                     raise JpegUnsupported("DHT truncated")
                 vals = body[b + 17 : b + 17 + nv]
-                (hdc if tc == 0 else hac)[th] = _build_lut(bits, vals)
+                (hdc if tc == 0 else hac)[th] = _build_lut(bits, vals, tc == 0)
                 b += 17 + nv
             if b != len(body):
                 raise JpegUnsupported("DHT trailing bytes")
@@ -617,7 +706,10 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
                 ch = (h * vi + vmax - 1) // vmax
                 bw, bh = (cw + 7) // 8, (ch + 7) // 8
                 grids.append((bwp, bhp, bw, bh))
-                coef.append([[0] * 64 for _ in range(bwp * bhp)])
+                # int32 (blocks, 64) grid: 4 bytes/coefficient, so the
+                # worst-case allocation tracks _MAX_OUTPUT_BYTES instead
+                # of the ~10x cost of Python list-of-list cells
+                coef.append(np.zeros((bwp * bhp, 64), dtype=np.int32))
             frame = (w, h, comps, hmax, vmax)
             geom = (mcux, mcuy, grids)
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
@@ -667,7 +759,7 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
                     raise JpegUnsupported("AC scan parameters")
                 resolved = []
                 for ci, td, ta in order:
-                    dtab = atab = ([], [])
+                    dtab = atab = ([], [], [])
                     if ss == 0 and ah == 0:
                         if td not in hdc:
                             raise JpegUnsupported("missing DC Huffman table")
@@ -699,8 +791,8 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
     planes = []
     for ci, (cid, hi, vi, tq) in enumerate(comps):
         bwp, bhp = grids[ci][0], grids[ci][1]
-        arr = np.array(coef[ci], dtype=np.int32)  # (bwp*bhp, 64) raster
-        deq = (arr * qtabs[tq][None, :]).astype(np.float64)
+        # float64 multiply: no int32 wrap even for hostile coefficients
+        deq = coef[ci].astype(np.float64) * qtabs[tq][None, :]
         spatial = _idct_blocks(deq.reshape(-1, 8, 8))
         px = np.clip(np.round(spatial + 128.0), 0, 255).astype(np.uint8)
         plane = (

@@ -821,6 +821,65 @@ def text_to_jpeg_payload(
     return df.mapInPandas(run, _TEXT_IMAGE_SCHEMA)
 
 
+def text_to_gif_animation_payload(
+    df: DataFrame, src_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Animated-GIF twin (VERDICT r12 #1): each document becomes a
+    deterministic FOUR-frame 8x8 GIF89a animation whose frame pixels
+    are codepoint slices of the text (mod 256, space-padded to 88
+    chars), built to cross every graphic-control path in
+    :func:`.gif.decode_gif_frames` inside one oracle-checked query:
+
+    - frame 0: full canvas = codepoints [0:64), no transparency;
+    - frame 1: 4x4 sub-rect at (2,2) = codepoints [64:80) with
+      TRANSPARENT index 0 (holes keep frame-0 content), disposal 2
+      (rect restored to background after the snapshot);
+    - frame 2: 2x2 at (0,0) = codepoints [80:84), disposal 3
+      (canvas restored to the pre-frame-2 state after the snapshot);
+    - frame 3: 2x2 at (6,0) = codepoints [84:88).
+
+    Each composited canvas sum is a closed-form expression over the
+    codepoints, so the DuckDB oracle replays all four frames from the
+    text — transparency and both non-trivial disposal methods are
+    value-hash-checked, not just pytest-covered."""
+    from .gif import encode_gif_animation
+
+    df = df.select(id_col, src_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for t in pdf[src_col]:
+                s = ("" if t is None else str(t))[:88].ljust(88)
+                cp = np.array([ord(ch) % 256 for ch in s], dtype=np.uint8)
+                payloads.append(
+                    encode_gif_animation(
+                        8,
+                        8,
+                        [
+                            cp[:64].reshape(8, 8),
+                            cp[64:80].reshape(4, 4),
+                            cp[80:84].reshape(2, 2),
+                            cp[84:88].reshape(2, 2),
+                        ],
+                        disposals=[0, 2, 3, 0],
+                        transparents=[None, 0, None, None],
+                        offsets=[(0, 0), (2, 2), (0, 0), (6, 0)],
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "payload": payloads,
+                    "meta": [
+                        {"mime": "image/gif", "n_bytes": len(p)} for p in payloads
+                    ],
+                }
+            )
+
+    return df.mapInPandas(run, _TEXT_IMAGE_SCHEMA)
+
+
 FRAME_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
@@ -828,6 +887,41 @@ FRAME_SCHEMA = T.StructType(
         T.StructField("frame", T.BinaryType()),
     ]
 )
+
+FRAME_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_no", T.IntegerType()),
+        T.StructField("frame_len", T.IntegerType()),
+        T.StructField("frame_sum", T.LongType()),
+    ]
+)
+
+
+def frame_features(df: DataFrame) -> DataFrame:
+    """Digest sampled frames into oracle-comparable scalars (byte
+    length + byte sum) — an Arrow-batched map-only stage over the
+    :func:`sample_frames` output, same pattern as extract_features
+    (binary round-trips differ between engines' pandas bridges, so
+    queries compare digests, never raw bytes)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            lens, sums = [], []
+            for fr in pdf["frame"]:
+                b = np.frombuffer(bytes(fr), dtype=np.uint8)
+                lens.append(len(b))
+                sums.append(int(b.sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "frame_no": pdf["frame_no"],
+                    "frame_len": lens,
+                    "frame_sum": sums,
+                }
+            )
+
+    return df.mapInPandas(run, FRAME_FEATURE_SCHEMA)
 
 
 def sample_frames(

@@ -705,12 +705,14 @@ def embed_neardup_pairs(
     (~never on real data; same caveat as ``ivf_assign_arrow``).
 
     NOTE on laziness: with ``block=True`` and ``planes=None`` (the
-    defaults) this builder runs an EAGER ``df.count()`` Spark job at
-    plan-construction time to auto-size the SRP bucket structure — on a
-    huge input that is a full pass over the upstream pipeline before
-    the real job, re-run per call. Pass ``planes=`` to pin the
-    structure, or ``approx_count=`` (any within-2x estimate is fine —
-    planes only moves by 1 per 2x) to size it without the job.
+    defaults) the SRP bucket structure is auto-sized PLAN-SIDE from
+    Catalyst's ``sizeInBytes`` estimate — zero eager jobs (VERDICT
+    r12 #3; planes moves by 1 per 2x of estimate error, so a coarse
+    byte-derived row count is plenty). Only when plan stats are
+    genuinely unavailable does sizing fall back to an eager
+    ``df.count()``, with a loud RuntimeWarning. Pass ``planes=`` to
+    pin the structure, or ``approx_count=`` (any within-2x estimate)
+    to size it explicitly.
 
     ``block=True`` (the default — the scale path; requires ``dim``):
     SRP-LSH blocking, never an all-pairs join. ``block=False`` is the
@@ -742,31 +744,34 @@ def embed_neardup_pairs(
             # auto-size the bucket count to the corpus: a FIXED plane
             # count means occupancy ∝ n and candidate pairs ∝ n²
             # (measured 72.6x runtime for 10x data — SCALING.md, D-29).
-            # One count() job at construction time buys the right
-            # bucket structure; pass planes= or approx_count= to skip
-            # it (see the docstring NOTE).
-            if approx_count is None:
+            # Sizing is PLAN-SIDE by default (VERDICT r12 #3): Catalyst
+            # sizeInBytes / estimated row width. planes moves by 1 per
+            # 2x of estimate error, so a coarse byte-based row count is
+            # plenty (the old default ran an eager df.count() — a full
+            # upstream pass before the real job, re-run per call).
+            n_est = approx_count
+            if n_est is None:
                 est = _plan_size_bytes(df)
-                if est is None or est > _EAGER_COUNT_WARN_BYTES:
-                    # Loud foot-gun guard (VERDICT r9 #5): the eager
-                    # count is a full upstream pass at exactly the scale
-                    # where it hurts, re-run per call. Silent only when
-                    # Catalyst can prove the input small.
+                if est is not None:
+                    # the vector column dominates the row: dim doubles
+                    # (8B each in the optimized plan) + id/overhead
+                    n_est = max(1, est // (8 * dim + 16))
+                else:
+                    # stats unavailable (rare) — the one remaining
+                    # eager-count corner, kept loud
                     warnings.warn(
-                        "embed_neardup_pairs(planes=None) runs an EAGER "
-                        "df.count() at plan-construction time to "
-                        f"auto-size the SRP buckets (est. input "
-                        f"~{est if est is not None else 'unknown'} bytes)"
-                        " — a full upstream pass before the real job. "
-                        "Pass planes= to pin the structure or "
-                        "approx_count= (any within-2x estimate) to size "
-                        "it without the job.",
+                        "embed_neardup_pairs(planes=None): Catalyst "
+                        "sizeInBytes is unavailable for this plan, so "
+                        "auto-sizing the SRP buckets falls back to an "
+                        "EAGER df.count() — a full upstream pass before "
+                        "the real job. Pass planes= to pin the "
+                        "structure or approx_count= (any within-2x "
+                        "estimate) to size it without the job.",
                         RuntimeWarning,
                         stacklevel=2,
                     )
-            planes = srp_planes_for(
-                approx_count if approx_count is not None else df.count()
-            )
+                    n_est = df.count()
+            planes = srp_planes_for(n_est)
         from ..operators.unions import spread
 
         v = spread(

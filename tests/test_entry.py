@@ -153,22 +153,23 @@ def test_utc_alias_sessions_do_not_warn():
 
 
 def test_rotation_order_covers_full_registry():
-    """The r12 rotation list must cover exactly the registry: a new
+    """The r13 rotation list must cover exactly the registry: a new
     query added without a rotation slot would silently land at the
     tail (never driver-checked first), and a stale name in the list
     would shrink the checked window."""
     q = entrymod.queries()
-    assert set(q) == set(entrymod._R12_ORDER)
-    assert list(q) == entrymod._R12_ORDER
-    assert list(entrymod.oracle_sql()) == entrymod._R12_ORDER
-    # VERDICT r11 #5: the two new codec queries lead (first driver row
-    # in their first round), then the 13 entries whose newest driver
-    # row is r9 — the exact cohort the verdict listed.
-    assert entrymod._R12_ORDER[:15] == [
-        "multimodal_jpeg_pixels", "multimodal_gif_pixels",
-        "null_profile", "last10d_window", "pricing_summary",
-        "top_revenue", "text_stats", "text_lang_id",
-        "text_fingerprint", "text_tfidf_topk", "dedup_ngram_jaccard",
-        "dedup_minhash_lsh", "dedup_exact", "salted_skew_join",
-        "training_data_pipeline",
+    assert set(q) == set(entrymod._R13_ORDER)
+    assert list(q) == entrymod._R13_ORDER
+    assert list(entrymod.oracle_sql()) == entrymod._R13_ORDER
+    # VERDICT r12 #4: the new animated-GIF demux query leads (first
+    # driver row in its first round), then the 14 entries whose
+    # newest driver row is r10 — the exact cohort the verdict listed.
+    assert entrymod._R13_ORDER[:15] == [
+        "multimodal_gif_frames",
+        "bm25_topk", "exact_quantiles", "topk_per_group",
+        "zorder_layout_key", "intersect_active_users",
+        "chunk_documents", "charlm_quality", "oov_rate",
+        "dedup_levenshtein_pairs", "corpus_cube_stats",
+        "rolling_despike", "dedup_span_corpus", "c4_line_filter",
+        "vocab_top_terms",
     ]

@@ -24,20 +24,36 @@ def _synth_emb(spark, n, dim=8):
     return spark.range(n).select(F.col("id").alias("vec_id"), vec.alias("embedding"))
 
 
-def test_embed_neardup_eager_count_warns_on_large_frame(spark):
-    """planes=None + approx_count=None on a corpus-sized input must warn
-    that plan construction runs an eager df.count() (VERDICT r9 #5).
-    The estimate is plan-side; the range source is wide enough that
-    Catalyst's sizeInBytes clears the 64 MB floor."""
+def test_embed_neardup_default_sizing_runs_zero_eager_jobs(spark):
+    """planes=None + approx_count=None on a corpus-sized input must
+    auto-size from Catalyst plan stats with ZERO eager jobs and no
+    warning (VERDICT r12 #3 — this flips the r10 expectation, which
+    asserted the old eager-count default warned). The instance shadow
+    trips if any code path calls df.count()."""
     from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.similarity import (
         embed_neardup_pairs,
+        srp_planes_for,
+        _plan_size_bytes,
     )
 
     big = _synth_emb(spark, 100_000_000)
-    with pytest.warns(RuntimeWarning, match="EAGER"):
-        embed_neardup_pairs(
+
+    def _boom():
+        raise AssertionError("default sizing must not run df.count()")
+
+    big.count = _boom
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        out = embed_neardup_pairs(
             big, threshold=0.9, dim=8, approx_count=None, planes=None
         )
+    assert out is not None
+    # the plan-stats path sized planes in the right ballpark: within
+    # the documented 1-plane-per-2x tolerance band of the true count
+    est = _plan_size_bytes(big)
+    assert est is not None
+    n_est = max(1, est // (8 * 8 + 16))
+    assert abs(srp_planes_for(n_est) - srp_planes_for(100_000_000)) <= 4
 
 
 def test_embed_neardup_eager_count_silent_with_escape_hatches(spark):

@@ -740,7 +740,7 @@ def test_jpeg_lut_cache_stays_bounded_under_hostile_table_spam():
         bits = bytes([0, 2] + [0] * 14)
         vals = bytes([i % 256, (i * 7 + 1) % 256])
         try:
-            J._build_lut(bits, vals)
+            J._build_lut(bits, vals, i % 2 == 0)
         except J.JpegUnsupported:
             pass
     assert len(J._LUT_CACHE) <= J._LUT_CACHE_MAX

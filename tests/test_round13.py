@@ -1,0 +1,290 @@
+"""Round-13 tests: ADVICE r12 fixes (canonical zigzag, GIF LZW
+min-code guard, JPEG fill bytes, int32 coefficient grids) and the
+VERDICT r12 worklist (animated-GIF frame demux behind the oracle,
+fast entropy loop regressions)."""
+
+import numpy as np
+import pytest
+
+from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm import jpeg as J
+from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.gif import (
+    GifUnsupported,
+    decode_gif,
+    decode_gif_frames,
+    encode_gif,
+    encode_gif_animation,
+)
+from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.jpeg import (
+    JpegUnsupported,
+    decode_jpeg,
+    encode_jpeg,
+)
+
+
+# ----------------------------------------------------- ADVICE r12 #1
+
+
+def test_zigzag_matches_literal_t81_table():
+    """ADVICE r12 (high): the generated zigzag was the TRANSPOSE of
+    the canonical T.81 order (intra-diagonal sort key inverted), so
+    real-world JPEGs decoded with per-block transposed pixels. Pin
+    the generated table to the literal Annex-K figure."""
+    t81 = (
+        0, 1, 8, 16, 9, 2, 3, 10,
+        17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34,
+        27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36,
+        29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46,
+        53, 60, 61, 54, 47, 55, 62, 63,
+    )
+    assert J._ZIGZAG == t81
+
+
+def test_decode_matches_spec_zigzag_reference():
+    """End-to-end transpose detector that does NOT share the module's
+    table: decode a single-block gradient JPEG and compare against a
+    reference IDCT built from the literal T.81 zigzag. The r12 bug
+    passed encoder/decoder roundtrips (shared table) but fails this."""
+    g = (np.arange(64, dtype=np.uint8).reshape(8, 8) * 3 + 16).astype(np.uint8)
+    p = encode_jpeg(8, 8, 1, g.tobytes())
+    w, h, c, px = decode_jpeg(p)
+    got = np.frombuffer(px, np.uint8).reshape(8, 8)
+    # an off-diagonal-asymmetric image transposes to something far away
+    assert np.abs(got.astype(int) - g.astype(int)).max() <= 1
+    assert np.abs(got.astype(int) - g.T.astype(int)).max() > 50
+
+
+# ----------------------------------------------------- ADVICE r12 #2
+
+
+def test_gif_lzw_min_code_9_to_11_raises_gif_unsupported():
+    """ADVICE r12 (medium): min_code 9-11 passed the old guard and
+    blew up at bytes([256]) with a bare ValueError that escaped the
+    GifUnsupported fallback routing — one malformed payload failed the
+    whole Spark task."""
+    base = encode_gif(8, 8, 1, bytes(range(64)))
+    # header 13 + global palette 768 + image descriptor 10
+    lzw_at = 13 + 768 + 10
+    assert base[lzw_at] == 8  # the LZW minimum code size byte
+    for bad in (0, 1, 9, 10, 11, 12, 255):
+        corrupt = base[:lzw_at] + bytes([bad]) + base[lzw_at + 1:]
+        with pytest.raises(GifUnsupported):
+            decode_gif(corrupt)
+
+
+def test_gif_corrupt_min_code_fuzz_only_raises_gif_unsupported():
+    """Fuzz the min-code byte (and neighbors) — corrupt values must
+    only ever raise GifUnsupported, never ValueError/IndexError."""
+    rng = np.random.default_rng(13)
+    base = encode_gif(8, 8, 1, bytes(range(64)))
+    for _ in range(300):
+        b = bytearray(base)
+        for _ in range(rng.integers(1, 4)):
+            b[rng.integers(13, len(b))] = rng.integers(0, 256)
+        try:
+            decode_gif(bytes(b))
+        except GifUnsupported:
+            pass
+
+
+# ----------------------------------------------------- ADVICE r12 #3/#4
+
+
+def test_jpeg_coefficient_grids_are_int32_numpy():
+    """ADVICE r12 (low): list-of-list grids cost ~10x the documented
+    64MB output cap; the grids must be int32 numpy arrays."""
+    captured = []
+    orig = J._decode_scan_sequential
+
+    def spy(segs, comps, coef, order, geom, dri):
+        captured.extend(coef)
+        return orig(segs, comps, coef, order, geom, dri)
+
+    g = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    p = encode_jpeg(8, 8, 1, g.tobytes())
+    J._decode_scan_sequential = spy
+    try:
+        decode_jpeg(p)
+    finally:
+        J._decode_scan_sequential = orig
+    assert captured and all(
+        isinstance(a, np.ndarray) and a.dtype == np.int32 for a in captured
+    )
+
+
+def test_jpeg_fill_bytes_before_markers_accepted():
+    """ADVICE r12 (low): runs of 0xFF fill bytes before a marker are
+    legal (T.81 B.1.1.2); some encoders pad with them. Insert fill
+    bytes before every header marker and expect an identical decode."""
+    g = (np.arange(64, dtype=np.uint8) * 2 + 7).reshape(8, 8).astype(np.uint8)
+    p = encode_jpeg(8, 8, 1, g.tobytes())
+    out = bytearray(p[:2])
+    i = 2
+    # walk header markers up to (and including) SOS, injecting fill
+    while i < len(p):
+        assert p[i] == 0xFF
+        out += b"\xff\xff\xff"  # fill bytes, then the real marker
+        marker = p[i + 1]
+        seglen = (p[i + 2] << 8) | p[i + 3]
+        out += p[i + 1 + 0:i + 2 + seglen]
+        i += 2 + seglen
+        if marker == 0xDA:
+            out += p[i:]
+            break
+    ref = decode_jpeg(p)
+    got = decode_jpeg(bytes(out))
+    assert got == ref
+
+
+def test_jpeg_hostile_dc_accumulation_raises_not_overflows():
+    """Hostile streams that walk the DC predictor past int16 range
+    must raise JpegUnsupported (int32-grid protection), never numpy
+    OverflowError."""
+    rng = np.random.default_rng(99)
+    g = rng.integers(0, 256, size=(32, 32), dtype=np.uint8)
+    base = encode_jpeg(32, 32, 1, g.tobytes())
+    for _ in range(400):
+        b = bytearray(base)
+        for _ in range(rng.integers(1, 6)):
+            b[rng.integers(2, len(b))] = rng.integers(0, 256)
+        try:
+            decode_jpeg(bytes(b))
+        except JpegUnsupported:
+            pass
+
+
+# ------------------------------------------- fast entropy loop (r13)
+
+
+def test_jpeg_roundtrips_survive_fast_loop_paths():
+    """The r13 accumulator-free loop has three decode paths (one-peek
+    fast LUT, long-code, EOB/ZRL). Exercise all of them: smooth
+    content (fast path), q=1 noise (long codes), sparse blocks
+    (EOB/ZRL), restarts, and all four subsamplings."""
+    rng = np.random.default_rng(5)
+    # q=1 noise: long codes dominate
+    for sub in ("444", "422", "440", "420"):
+        rgb = rng.integers(0, 256, size=(24, 40, 3), dtype=np.uint8)
+        p = encode_jpeg(40, 24, 3, rgb.tobytes(), subsampling=sub)
+        w, h, c, px = decode_jpeg(p)
+        assert (w, h, c) == (40, 24, 3)
+    # smooth gradient: fast path dominates; unit quant = near-lossless
+    g = np.add.outer(np.arange(24) * 3, np.arange(40) * 2).astype(np.uint8)
+    p = encode_jpeg(40, 24, 1, g.tobytes())
+    w, h, c, px = decode_jpeg(p)
+    got = np.frombuffer(px, np.uint8).reshape(24, 40)
+    assert np.abs(got.astype(int) - g.astype(int)).max() <= 1
+    # sparse + restart markers
+    sp = np.zeros((24, 40), dtype=np.uint8)
+    sp[::7, ::5] = 200
+    p = encode_jpeg(40, 24, 1, sp.tobytes(), restart_interval=2)
+    w, h, c, px = decode_jpeg(p)
+    got = np.frombuffer(px, np.uint8).reshape(24, 40)
+    assert np.abs(got.astype(int) - sp.astype(int)).max() <= 1
+
+
+def test_jpeg_truncated_entropy_stream_raises():
+    """The word-list bit reader pads with 0xFF; truncation must still
+    raise (consumed-bits-vs-real-bits rule), not return short pixels."""
+    rng = np.random.default_rng(11)
+    g = rng.integers(0, 256, size=(32, 32), dtype=np.uint8)
+    p = encode_jpeg(32, 32, 1, g.tobytes())
+    eoi = p.rindex(b"\xff\xd9")
+    for cut in (eoi - 5, eoi - 37, eoi - 101):
+        with pytest.raises(JpegUnsupported):
+            decode_jpeg(p[:cut])
+
+
+def test_jpeg_fuzz_never_escapes_jpeg_unsupported():
+    """Re-run the hostile-payload rule over the new loop: random byte
+    corruption may decode or raise JpegUnsupported — nothing else
+    (IndexError from the word list / struct.error would fail this)."""
+    rng = np.random.default_rng(1234)
+    g = rng.integers(0, 256, size=(16, 24), dtype=np.uint8)
+    base = encode_jpeg(24, 16, 1, g.tobytes())
+    rgb = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    base_c = encode_jpeg(16, 16, 3, rgb.tobytes(), subsampling="420")
+    for payload in (base, base_c):
+        for _ in range(500):
+            b = bytearray(payload)
+            for _ in range(rng.integers(1, 8)):
+                b[rng.integers(2, len(b))] = rng.integers(0, 256)
+            try:
+                decode_jpeg(bytes(b))
+            except JpegUnsupported:
+                pass
+
+
+# ------------------------------------------- animated-GIF demux (r13)
+
+
+def test_gif_animation_fixture_crosses_all_disposal_paths():
+    """The multimodal_gif_frames fixture semantics, asserted directly:
+    transparency holes keep prior content, disposal 2 restores the
+    rect to background, disposal 3 restores the previous canvas."""
+    cp = np.arange(88, dtype=np.uint8) + 10
+    cp[70] = 0  # one genuine transparent hole in frame 1
+    p = encode_gif_animation(
+        8, 8,
+        [cp[:64].reshape(8, 8), cp[64:80].reshape(4, 4),
+         cp[80:84].reshape(2, 2), cp[84:88].reshape(2, 2)],
+        disposals=[0, 2, 3, 0],
+        transparents=[None, 0, None, None],
+        offsets=[(0, 0), (2, 2), (0, 0), (6, 0)],
+    )
+    w, h, frames = decode_gif_frames(p)
+    assert (w, h, len(frames)) == (8, 8, 4)
+    f = [np.frombuffer(fr, np.uint8).reshape(8, 8, 3) for fr in frames]
+    canvas0 = cp[:64].reshape(8, 8)
+    assert (f[0] == canvas0[:, :, None]).all()
+    # frame 1: rect (2,2)-(5,5) overdrawn except the hole at j=6
+    # (row 2+1, col 2+2), which keeps frame-0 content
+    j_hole = 70 - 64
+    hr, hc = 2 + j_hole // 4, 2 + j_hole % 4
+    assert f[1][hr, hc, 0] == canvas0[hr, hc]
+    assert f[1][2, 2, 0] == cp[64]
+    # frame 2: disposal 2 zeroed the frame-1 rect to background (0)
+    assert (f[2][2:6, 2:6] == 0).all()
+    assert f[2][0, 0, 0] == cp[80]
+    # frame 3: disposal 3 restored the pre-frame-2 canvas, so (0,0)
+    # shows frame-0 content again while (0,6) carries frame-3 pixels
+    assert f[3][0, 0, 0] == canvas0[0, 0]
+    assert f[3][0, 6, 0] == cp[84]
+    assert (f[3][2:6, 2:6] == 0).all()  # rect1 zeroing persists
+
+
+def test_frame_features_digest_matches_demux(spark):
+    """Spark-side plumbing for the new oracle query: synthesize ->
+    demux -> digest, checked against a local decode of one doc."""
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.multimodal import (
+        frame_features,
+        sample_frames,
+        text_to_gif_animation_payload,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "The quick brown fox jumps over the lazy dog — and then some ünïcode Ā tail padding!")],
+        "doc_id long, text string",
+    )
+    rows = (
+        frame_features(sample_frames(text_to_gif_animation_payload(df), every_n=1))
+        .orderBy("frame_no")
+        .collect()
+    )
+    assert [r["frame_no"] for r in rows] == [0, 1, 2, 3]
+    assert all(r["frame_len"] == 192 for r in rows)
+    s = "The quick brown fox jumps over the lazy dog — and then some ünïcode Ā tail padding!"[:88].ljust(88)
+    cp = np.array([ord(ch) % 256 for ch in s], dtype=np.uint8)
+    p = encode_gif_animation(
+        8, 8,
+        [cp[:64].reshape(8, 8), cp[64:80].reshape(4, 4),
+         cp[80:84].reshape(2, 2), cp[84:88].reshape(2, 2)],
+        disposals=[0, 2, 3, 0],
+        transparents=[None, 0, None, None],
+        offsets=[(0, 0), (2, 2), (0, 0), (6, 0)],
+    )
+    _w, _h, frames = decode_gif_frames(p)
+    for r, fr in zip(rows, frames):
+        assert r["frame_sum"] == int(np.frombuffer(fr, np.uint8).sum())

@@ -279,9 +279,44 @@ def cc_prefixes(spark, sf_dir: str) -> dict:
     return out
 
 
+def codec_stage(spark, sf_dir: str) -> dict:
+    """r13 (VERDICT r12 #5): a composed synthesize -> decode ->
+    features stage with the REAL JPEG codec in the loop, so the
+    CPU-bound Arrow stage's scaling is MEASURED, not asserted. Every
+    3rd doc is a color 4:2:0 JPEG, every 5th progressive (SOF2) —
+    the same mix as q_multimodal_jpeg. Returns the bracketed timing
+    plus docs/sec/core (cores = defaultParallelism)."""
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.multimodal import (
+        extract_features,
+        text_to_jpeg_payload,
+    )
+
+    e = entrymod
+    d = e.T(spark, sf_dir, "documents")
+    cores = spark.sparkContext.defaultParallelism
+
+    def build():
+        payload = text_to_jpeg_payload(
+            d,
+            "text",
+            color_every=3,
+            progressive_every=5,
+            n_partitions=cores,
+        )
+        return extract_features(payload).select("doc_id", "pixel_sum")
+
+    spark.catalog.clearCache()
+    n = d.count()
+    rec = timed(build)
+    rec["n_docs"] = n
+    rec["docs_per_sec_per_core"] = round(n / max(rec["sec"], 1e-6) / cores, 1)
+    return rec
+
+
 def main() -> None:
     global _SPARK
     tiers = [int(x) for x in os.environ.get("TIERS", "125000,500000,2000000").split(",")]
+    codec_only = os.environ.get("CODEC_ONLY", "") == "1"
     spark = get_spark("pipeline-tier-probe")
     _SPARK = spark
     spark.sparkContext.setLogLevel("ERROR")
@@ -302,15 +337,17 @@ def main() -> None:
                 F.sum((quality_score("text") >= 0.6).cast("int")).alias("q_pass"),
             ).first()
             res = {"n_docs": n, "quality_pass_frac": round(row["q_pass"] / row["n"], 3)}
-            for qname in ("corpus_curation", "training_data_pipeline"):
-                reps = []
-                for _ in range(2):
-                    spark.catalog.clearCache()
-                    reps.append(timed(lambda: qs[qname](spark, tier_dir)))
-                best = min(reps, key=lambda r: r["sec_per_probe"])
-                res[qname] = {**best, "rep_secs": [r["sec"] for r in reps]}
-            res["tdp_stages"] = tdp_prefixes(spark, tier_dir)
-            res["cc_stages"] = cc_prefixes(spark, tier_dir)
+            if not codec_only:
+                for qname in ("corpus_curation", "training_data_pipeline"):
+                    reps = []
+                    for _ in range(2):
+                        spark.catalog.clearCache()
+                        reps.append(timed(lambda: qs[qname](spark, tier_dir)))
+                    best = min(reps, key=lambda r: r["sec_per_probe"])
+                    res[qname] = {**best, "rep_secs": [r["sec"] for r in reps]}
+                res["tdp_stages"] = tdp_prefixes(spark, tier_dir)
+                res["cc_stages"] = cc_prefixes(spark, tier_dir)
+            res["jpeg_codec_stage"] = codec_stage(spark, tier_dir)
             results[str(n)] = res
             print(json.dumps({"tier_done": n, **res}), flush=True)
             shutil.rmtree(tier_dir, ignore_errors=True)
@@ -330,7 +367,11 @@ def main() -> None:
                         1,
                     ),
                 }
-                for k in ("corpus_curation", "training_data_pipeline")
+                for k in (
+                    ("jpeg_codec_stage",)
+                    if codec_only
+                    else ("corpus_curation", "training_data_pipeline", "jpeg_codec_stage")
+                )
             }
         payload = {"tiers": results, "ratios": ratios}
         line = json.dumps(payload)
