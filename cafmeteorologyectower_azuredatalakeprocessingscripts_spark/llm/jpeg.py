@@ -134,9 +134,10 @@ def _fast_pack(sym: list, length: list, is_dc: bool) -> list:
     e > 0  — full decode: extended value+65536 in bits 0..16, zero
              run in bits 17..22, total consumed bits in 23..27;
     e < 0  — valid coefficient code whose value bits overrun the
-             window (len+size > 16): -e packs len (bits 0..4),
-             size (5..9), run (10..13) so the loop finishes the
-             extraction without re-deriving them from two LUTs;
+             window (len+size > 16): -e packs total len+size
+             (bits 0..4), size (5..9), run (10..13) so the loop
+             finishes the extraction from the SAME 48-bit word
+             (len+size <= 31 and the word holds 48-r >= 33 bits);
     e == 0 — everything else (AC EOB/ZRL, invalid codes): the slow
              path re-reads sym/length and raises or branches.
 
@@ -160,8 +161,22 @@ def _fast_pack(sym: list, length: list, is_dc: bool) -> list:
     half_v = 1 << np.clip(s - 1, 0, 14)
     ext = np.where((s > 0) & (vbits < half_v), vbits + 1 - (1 << s), vbits)
     e_fast = (ext + 65536) | (run << 17) | (tot << 23)
-    e_slow = -((run << 10) | (s << 5) | len_np)
+    e_slow = -((run << 10) | (s << 5) | tot)
     return np.where(fits, e_fast, np.where(ok, e_slow, 0)).tolist()
+
+
+# extend tables: _EXT65[s][v] = EXTEND(v, s) + 65536 (the packed-value
+# offset), so the hot loop's sign extension is two list indexes instead
+# of a compare/branch over pow2/half lookups. 65536 ints total.
+_EXT65 = tuple(
+    tuple(
+        ((v + 1 - (1 << s)) if v < (1 << (s - 1)) else v) + 65536
+        for v in range(1 << s)
+    )
+    if s
+    else (65536,)
+    for s in range(16)
+)
 
 
 def _build_lut(bits: bytes, vals: bytes, is_dc: bool) -> tuple[list, list, list]:
@@ -332,104 +347,125 @@ def _decode_scan_sequential(segs, comps, coef, order, geom, dri):
         n_units = bw * bh
         mdiv = bw
     pred = [0] * nc
+    ext65 = _EXT65
     seg_i = -1
-    w32: list = []
+    w48: list = []
     bitpos = 0
     real_bits = 0
-    for m in range(n_units):
-        if dri and m % dri == 0 or m == 0:
-            # consumed bits may never exceed the segment's real bits
-            # (JPEG's byte-boundary padding is flushed, not decoded)
-            if m and bitpos > real_bits:
-                raise JpegUnsupported("entropy segment truncated")
-            seg_i += 1
-            if seg_i >= len(segs):
-                raise JpegUnsupported("missing restart segment")
-            raw = segs[seg_i]
-            real_bits = len(raw) * 8
-            # 0xFF pad covers the worst block-level overrun between
-            # truncation checks: one DC + 63 coeffs + 3 ZRL + EOB at
-            # <=31 bits each is exactly 2048 bits, plus a final 32-bit
-            # peek; the per-block check then raises before the next
-            # block can read further. 280 bytes = 2240 bits > 2080.
-            padded = raw + b"\xff" * 280
-            b = np.frombuffer(padded, dtype=np.uint8).astype(np.int64)
-            w32 = (
-                (b[0:-3:2] << 24) | (b[1:-2:2] << 16) | (b[2:-1:2] << 8) | b[3::2]
-            ).tolist()
-            bitpos = 0
-            if m:
-                pred = [0] * nc
-        my, mx = divmod(m, mdiv)
-        for ci, ay, ax, c0, pk, dfast, afast, asym, alen in slots:
-            base17 = (my * ay + mx * ax + c0) << 23  # (idx * 64) << 17
-            e = dfast[(w32[bitpos >> 4] >> (16 - (bitpos & 15))) & 0xFFFF]
-            if e > 0:
-                bitpos += e >> 23
-                p = pred[ci] + (e & 0x1FFFF) - 65536
-            elif e < 0:
-                w = -e
-                s = (w >> 5) & 31
-                bitpos += w & 31
-                v = (w32[bitpos >> 4] >> (32 - (bitpos & 15) - s)) & (pow2[s] - 1)
-                bitpos += s
-                p = pred[ci] + (v + 1 - pow2[s] if v < half[s] else v)
-            else:
-                raise JpegUnsupported("invalid DC Huffman code")
-            # legal 8-bit DC magnitudes stay <= 2047; 16x headroom
-            # keeps hostile streams from overflowing the int32 grid
-            if not -32768 <= p <= 32767:
-                raise JpegUnsupported("DC predictor out of range")
-            pred[ci] = p
-            pk(base17 | (p + 65536))
-            k = 1
-            while k < 64:
-                peek = (w32[bitpos >> 4] >> (16 - (bitpos & 15))) & 0xFFFF
-                e = afast[peek]
-                if e > 0:  # one-peek (code, value) decode
-                    k += (e >> 17) & 63
+    try:
+        for m in range(n_units):
+            if dri and m % dri == 0 or m == 0:
+                # consumed bits may never exceed the segment's real bits
+                # (JPEG's byte-boundary padding is flushed, not decoded)
+                if m and bitpos > real_bits:
+                    raise JpegUnsupported("entropy segment truncated")
+                seg_i += 1
+                if seg_i >= len(segs):
+                    raise JpegUnsupported("missing restart segment")
+                raw = segs[seg_i]
+                real_bits = len(raw) * 8
+                # 0xFF pad covers LEGITIMATE trailing reads only (<= 7
+                # byte-boundary padding bits + one 48-bit word read);
+                # hostile overruns walk off the word list and the
+                # enclosing IndexError handler converts that to
+                # JpegUnsupported — cheaper than padding out the 2048-bit
+                # worst-case block, which cost ~130 words of build per
+                # segment on the tiny oracle fixtures
+                padded = raw + b"\xff" * (8 + (len(raw) & 1))
+                if len(padded) < 2048:
+                    # tiny segments (the oracle fixtures): ~15 numpy calls
+                    # of fixed overhead cost more than a u16 comprehension
+                    hw = struct.unpack(">%dH" % (len(padded) // 2), padded)
+                    w48 = [
+                        (hw[i] << 32) | (hw[i + 1] << 16) | hw[i + 2]
+                        for i in range(len(hw) - 2)
+                    ]
+                else:
+                    b = np.frombuffer(padded, dtype=np.uint8).astype(np.int64)
+                    m_w = (len(padded) - 4) // 2
+                    w48 = (
+                        (b[0 : 2 * m_w - 1 : 2] << 40)
+                        | (b[1 : 2 * m_w : 2] << 32)
+                        | (b[2 : 2 * m_w + 1 : 2] << 24)
+                        | (b[3 : 2 * m_w + 2 : 2] << 16)
+                        | (b[4 : 2 * m_w + 3 : 2] << 8)
+                        | b[5 : 2 * m_w + 4 : 2]
+                    ).tolist()
+                bitpos = 0
+                if m:
+                    pred = [0] * nc
+            my, mx = divmod(m, mdiv)
+            for ci, ay, ax, c0, pk, dfast, afast, asym, alen in slots:
+                base17 = (my * ay + mx * ax + c0) << 23  # (idx * 64) << 17
+                wq = w48[bitpos >> 4]
+                r = bitpos & 15
+                e = dfast[(wq >> (32 - r)) & 0xFFFF]
+                if e > 0:
                     bitpos += e >> 23
-                    pk(base17 | zig17[k] | (e & 0x1FFFF))
-                    k += 1
-                elif e < 0:  # valid code, value bits overrun the peek
+                    p = pred[ci] + (e & 0x1FFFF) - 65536
+                elif e < 0:
                     w = -e
-                    k += w >> 10
+                    tot = w & 31
                     s = (w >> 5) & 31
-                    bitpos += w & 31
-                    v = (w32[bitpos >> 4] >> (32 - (bitpos & 15) - s)) & (
-                        pow2[s] - 1
-                    )
-                    bitpos += s
-                    pk(
-                        base17
-                        | zig17[k]
-                        | ((v + 1 - pow2[s] if v < half[s] else v) + 65536)
-                    )
-                    k += 1
-                else:  # EOB / ZRL / invalid
-                    rs = asym[peek]
-                    if rs == 0:  # EOB
-                        bitpos += alen[peek]
-                        break
-                    if rs == 0xF0:  # ZRL
-                        bitpos += alen[peek]
-                        k += 16
-                        continue
-                    raise JpegUnsupported("invalid AC Huffman code")
-            if bitpos > real_bits:
-                raise JpegUnsupported("entropy stream truncated")
-    if bitpos > real_bits:
-        raise JpegUnsupported("entropy stream truncated")
+                    v = (wq >> (48 - r - tot)) & (pow2[s] - 1)
+                    bitpos += tot
+                    p = pred[ci] + ext65[s][v] - 65536
+                else:
+                    raise JpegUnsupported("invalid DC Huffman code")
+                # legal 8-bit DC magnitudes stay <= 2047; 16x headroom
+                # keeps hostile streams from overflowing the int32 grid
+                if not -32768 <= p <= 32767:
+                    raise JpegUnsupported("DC predictor out of range")
+                pred[ci] = p
+                pk(base17 | (p + 65536))
+                k = 1
+                while k < 64:
+                    wq = w48[bitpos >> 4]
+                    r = bitpos & 15
+                    e = afast[(wq >> (32 - r)) & 0xFFFF]
+                    if e > 0:  # one-peek (code, value) decode
+                        k += (e >> 17) & 63
+                        bitpos += e >> 23
+                        pk(base17 | zig17[k] | (e & 0x1FFFF))
+                        k += 1
+                    elif e < 0:  # value bits overrun the 16-bit peek; the
+                        # 48-bit word still holds them (len+size <= 31)
+                        w = -e
+                        k += w >> 10
+                        tot = w & 31
+                        s = (w >> 5) & 31
+                        v = (wq >> (48 - r - tot)) & (pow2[s] - 1)
+                        bitpos += tot
+                        pk(base17 | zig17[k] | ext65[s][v])
+                        k += 1
+                    else:  # EOB / ZRL / invalid
+                        peek = (wq >> (32 - r)) & 0xFFFF
+                        rs = asym[peek]
+                        if rs == 0:  # EOB
+                            bitpos += alen[peek]
+                            break
+                        if rs == 0xF0:  # ZRL
+                            bitpos += alen[peek]
+                            k += 16
+                            continue
+                        raise JpegUnsupported("invalid AC Huffman code")
+                if bitpos > real_bits:
+                    raise JpegUnsupported("entropy stream truncated")
+        if bitpos > real_bits:
+            raise JpegUnsupported("entropy stream truncated")
+    except IndexError:
+        # a hostile stream that outruns the (lightly padded)
+        # word list between truncation checks lands here
+        raise JpegUnsupported("entropy stream truncated") from None
     for ci in range(nc):
         if out[ci]:
             arr = np.asarray(out[ci], dtype=np.int64)
-            idx = arr >> 17
-            flat = coef[ci].reshape(-1)
-            # the zig sentinel (and any corrupt run) lands out of
-            # grid range — this is the hoisted k>63 check
-            if int(idx.max()) >= flat.shape[0]:
-                raise JpegUnsupported("AC coefficient overruns block")
-            flat[idx] = (arr & 0x1FFFF) - 65536
+            try:
+                # the zig sentinel (and any corrupt run) lands out of
+                # grid range — this is the hoisted k>63 check
+                coef[ci].reshape(-1)[arr >> 17] = (arr & 0x1FFFF) - 65536
+            except IndexError:
+                raise JpegUnsupported("AC coefficient overruns block") from None
 
 
 def _decode_scan_progressive(segs, comps, coef, order, geom, dri, ss, se, ah, al):
