@@ -101,6 +101,8 @@ EXTRA_QUERIES = [
     # new in r12
     "multimodal_jpeg_pixels",
     "multimodal_gif_pixels",
+    # new in r13
+    "multimodal_gif_frames",
 ]
 
 HEADLINE = [

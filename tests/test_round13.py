@@ -255,6 +255,32 @@ def test_gif_animation_fixture_crosses_all_disposal_paths():
     assert (f[3][2:6, 2:6] == 0).all()  # rect1 zeroing persists
 
 
+def test_gif_frames_fuzz_never_escapes_gif_unsupported():
+    """Corrupting any byte of an animated GIF (descriptors, control
+    extensions, LZW min-code, stream bytes) may demux or raise
+    GifUnsupported — never ValueError/IndexError, which would fail a
+    whole Spark task instead of routing to the byte-splitter
+    fallback in sample_frames."""
+    rng = np.random.default_rng(131)
+    cp = (np.arange(88, dtype=np.uint8) * 3 + 5) % 256
+    base = encode_gif_animation(
+        8, 8,
+        [cp[:64].reshape(8, 8), cp[64:80].reshape(4, 4),
+         cp[80:84].reshape(2, 2), cp[84:88].reshape(2, 2)],
+        disposals=[0, 2, 3, 0],
+        transparents=[None, 0, None, None],
+        offsets=[(0, 0), (2, 2), (0, 0), (6, 0)],
+    )
+    for _ in range(400):
+        b = bytearray(base)
+        for _ in range(rng.integers(1, 6)):
+            b[rng.integers(6, len(b))] = rng.integers(0, 256)
+        try:
+            decode_gif_frames(bytes(b))
+        except GifUnsupported:
+            pass
+
+
 def test_frame_features_digest_matches_demux(spark):
     """Spark-side plumbing for the new oracle query: synthesize ->
     demux -> digest, checked against a local decode of one doc."""
