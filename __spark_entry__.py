@@ -891,14 +891,23 @@ def q_multimodal_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     8-bit PCM — the extractor's 16-bit-grid quantization maps those
     back to the exact codepoints, so sample_sum/sumsq replay unchanged
     and the bits column (32 vs 8, CASE on doc_id in the oracle) proves
-    the float decode path end-to-end with no registry growth."""
+    the float decode path end-to-end with no registry growth.
+
+    r13: docs with doc_id % 4 == 1 are G.711 MU-LAW (format 7) and
+    % 4 == 2 A-LAW (format 6) — the telephony formats real speech
+    corpora carry — with the codepoints stored AS the 8-bit codes.
+    The decoder expands them to 16-bit linear and the oracle replays
+    the closed-form G.711 segment expansion from the text (same
+    no-registry-growth fold as the float path)."""
     from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.multimodal import (
         extract_audio_features,
         text_to_wav_payload,
     )
 
     d = T(spark, sf_dir, "documents")
-    feats = extract_audio_features(text_to_wav_payload(d, "text", float_every=4))
+    feats = extract_audio_features(
+        text_to_wav_payload(d, "text", float_every=4, g711=True)
+    )
     return feats.select(
         "doc_id", "sample_rate", "channels", "bits", "n_frames",
         "duration_ms", "sample_sum", "sample_sumsq",

@@ -811,19 +811,43 @@ SELECT doc_id, 8 AS width, 8 AS height, 1 AS channels,
 FROM documents
 """
 
+# WAV twin: doc_id % 4 == 0 -> IEEE float (quantizes back to the
+# codepoints), % 4 == 1 -> G.711 mu-law, % 4 == 2 -> A-law (codepoints
+# stored AS the codes; the oracle replays the closed-form segment
+# expansions — the same formulas llm/wav.py builds its LUTs from,
+# independently verified against CPython audioop), else 8-bit PCM.
 _MULTIMODAL_WAV_SQL = """
+WITH base AS (
+  SELECT doc_id,
+         list_transform(range(1, 65),
+           i -> ascii(substr(rpad(coalesce(text, ''), 64, ' '), CAST(i AS INTEGER), 1)) % 256) AS cp
+  FROM documents
+), lin AS (
+  SELECT doc_id,
+    CASE
+      WHEN doc_id % 4 = 1 THEN list_transform(cp, c ->
+        CASE WHEN (xor(c, 255) & 128) > 0
+             THEN 132 - ((((xor(c, 255) & 15) << 3) + 132) << ((xor(c, 255) >> 4) & 7))
+             ELSE ((((xor(c, 255) & 15) << 3) + 132) << ((xor(c, 255) >> 4) & 7)) - 132
+        END)
+      WHEN doc_id % 4 = 2 THEN list_transform(cp, c ->
+        (CASE WHEN (xor(c, 85) & 128) > 0 THEN 1 ELSE -1 END) *
+        (CASE ((xor(c, 85) >> 4) & 7)
+              WHEN 0 THEN ((xor(c, 85) & 15) << 4) + 8
+              WHEN 1 THEN ((xor(c, 85) & 15) << 4) + 264
+              ELSE (((xor(c, 85) & 15) << 4) + 264) << (((xor(c, 85) >> 4) & 7) - 1)
+         END))
+      ELSE cp
+    END AS lv
+  FROM base
+)
 SELECT doc_id, 8000 AS sample_rate, 1 AS channels,
        CASE WHEN doc_id % 4 = 0 THEN 32 ELSE 8 END AS bits,
        CAST(64 AS BIGINT) AS n_frames,
        64 * 1000.0 / 8000 AS duration_ms,
-       CAST(list_sum(list_transform(range(1, 65),
-            i -> ascii(substr(rpad(coalesce(text, ''), 64, ' '), i, 1)) % 256))
-         AS BIGINT) AS sample_sum,
-       CAST(list_sum(list_transform(range(1, 65),
-            i -> (ascii(substr(rpad(coalesce(text, ''), 64, ' '), i, 1)) % 256)
-               * (ascii(substr(rpad(coalesce(text, ''), 64, ' '), i, 1)) % 256)))
-         AS BIGINT) AS sample_sumsq
-FROM documents
+       CAST(list_sum(lv) AS BIGINT) AS sample_sum,
+       CAST(list_sum(list_transform(lv, v -> v * v)) AS BIGINT) AS sample_sumsq
+FROM lin
 """
 
 # JPEG twin: 16x16 = four constant 8x8 blocks, one per codepoint of

@@ -672,17 +672,21 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
             b = 0
             while b < len(body):
                 pq, tq = body[b] >> 4, body[b] & 0x0F
-                if pq != 0:
-                    raise JpegUnsupported("16-bit quantization table")
-                if b + 65 > len(body):
+                if pq not in (0, 1):
+                    raise JpegUnsupported(f"DQT precision {pq}")
+                width = 1 + pq  # Pq=1: 16-bit big-endian entries (r13)
+                if b + 1 + 64 * width > len(body):
                     raise JpegUnsupported("DQT truncated")
-                tab = np.frombuffer(body[b + 1 : b + 65], dtype=np.uint8)
+                tab = np.frombuffer(
+                    body[b + 1 : b + 1 + 64 * width],
+                    dtype=np.uint8 if pq == 0 else np.dtype(">u2"),
+                ).astype(np.int32)
                 q = np.empty(64, dtype=np.int32)
                 q[np.array(_ZIGZAG)] = tab  # store in block order
                 if (q == 0).any():
                     raise JpegUnsupported("zero in quantization table")
                 qtabs[tq] = q
-                b += 65
+                b += 1 + 64 * width
         elif marker == 0xC4:  # DHT
             b = 0
             while b + 17 <= len(body):

@@ -8,7 +8,7 @@ progressive) and GIF payloads are decoded FOR REAL by the pure-stdlib
 codecs in :mod:`.png` / :mod:`.bmp` / :mod:`.tiff` / :mod:`.jpeg` /
 :mod:`.gif` — features and resizes on
 those formats come from actual pixels — and integer/IEEE-float PCM
-WAV audio decodes for real via :mod:`.wav` (see
+and G.711 telephony WAV audio decodes for real via :mod:`.wav` (see
 :func:`extract_audio_features`). The remaining compressed media
 formats (MP3/video) are STUBBED — those genuinely need codec libs the
 container lacks — behind ``decode_stub`` (raises) and a deterministic
@@ -42,7 +42,13 @@ from .jpeg import (
     is_jpeg,
 )
 from .tiff import TiffUnsupported, decode_tiff, encode_tiff, is_tiff
-from .wav import WavUnsupported, decode_wav, encode_wav, is_wav
+from .wav import (
+    WavUnsupported,
+    decode_wav,
+    encode_wav,
+    encode_wav_g711,
+    is_wav,
+)
 from .png import (
     PngUnsupported,
     decode_png,
@@ -289,6 +295,7 @@ def text_to_wav_payload(
     sample_rate: int = 8000,
     id_col: str = "doc_id",
     float_every: int | None = None,
+    g711: bool = False,
 ) -> DataFrame:
     """Deterministic audio synthesis for fixtures and oracle replay —
     the WAV twin of :func:`_text_to_image_payload`: an 8-bit mono PCM
@@ -306,7 +313,14 @@ def text_to_wav_payload(
     the codepoint values, so sample_sum/sumsq replay from the text
     UNCHANGED and only the ``bits`` column (32 vs 8) marks the float
     docs. This folds the float-WAV decode path into the existing
-    oracle query with no registry growth (VERDICT r11 #2)."""
+    oracle query with no registry growth (VERDICT r11 #2).
+
+    With ``g711=True`` (r13, same no-registry-growth fold), docs with
+    ``doc_id % 4 == 1`` are packaged as G.711 MU-LAW (format 7) and
+    ``doc_id % 4 == 2`` as A-LAW (format 6), the codepoints stored AS
+    the 8-bit codes — the decoder expands them to 16-bit linear, and
+    the oracle replays the closed-form G.711 segment expansion from
+    the text, so the telephony decode path is value-hash-checked."""
     df = df.select(id_col, src_col)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -322,6 +336,14 @@ def text_to_wav_payload(
                         encode_wav(
                             sample_rate, 1, 32,
                             (vals.astype(np.float64) / 32767.0).astype(np.float32),
+                        )
+                    )
+                    continue
+                if g711 and int(i) % 4 in (1, 2):
+                    payloads.append(
+                        encode_wav_g711(
+                            sample_rate, 1,
+                            "ulaw" if int(i) % 4 == 1 else "alaw", vals,
                         )
                     )
                     continue

@@ -86,10 +86,12 @@ def _parse_png(data: bytes):
             width, height, depth, color, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", body
             )
-            if depth not in (1, 2, 4, 8):
+            if depth not in (1, 2, 4, 8, 16):
                 raise PngUnsupported(f"bit depth {depth}")
-            if depth != 8 and color not in (0, 3):
+            if depth in (1, 2, 4) and color not in (0, 3):
                 raise PngUnsupported(f"bit depth {depth} with color {color}")
+            if depth == 16 and color == 3:
+                raise PngUnsupported("16-bit palette")  # illegal per spec
             if color == 3:
                 channels = 1  # palette indices; expanded to RGB below
             elif color in _CHANNELS:
@@ -129,6 +131,43 @@ def _parse_png(data: bytes):
     if width == 0 or height == 0:
         raise PngUnsupported("zero-dimension image")
     stride = width * channels
+    if depth == 16:
+        # 16-bit samples (r13 — scientific/scanner corpora): filters
+        # act on BYTES with distance channels*2 (spec), so the whole
+        # 8-bit machinery applies with a doubled "channel" count; the
+        # 8-bit output takes each sample's HIGH byte (the spec's own
+        # 16->8 reduction). Adam7 passes inherit the same doubling.
+        ch2 = channels * 2
+        stride2 = width * ch2
+        if interlace:
+            expected = sum(
+                hp * (1 + wp * ch2)
+                for wp, hp in _adam7_pass_dims(width, height)
+                if wp and hp
+            )
+        else:
+            expected = (stride2 + 1) * height
+        try:
+            dec = zlib.decompressobj()
+            raw = dec.decompress(bytes(idat), expected + 1)
+        except zlib.error as e:
+            raise PngUnsupported(f"zlib: {e}") from e
+        if len(raw) != expected or not dec.eof or dec.unconsumed_tail:
+            raise PngUnsupported("pixel data size mismatch")
+        if interlace:
+            wide = _deinterlace_adam7(raw, width, height, ch2)
+        else:
+            arr = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride2 + 1)
+            ftypes = arr[:, 0]
+            if int(ftypes.max()) > 4:
+                raise PngUnsupported(f"filter {int(ftypes.max())}")
+            wide = _unfilter_rows(arr[:, 1:], ftypes, width, ch2)
+        lines = np.ascontiguousarray(
+            wide.reshape(height, stride, 2)[:, :, 0]
+        )
+        return width, height, channels, color, palette, lines, np.zeros(
+            height, dtype=np.uint8
+        )
     if depth != 8:
         if interlace:
             raise PngUnsupported("interlaced sub-8-bit")

@@ -14,11 +14,13 @@ to the digest stub, exactly like ``PngUnsupported`` / ``BmpUnsupported``
 
 - RIFF/WAVE little-endian only (the on-disk standard; the rare
   big-endian RIFX variant is refused);
-- ``fmt `` audio format 1 (integer PCM) or 3 (IEEE float), or
+- ``fmt `` audio format 1 (integer PCM), 3 (IEEE float), 6 (G.711
+  A-law) or 7 (G.711 mu-law — together the telephony formats real
+  speech corpora carry; 8-bit codes expanded to 16-bit linear via
+  the closed-form G.711 segment expansion, r13), or
   WAVE_FORMAT_EXTENSIBLE (0xFFFE) whose SubFormat GUID is PCM or
   IEEE-float — the container modern encoders emit for >2 channels or
-  >16-bit depth; A-law/mu-law (6/7) and other EXTENSIBLE subformats
-  are refused;
+  >16-bit depth; other EXTENSIBLE subformats are refused;
 - integer PCM: bits per sample 8 (unsigned) or 16/24/32 (signed,
   little-endian; 24-bit is the packed 3-byte studio layout, widened
   to int32); IEEE float: 32 or 64 bits;
@@ -82,6 +84,29 @@ _PCM_GUID = bytes(
 _FLOAT_GUID = bytes([0x03]) + _PCM_GUID[1:]
 
 
+def _g711_luts() -> tuple[np.ndarray, np.ndarray]:
+    """(alaw, ulaw) 256-entry int32 expansion tables from the G.711
+    closed forms — the same expressions the DuckDB oracle replays, so
+    a table/formula drift breaks the hash gate, not just a test."""
+    c = np.arange(256, dtype=np.int32)
+    # A-law: toggle the even bits, then segment-expand
+    a = c ^ 0x55
+    seg = (a >> 4) & 7
+    t = (a & 0x0F) << 4
+    mag = np.where(
+        seg == 0, t + 8, np.where(seg == 1, t + 0x108, (t + 0x108) << np.maximum(seg - 1, 0))
+    )
+    alaw = np.where(a & 0x80 > 0, mag, -mag).astype(np.int32)
+    # mu-law: complement, then segment-expand around the 0x84 bias
+    u = (~c) & 0xFF
+    t = (((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 7)
+    ulaw = np.where(u & 0x80 > 0, 0x84 - t, t - 0x84).astype(np.int32)
+    return alaw, ulaw
+
+
+_ALAW_LIN, _ULAW_LIN = _g711_luts()
+
+
 def decode_wav(payload: bytes) -> tuple[int, int, int, np.ndarray]:
     """Decode an integer-PCM or IEEE-float RIFF/WAVE payload →
     ``(sample_rate, channels, bits, samples)`` with ``samples`` of
@@ -138,9 +163,9 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, np.ndarray]:
     if data_span is None:
         raise WavUnsupported("missing data chunk")
     audio_format, channels, sample_rate, _byte_rate, block_align, bits = fmt
-    if audio_format not in (1, 3):
+    if audio_format not in (1, 3, 6, 7):
         raise WavUnsupported(
-            f"audio format {audio_format} (only integer PCM / IEEE float)"
+            f"audio format {audio_format} (only integer PCM / IEEE float / G.711)"
         )
     if channels < 1:
         raise WavUnsupported("zero channels")
@@ -149,6 +174,9 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, np.ndarray]:
     if audio_format == 3:
         if bits not in _FLOAT_BITS_OK:
             raise WavUnsupported(f"bits per sample {bits} (float: only 32/64)")
+    elif audio_format in (6, 7):
+        if bits != 8:
+            raise WavUnsupported(f"bits per sample {bits} (G.711: only 8)")
     elif bits not in _BITS_OK:
         raise WavUnsupported(f"bits per sample {bits} (only 8/16/24/32)")
     if block_align != channels * bits // 8:
@@ -160,6 +188,13 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, np.ndarray]:
     if size % block_align != 0:
         raise WavUnsupported(f"data size {size} not a whole number of frames")
     n_frames = size // block_align
+    if audio_format in (6, 7):
+        # G.711 telephony: 8-bit codes -> 16-bit linear, one LUT gather
+        codes = np.frombuffer(
+            data, dtype=np.uint8, count=n_frames * channels, offset=off
+        )
+        lin = (_ALAW_LIN if audio_format == 6 else _ULAW_LIN)[codes]
+        return sample_rate, channels, bits, lin.reshape(n_frames, channels)
     if audio_format == 3:
         raw = np.frombuffer(
             data, dtype=_FLOAT_DTYPES[bits], count=n_frames * channels, offset=off
@@ -176,6 +211,31 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, np.ndarray]:
         return sample_rate, channels, bits, vals.reshape(n_frames, channels)
     raw = np.frombuffer(data, dtype=_DTYPES[bits], count=n_frames * channels, offset=off)
     return sample_rate, channels, bits, raw.astype(np.int32).reshape(n_frames, channels)
+
+
+def encode_wav_g711(
+    sample_rate: int, channels: int, law: str, codes: np.ndarray | bytes
+) -> bytes:
+    """Encode RAW G.711 code bytes as a format-6 (``law='alaw'``) or
+    format-7 (``law='ulaw'``) RIFF/WAVE — the fixture path: the query
+    stores codepoints AS the codes, and the oracle replays the
+    closed-form expansion from the text."""
+    if channels < 1:
+        raise WavUnsupported("zero channels")
+    if law not in ("alaw", "ulaw"):
+        raise WavUnsupported(f"law {law!r} (alaw or ulaw)")
+    body = bytes(np.asarray(codes, dtype=np.uint8).reshape(-1).tobytes())
+    if len(body) % channels:
+        raise WavUnsupported("codes not a whole number of frames")
+    fmt = struct.pack(
+        "<HHIIHH", 6 if law == "alaw" else 7, channels, sample_rate,
+        sample_rate * channels, channels, 8,
+    )
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(body)) + body + (
+        b"\x00" if len(body) & 1 else b""
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
 
 
 def encode_wav(

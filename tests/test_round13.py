@@ -217,6 +217,202 @@ def test_jpeg_fuzz_never_escapes_jpeg_unsupported():
                 pass
 
 
+def test_jpeg_16bit_dqt_decodes_identically():
+    """DQT precision Pq=1 (16-bit big-endian entries) — emitted by
+    some high-quality encoders — must decode identically to the same
+    values in 8-bit form. Rewrite the encoder's 8-bit DQT segment
+    into the 16-bit layout byte-for-byte and compare decodes."""
+    rng = np.random.default_rng(21)
+    g = rng.integers(0, 256, size=(24, 24), dtype=np.uint8)
+    p = encode_jpeg(24, 24, 1, g.tobytes())
+    at = p.index(b"\xff\xdb")
+    seglen = (p[at + 2] << 8) | p[at + 3]
+    assert seglen == 2 + 65  # one 8-bit table
+    pq_tq = p[at + 4]
+    vals = p[at + 5 : at + 5 + 64]
+    wide = bytes([0x10 | (pq_tq & 0x0F)]) + b"".join(
+        bytes([0, v]) for v in vals
+    )
+    seg16 = b"\xff\xdb" + (2 + len(wide)).to_bytes(2, "big") + wide
+    p16 = p[:at] + seg16 + p[at + 4 + seglen - 2 :]
+    assert decode_jpeg(p16) == decode_jpeg(p)
+    # precision nibbles 2-15 stay refused
+    bad = bytearray(p)
+    bad[at + 4] = 0x20 | (pq_tq & 0x0F)
+    with pytest.raises(JpegUnsupported):
+        decode_jpeg(bytes(bad))
+
+
+# --------------------------------------------------------- PNG 16-bit
+
+
+def _png_chunks(w, h, depth, color, raw_scanlines, interlace=0):
+    import struct as st
+    import zlib
+
+    def chunk(ctype, body):
+        c = st.pack(">I", len(body)) + ctype + body
+        return c + st.pack(">I", zlib.crc32(ctype + body))
+
+    ihdr = st.pack(">IIBBBBB", w, h, depth, color, 0, 0, interlace)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw_scanlines))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_16bit_decodes_high_bytes_with_filters():
+    """16-bit PNGs (scientific/scanner corpora) decode via the same
+    byte-filter machinery at distance channels*2; output takes each
+    sample's high byte (the spec 16->8 reduction). Exercise filters
+    0/1/2 on gray16 and rgb16."""
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.png import (
+        decode_png,
+    )
+
+    rng = np.random.default_rng(16)
+    for color, ch in ((0, 1), (2, 3), (4, 2), (6, 4)):
+        w, h = 7, 5
+        px16 = rng.integers(0, 65536, size=(h, w * ch), dtype=np.uint16)
+        rows_bytes = px16.astype(">u2").tobytes()
+        rb = np.frombuffer(rows_bytes, np.uint8).reshape(h, w * ch * 2)
+        ch2 = ch * 2
+        scan = bytearray()
+        for y in range(h):
+            if y % 3 == 0:
+                scan += b"\x00" + rb[y].tobytes()
+            elif y % 3 == 1:  # Sub at byte distance ch2
+                line = rb[y].astype(np.int16)
+                prev = np.concatenate([np.zeros(ch2, np.int16), line[:-ch2]])
+                # recover the filtered bytes: f[x] = o[x] - o[x-ch2]
+                o = rb[y].astype(np.int16)
+                op = np.concatenate([np.zeros(ch2, np.int16), o[:-ch2]])
+                scan += b"\x01" + ((o - op) % 256).astype(np.uint8).tobytes()
+            else:  # Up
+                o = rb[y].astype(np.int16)
+                up = rb[y - 1].astype(np.int16)
+                scan += b"\x02" + ((o - up) % 256).astype(np.uint8).tobytes()
+        p = _png_chunks(w, h, 16, color, bytes(scan))
+        gw, gh, gc, px = decode_png(p)
+        got = np.frombuffer(px, np.uint8)
+        want_full = (px16 >> 8).astype(np.uint8).reshape(h, w, ch)
+        if color == 4:  # decoder may fold/drop alpha — check shape only
+            assert (gw, gh) == (w, h)
+        elif color == 6:
+            assert (gw, gh) == (w, h)
+        else:
+            assert (gw, gh, gc) == (w, h, ch)
+            assert (got.reshape(h, w, ch) == want_full).all()
+
+
+def test_png_16bit_adam7_interlaced():
+    """2x2 gray16 Adam7: pass 1 = (0,0), pass 6 = (1,0), pass 7 = row
+    1 — each sample's high byte must scatter to the right cell."""
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.png import (
+        decode_png,
+    )
+
+    # samples (hi,lo): (0,0)=0xAA01, (1,0)=0xBB02, (0,1)=0xCC03, (1,1)=0xDD04
+    scan = (
+        b"\x00\xaa\x01"          # pass 1: (0,0)
+        + b"\x00\xbb\x02"        # pass 6: (1,0)
+        + b"\x00\xcc\x03\xdd\x04"  # pass 7: row 1
+    )
+    p = _png_chunks(2, 2, 16, 0, scan, interlace=1)
+    w, h, c, px = decode_png(p)
+    assert (w, h, c) == (2, 2, 1)
+    assert list(px) == [0xAA, 0xBB, 0xCC, 0xDD]
+
+
+def test_png_16bit_palette_refused_and_fuzz_safe():
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.png import (
+        PngUnsupported,
+        decode_png,
+    )
+
+    p = _png_chunks(4, 4, 16, 3, b"\x00" * (4 * (1 + 8)))
+    with pytest.raises(PngUnsupported):
+        decode_png(p)
+    rng = np.random.default_rng(161)
+    base = _png_chunks(
+        6, 6, 16, 0,
+        b"".join(b"\x00" + bytes(12) for _ in range(6)),
+    )
+    for _ in range(300):
+        b = bytearray(base)
+        for _ in range(rng.integers(1, 5)):
+            b[rng.integers(8, len(b))] = rng.integers(0, 256)
+        try:
+            decode_png(bytes(b))
+        except PngUnsupported:
+            pass
+
+
+# ----------------------------------------------- G.711 telephony WAV
+
+
+def test_g711_tables_match_audioop_reference():
+    """The closed-form expansions must match CPython's audioop (an
+    independent G.711 implementation) on all 256 codes, both laws."""
+    import audioop
+
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.wav import (
+        _ALAW_LIN,
+        _ULAW_LIN,
+    )
+
+    codes = bytes(range(256))
+    ref_u = np.frombuffer(audioop.ulaw2lin(codes, 2), dtype="<i2")
+    ref_a = np.frombuffer(audioop.alaw2lin(codes, 2), dtype="<i2")
+    assert (_ULAW_LIN == ref_u.astype(np.int32)).all()
+    assert (_ALAW_LIN == ref_a.astype(np.int32)).all()
+
+
+def test_g711_wav_roundtrip_and_validation():
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.wav import (
+        WavUnsupported,
+        _ULAW_LIN,
+        decode_wav,
+        encode_wav_g711,
+    )
+
+    codes = np.arange(130, dtype=np.uint8)  # odd count -> pad byte
+    p = encode_wav_g711(8000, 2, "ulaw", codes)
+    rate, ch, bits, s = decode_wav(p)
+    assert (rate, ch, bits, s.shape) == (8000, 2, 8, (65, 2))
+    assert (s.reshape(-1) == _ULAW_LIN[codes]).all()
+    with pytest.raises(WavUnsupported):
+        encode_wav_g711(8000, 1, "gsm", codes)
+    with pytest.raises(WavUnsupported):
+        encode_wav_g711(8000, 3, "alaw", codes)  # 130 % 3 != 0
+    # a G.711 fmt chunk claiming 16 bits must be refused
+    bad = bytearray(encode_wav_g711(8000, 1, "alaw", codes[:64]))
+    bad[34] = 16
+    with pytest.raises(WavUnsupported):
+        decode_wav(bytes(bad))
+
+
+def test_g711_wav_fuzz_never_escapes_wav_unsupported():
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.wav import (
+        WavUnsupported,
+        decode_wav,
+        encode_wav_g711,
+    )
+
+    rng = np.random.default_rng(77)
+    base = encode_wav_g711(8000, 1, "ulaw", np.arange(64, dtype=np.uint8))
+    for _ in range(300):
+        b = bytearray(base)
+        for _ in range(rng.integers(1, 5)):
+            b[rng.integers(0, len(b))] = rng.integers(0, 256)
+        try:
+            decode_wav(bytes(b))
+        except WavUnsupported:
+            pass
+
+
 # ------------------------------------------- animated-GIF demux (r13)
 
 

@@ -197,7 +197,8 @@ def test_png_unsupported_payloads_raise():
     assert not is_png(b"plain text")
     with pytest.raises(PngUnsupported):
         decode_png(b"plain text bytes")
-    # 16-bit depth rejected
+    # 16-bit depth DECODES as of r13 (high-byte reduction) — this test
+    # originally asserted rejection; flipped with the capability
     import struct
     import zlib
 
@@ -216,8 +217,7 @@ def test_png_unsupported_payloads_raise():
         + chunk(b"IDAT", zlib.compress(b"\x00\x00\x00"))
         + chunk(b"IEND", b"")
     )
-    with pytest.raises(PngUnsupported):
-        decode_png(p)
+    assert decode_png(p) == (1, 1, 1, b"\x00")
 
 
 def test_png_resize_nearest_exact():
