@@ -151,6 +151,18 @@ DRIFT_PROBE_REF_SEC = 0.987  # r8-record box, min of 5
 N_RUNS_PROBE = 3
 
 
+def _py_probe_safe() -> float | None:
+    """tools.drift.py_probe when importable (repo checkout), else None
+    — bench.py must stay runnable standalone."""
+    try:
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from tools.drift import py_probe
+
+        return py_probe()
+    except Exception:
+        return None
+
+
 def _probe(qs, spark, sf_dir) -> float:
     samples = []
     for _ in range(N_RUNS_PROBE):
@@ -264,6 +276,13 @@ def main() -> None:
         "sf": sf,
         "n": N_RUNS,
         "n_extra": N_RUNS_EXTRA,
+        # r13: a pure-CPython probe alongside the JVM one — host steal
+        # does not degrade the interpreter and the JVM 1:1 (measured
+        # 1.4-1.7x divergence on Python-stage queries under load), so
+        # mapInPandas-heavy queries normalize against THIS number in
+        # cross-round reads. tools/drift.py py_probe, same
+        # zero-change rule as the Spark probe.
+        "drift_probe_py": _py_probe_safe(),
     }
     try:
         with open(
