@@ -930,7 +930,12 @@ def q_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     written PROGRESSIVE (SOF2 — multi-scan successive approximation
     carrying the same quantized coefficients, so the features replay
     UNCHANGED and the progressive scan machinery is driver-proven with
-    no registry growth). Decode runs in the shared Arrow-batched
+    no registry growth). r13: every 7th doc is an Adobe CMYK
+    (4-component, APP14 transform 0, inverted storage — precedence
+    over the color-3 residue at doc_id%21) whose constant component
+    planes make the composite RGB = (c*k+127)//255 replay exactly from
+    the text, folding the 4-component decode path into the same green
+    row. Decode runs in the shared Arrow-batched
     extract_features stage: marker walk, canonical Huffman,
     dequantize, one-einsum batched IDCT (llm/jpeg.py)."""
     from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.multimodal import (
@@ -940,7 +945,7 @@ def q_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = T(spark, sf_dir, "documents")
     feats = extract_features(
         text_to_jpeg_payload(
-            d, "text", progressive_every=5,
+            d, "text", progressive_every=5, cmyk_every=7,
             # JPEG work is ~10x the sibling codecs per byte and the
             # test tables are single parquet files (one task): size
             # the CPU-bound Arrow stage to cores. At 100 TB the scan's

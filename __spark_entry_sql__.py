@@ -853,15 +853,29 @@ FROM lin
 # JPEG twin: 16x16 = four constant 8x8 blocks, one per codepoint of
 # the first 4 chars; DC-only blocks make the lossy codec exact, so
 # pixel_sum = 64 * sum(codepoints), tripled on the color (4:2:0,
-# R=G=B) docs where doc_id % 3 = 0.
+# R=G=B) docs where doc_id % 3 = 0. r13: doc_id % 7 = 0 docs are
+# Adobe CMYK (4 constant component planes = the 4 codepoints, stored
+# inverted; decoder composite RGB = (c*k+127)//255 per channel) and
+# take precedence over the color residue.
 _MULTIMODAL_JPEG_SQL = """
+WITH cps AS (
+  SELECT doc_id,
+         list_transform(range(1, 5),
+           i -> ascii(substr(rpad(coalesce(text, ''), 4, ' '), CAST(i AS INTEGER), 1)) % 256) AS cp
+  FROM documents
+)
 SELECT doc_id, 16 AS width, 16 AS height,
-       CASE WHEN doc_id % 3 = 0 THEN 3 ELSE 1 END AS channels,
-       CAST((CASE WHEN doc_id % 3 = 0 THEN 3 ELSE 1 END) * 64 *
-            list_sum(list_transform(range(1, 5),
-            i -> ascii(substr(rpad(coalesce(text, ''), 4, ' '), i, 1)) % 256))
-         AS BIGINT) AS pixel_sum
-FROM documents
+       CASE WHEN doc_id % 7 = 0 THEN 3
+            WHEN doc_id % 3 = 0 THEN 3 ELSE 1 END AS channels,
+       CAST(CASE
+         WHEN doc_id % 7 = 0 THEN 256 * (
+              ((cp[1] * cp[4] + 127) // 255)
+            + ((cp[2] * cp[4] + 127) // 255)
+            + ((cp[3] * cp[4] + 127) // 255))
+         WHEN doc_id % 3 = 0 THEN 3 * 64 * (cp[1] + cp[2] + cp[3] + cp[4])
+         ELSE 64 * (cp[1] + cp[2] + cp[3] + cp[4])
+       END AS BIGINT) AS pixel_sum
+FROM cps
 """
 
 _TFIDF_SQL = f"""

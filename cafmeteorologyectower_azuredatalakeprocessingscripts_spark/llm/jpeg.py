@@ -22,7 +22,8 @@ back to the digest stub, exactly like the other five codecs):
 - Huffman sequential (SOF0/SOF1, single or multiple scans) and
   Huffman progressive (SOF2), 8-bit precision; lossless,
   hierarchical, arithmetic-coded and 12-bit files are refused;
-- 1 (grayscale) or 3 (YCbCr) components; luma sampling factors 1x1,
+- 1 (grayscale), 3 (YCbCr) or 4 (Adobe CMYK/YCCK via APP14,
+  inverted storage — r13) components; luma sampling factors 1x1,
   2x1, 1x2 or 2x2 with 1x1 chroma (4:4:4, 4:2:2, 4:4:0, 4:2:0 — what
   real encoders emit); restart markers (DRI/RSTn) supported in both
   modes;
@@ -633,6 +634,7 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
     hac: dict[int, tuple[list, list]] = {}
     frame = None
     progressive = False
+    adobe_transform = None  # APP14 color-transform flag (r13: CMYK/YCCK)
     dri = 0
     coef = None
     geom = None
@@ -711,7 +713,7 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
             ncomp = body[5]
             if prec != 8:
                 raise JpegUnsupported(f"{prec}-bit precision")
-            if ncomp not in (1, 3):
+            if ncomp not in (1, 3, 4):
                 raise JpegUnsupported(f"{ncomp} components")
             if len(body) != 6 + 3 * ncomp:
                 raise JpegUnsupported("SOF component list truncated")
@@ -821,6 +823,11 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
                     segs, comps, coef, resolved, geom, dri, ss, se, ah, al
                 )
             saw_scan = True
+        elif marker == 0xEE and body[:5] == b"Adobe" and len(body) >= 12:
+            # APP14: transform 0 = CMYK stored inverted, 1 = YCbCr,
+            # 2 = YCCK — the flag that makes 4-component files
+            # decodable (Adobe's inverted-storage convention)
+            adobe_transform = body[11]
         # else: APPn/COM/DNL etc — skipped via seglen
 
     if frame is None or not saw_scan:
@@ -851,6 +858,35 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
         planes.append(plane)
     if nc == 1:
         return w, h, 1, planes[0].tobytes()
+    if nc == 4:
+        # Adobe CMYK/YCCK (r13): 4-component files are only decodable
+        # with the APP14 transform flag (storage is INVERTED per the
+        # Adobe convention — stored value = 255 - ink). transform 0:
+        # planes ARE the inverted C'M'Y'K'; transform 2 (YCCK): the
+        # first three planes are BT.601 YCbCr over the inverted CMY.
+        # RGB = C' * K' / 255 (integer, round-half-up) — the standard
+        # libjpeg-pipeline composite for inverted storage.
+        if adobe_transform not in (0, 2):
+            raise JpegUnsupported(
+                "4-component JPEG without an Adobe APP14 CMYK/YCCK transform"
+            )
+        if adobe_transform == 2:
+            y = planes[0].astype(np.float64)
+            cb = planes[1].astype(np.float64) - 128.0
+            cr = planes[2].astype(np.float64) - 128.0
+            cmy_inv = np.stack(
+                [
+                    np.clip(np.round(y + 1.402 * cr), 0, 255),
+                    np.clip(np.round(y - 0.344136 * cb - 0.714136 * cr), 0, 255),
+                    np.clip(np.round(y + 1.772 * cb), 0, 255),
+                ],
+                axis=-1,
+            ).astype(np.uint16)
+        else:
+            cmy_inv = np.stack(planes[:3], axis=-1).astype(np.uint16)
+        k_inv = planes[3].astype(np.uint16)[:, :, None]
+        rgb = ((cmy_inv * k_inv + 127) // 255).astype(np.uint8)
+        return w, h, 3, rgb.tobytes()
     y = planes[0].astype(np.float64)
     cb = planes[1].astype(np.float64) - 128.0
     cr = planes[2].astype(np.float64) - 128.0
@@ -1033,11 +1069,13 @@ def _prepare_encode(
     — [luma] or [luma, chroma, chroma] (real encoders ship separate
     luma/chroma tables; ``qtable_chroma=None`` reuses the luma table
     and keeps the single-DQT stream byte-identical to pre-r12)."""
-    if channels not in (1, 3):
+    if channels not in (1, 3, 4):
         raise JpegUnsupported(f"{channels} channels")
     luma_samp = {"444": (1, 1), "422": (2, 1), "440": (1, 2), "420": (2, 2)}
     if subsampling not in luma_samp:
         raise JpegUnsupported(f"subsampling {subsampling}")
+    if channels == 4 and subsampling != "444":
+        raise JpegUnsupported("4-channel (Adobe CMYK) encode is 4:4:4 only")
     arr = np.frombuffer(bytes(pixels), dtype=np.uint8)
     if arr.size != width * height * channels:
         raise JpegUnsupported("pixel buffer does not match dimensions")
@@ -1055,6 +1093,13 @@ def _prepare_encode(
     if channels == 1:
         planes = [arr.reshape(height, width)]
         samp = [(1, 1)]
+    elif channels == 4:
+        # Adobe CMYK (transform 0): the caller supplies STORED-space
+        # bytes (inverted ink, per the Adobe convention) — no
+        # colorspace transform on this path
+        cmyk = arr.reshape(height, width, 4)
+        planes = [np.ascontiguousarray(cmyk[:, :, i]) for i in range(4)]
+        samp = [(1, 1)] * 4
     else:
         rgb = arr.reshape(height, width, 3).astype(np.float64)
         r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
@@ -1094,8 +1139,17 @@ def _emit_headers(width, height, nc, samp, qs, sof_marker):
         + struct.pack(">H", 16)
         + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
     )
+    if nc == 4:
+        # APP14 "Adobe" with transform 0 — the flag the decoder needs
+        # to route 4-component data through the inverted-CMYK path
+        out += (
+            b"\xff\xee"
+            + struct.pack(">H", 14)
+            + b"Adobe"
+            + bytes([0, 100, 0, 0, 0, 0, 0])
+        )
     zz = np.array(_ZIGZAG)
-    two_tables = nc == 3 and qs[1] is not qs[0]
+    two_tables = nc >= 3 and qs[1] is not qs[0]
     out += b"\xff\xdb" + struct.pack(">H", 2 + 65) + bytes([0x00]) + bytes(
         int(v) for v in qs[0][zz]
     )
@@ -1110,7 +1164,7 @@ def _emit_headers(width, height, nc, samp, qs, sof_marker):
         sof += bytes([ci + 1, (hi << 4) | vi, tq])
     out += bytes([0xFF, sof_marker]) + struct.pack(">H", 2 + len(sof)) + sof
     tables = [(0x00, _DC_LUMA_BITS, _DC_LUMA_VALS), (0x10, _AC_LUMA_BITS, _AC_LUMA_VALS)]
-    if nc == 3:
+    if nc >= 3:
         tables += [
             (0x01, _DC_CHROMA_BITS, _DC_CHROMA_VALS),
             (0x11, _AC_CHROMA_BITS, _AC_CHROMA_VALS),

@@ -767,6 +767,7 @@ def text_to_jpeg_payload(
     id_col: str = "doc_id",
     color_every: int | None = 3,
     progressive_every: int | None = None,
+    cmyk_every: int | None = None,
     n_partitions: int | None = None,
 ) -> DataFrame:
     """JPEG twin of :func:`text_to_png_payload`, built around the one
@@ -823,7 +824,19 @@ def text_to_jpeg_payload(
                     if progressive_every and int(i) % progressive_every == 0
                     else encode_jpeg
                 )
-                if color_every and int(i) % color_every == 0:
+                if cmyk_every and int(i) % cmyk_every == 0:
+                    # Adobe CMYK (r13): each component plane constant =
+                    # one codepoint in STORED (inverted) space; the
+                    # decoder's composite RGB = (c*k + 127) // 255
+                    # replays exactly from the text for DC-only blocks
+                    flat = vals.reshape(-1)[:4]
+                    cmyk = np.empty((height, width, 4), dtype=np.uint8)
+                    for ci in range(4):
+                        cmyk[:, :, ci] = flat[ci]
+                    payloads.append(
+                        encode_jpeg(width, height, 4, cmyk.tobytes())
+                    )
+                elif color_every and int(i) % color_every == 0:
                     rgb = np.repeat(gray[:, :, None], 3, axis=2)
                     payloads.append(
                         enc(width, height, 3, rgb.tobytes(), subsampling="420")

@@ -243,6 +243,73 @@ def test_jpeg_16bit_dqt_decodes_identically():
         decode_jpeg(bytes(bad))
 
 
+# ------------------------------------------------ Adobe CMYK/YCCK JPEG
+
+
+def _cmyk_payload(c, m, y_, k, w=16, h=16):
+    px = np.empty((h, w, 4), dtype=np.uint8)
+    px[:, :, 0], px[:, :, 1], px[:, :, 2], px[:, :, 3] = c, m, y_, k
+    return encode_jpeg(w, h, 4, px.tobytes())
+
+
+def test_jpeg_adobe_cmyk_constant_composite_exact():
+    """Transform-0 CMYK: constant component planes are DC-only, so the
+    stored (inverted) values roundtrip exactly and the composite
+    RGB = (c*k + 127) // 255 is deterministic."""
+    p = _cmyk_payload(200, 100, 50, 230)
+    assert b"Adobe" in p
+    w, h, c, px = decode_jpeg(p)
+    assert (w, h, c) == (16, 16, 3)
+    arr = np.frombuffer(px, np.uint8).reshape(16, 16, 3)
+    exp = [(200 * 230 + 127) // 255, (100 * 230 + 127) // 255,
+           (50 * 230 + 127) // 255]
+    assert arr[0, 0].tolist() == exp and (arr == arr[0, 0]).all()
+
+
+def test_jpeg_ycck_transform_composites_via_bt601():
+    """Patching the APP14 transform byte to 2 routes the same planes
+    through the BT.601 YCC step before the K composite."""
+    p = _cmyk_payload(100, 200, 50, 255)
+    at = p.index(b"Adobe")
+    p2 = p[: at + 11] + bytes([2]) + p[at + 12 :]
+    w, h, c, px = decode_jpeg(p2)
+    arr = np.frombuffer(px, np.uint8).reshape(16, 16, 3)
+    yv, cb, cr = 100.0, 200.0 - 128.0, 50.0 - 128.0
+    cmy = np.clip(
+        np.round([yv + 1.402 * cr, yv - 0.344136 * cb - 0.714136 * cr,
+                  yv + 1.772 * cb]), 0, 255
+    ).astype(np.int64)
+    exp = ((cmy * 255 + 127) // 255).tolist()
+    assert arr[0, 0].tolist() == exp and (arr == arr[0, 0]).all()
+
+
+def test_jpeg_4comp_without_adobe_marker_refused():
+    p = _cmyk_payload(10, 20, 30, 40)
+    at = p.index(b"\xff\xee")
+    seglen = (p[at + 2] << 8) | p[at + 3]
+    stripped = p[:at] + p[at + 2 + seglen :]
+    with pytest.raises(JpegUnsupported):
+        decode_jpeg(stripped)
+    # transform 1 (YCbCr) is a 3-component flag — invalid with 4 comps
+    at = p.index(b"Adobe")
+    p1 = p[: at + 11] + bytes([1]) + p[at + 12 :]
+    with pytest.raises(JpegUnsupported):
+        decode_jpeg(p1)
+
+
+def test_jpeg_cmyk_fuzz_never_escapes_jpeg_unsupported():
+    rng = np.random.default_rng(47)
+    base = _cmyk_payload(200, 100, 50, 230)
+    for _ in range(400):
+        b = bytearray(base)
+        for _ in range(rng.integers(1, 6)):
+            b[rng.integers(2, len(b))] = rng.integers(0, 256)
+        try:
+            decode_jpeg(bytes(b))
+        except JpegUnsupported:
+            pass
+
+
 # --------------------------------------------------------- PNG 16-bit
 
 
