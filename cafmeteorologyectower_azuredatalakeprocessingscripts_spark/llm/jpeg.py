@@ -732,7 +732,7 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
             hmax = max(c[1] for c in comps)
             vmax = max(c[2] for c in comps)
             for cid, hi, vi, tq in comps:
-                if hi not in (1, 2) or vi not in (1, 2):
+                if not (1 <= hi <= 4 and 1 <= vi <= 4):
                     raise JpegUnsupported(f"sampling factor {hi}x{vi}")
                 if (hi, vi) != (hmax, vmax) and (hi, vi) != (1, 1):
                     raise JpegUnsupported(
@@ -777,6 +777,10 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
                 if any(o[0] == ci for o in order):
                     raise JpegUnsupported("component repeated in scan")
                 order.append((ci, tt >> 4, tt & 0x0F))
+            if ns > 1 and sum(comps[o[0]][1] * comps[o[0]][2] for o in order) > 10:
+                # T.81 B.2.3: an interleaved scan's MCU carries at
+                # most 10 data units — also bounds the slots loop
+                raise JpegUnsupported("interleaved MCU exceeds 10 blocks")
             ss, se, ahal = body[1 + 2 * ns : 4 + 2 * ns]
             ah, al = ahal >> 4, ahal & 0x0F
             if not progressive:
@@ -1071,7 +1075,10 @@ def _prepare_encode(
     and keeps the single-DQT stream byte-identical to pre-r12)."""
     if channels not in (1, 3, 4):
         raise JpegUnsupported(f"{channels} channels")
-    luma_samp = {"444": (1, 1), "422": (2, 1), "440": (1, 2), "420": (2, 2)}
+    luma_samp = {
+        "444": (1, 1), "422": (2, 1), "440": (1, 2), "420": (2, 2),
+        "411": (4, 1),  # r13: the remaining real-world chroma layout
+    }
     if subsampling not in luma_samp:
         raise JpegUnsupported(f"subsampling {subsampling}")
     if channels == 4 and subsampling != "444":

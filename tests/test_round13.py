@@ -243,6 +243,37 @@ def test_jpeg_16bit_dqt_decodes_identically():
         decode_jpeg(bytes(bad))
 
 
+def test_jpeg_411_subsampling_roundtrip():
+    """4:1:1 (luma 4x1) — the remaining real-world chroma layout.
+    Constant-color blocks stay exact through the 4x horizontal chroma
+    round trip; noise decodes at full geometry."""
+    rgb = np.zeros((16, 32, 3), dtype=np.uint8)
+    rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2] = 90, 160, 40
+    p = encode_jpeg(32, 16, 3, rgb.tobytes(), subsampling="411")
+    w, h, c, px = decode_jpeg(p)
+    arr = np.frombuffer(px, np.uint8).reshape(16, 32, 3)
+    assert (w, h, c) == (32, 16, 3)
+    assert np.abs(arr.astype(int) - rgb.astype(int)).max() <= 1
+    rng = np.random.default_rng(41)
+    noisy = rng.integers(0, 256, size=(24, 40, 3), dtype=np.uint8)
+    p = encode_jpeg(40, 24, 3, noisy.tobytes(), subsampling="411")
+    w, h, c, _ = decode_jpeg(p)
+    assert (w, h, c) == (40, 24, 3)
+
+
+def test_jpeg_interleaved_mcu_block_cap():
+    """T.81 B.2.3: >10 data units per interleaved MCU must be refused
+    (a hostile SOF with 4x4 sampling would otherwise inflate the
+    per-MCU slots loop)."""
+    rgb = np.zeros((16, 16, 3), dtype=np.uint8)
+    p = bytearray(encode_jpeg(16, 16, 3, rgb.tobytes(), subsampling="420"))
+    sof = p.index(b"\xff\xc0")
+    # comp 0 sampling byte: (hi<<4)|vi lives at SOF body offset 7
+    p[sof + 4 + 7] = 0x44  # 4x4 luma -> 16+1+1 = 18 units
+    with pytest.raises(JpegUnsupported):
+        decode_jpeg(bytes(p))
+
+
 # ------------------------------------------------ Adobe CMYK/YCCK JPEG
 
 
