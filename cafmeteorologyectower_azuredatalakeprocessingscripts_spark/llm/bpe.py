@@ -1,0 +1,222 @@
+"""Distributed BPE tokenizer training — tokenizer FITTING as a
+pipeline op, completing the token-counting story (`text.token_count`
+counts with a fixed regex; this learns the vocabulary).
+
+Algorithm (Sennrich et al. 2016, the word-frequency formulation): the
+corpus collapses ONCE to a (word, count) table — after that first
+aggregation every merge iteration runs over the distinct-word table
+only, so the per-merge cost is corpus-size-INDEPENDENT (at 100 TB the
+distinct-word table is ~1e8 rows, not 1e12 docs). Each iteration is:
+
+1. one distributed pair-count: explode adjacent symbol pairs weighted
+   by word count, aggregate, take the global top-1 (deterministic
+   tie-break: highest count, then lexicographically smallest
+   (left, right) — pinned so any two engines agree);
+2. a driver-side scalar collect of that single winning row (same
+   bounded pattern as the incremental high-watermark read);
+3. an Arrow-batched merge application over the symbol arrays
+   (non-overlapping, left-to-right — per-word Python inside
+   ``mapInPandas``, no vectorized builtin exists for adjacent-pair
+   rewriting);
+4. every ``checkpoint_every`` merges, ``localCheckpoint()`` cuts the
+   lineage so the plan does not grow linearly with merges.
+
+Registry note: iterative + driver-scalar-per-round makes this the
+documented non-SQL-expressible shape (a DuckDB oracle cannot replay a
+50-round loop in one query); it ships library + reference-checked
+tests in r13 and is the standing candidate for a weaker rows-only
+driver query in r14 if the freeze lifts.
+
+Scale: never an all-pairs or per-doc loop — the only per-row Python is
+the Arrow-batched merge rewriter over the word table. Tie-break
+determinism means reruns and engines converge on identical merge
+sequences.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_END = "</w>"
+
+_WORDS_SCHEMA = T.StructType(
+    [
+        T.StructField("syms", T.ArrayType(T.StringType())),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+
+def _word_table(df: DataFrame, text_col: str, lowercase: bool) -> DataFrame:
+    """(symbol-array, count) over the corpus's distinct words: split on
+    whitespace, drop empties, one global aggregation. Symbols start as
+    single characters with an end-of-word marker."""
+    txt = F.col(text_col)
+    if lowercase:
+        txt = F.lower(txt)
+    words = (
+        df.select(F.explode(F.split(txt, r"\s+")).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # chars + end marker, all JVM-side
+    return words.select(
+        F.concat(
+            F.split(F.col("w"), "(?!$)"), F.array(F.lit(_END))
+        ).alias("syms"),
+        "n",
+    )
+
+
+def _top_pair(words: DataFrame) -> tuple[str, str, int] | None:
+    """One distributed pair-count round: the winning adjacent pair by
+    (count desc, left asc, right asc) — or None when no pair exists."""
+    pairs = words.select(
+        "n",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("syms") - 2),
+                lambda i: F.struct(
+                    F.col("syms").getItem(i).alias("left"),
+                    F.col("syms").getItem(i + 1).alias("right"),
+                ),
+            )
+        ).alias("p"),
+    ).filter(F.size("syms") >= 2)
+    row = (
+        pairs.groupBy("p.left", "p.right")
+        .agg(F.sum("n").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("left"), F.asc("right"))
+        .limit(1)
+        .collect()
+    )
+    if not row:
+        return None
+    r = row[0]
+    return r["left"], r["right"], int(r["freq"])
+
+
+def _apply_merge(words: DataFrame, left: str, right: str) -> DataFrame:
+    """Rewrite every symbol array replacing adjacent (left, right) with
+    the fused symbol, non-overlapping left-to-right — Arrow-batched;
+    there is no built-in for adjacent-pair rewriting."""
+    fused = left + right
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for syms in pdf["syms"]:
+                syms = list(syms)
+                res = []
+                i = 0
+                ln = len(syms)
+                while i < ln:
+                    if i + 1 < ln and syms[i] == left and syms[i + 1] == right:
+                        res.append(fused)
+                        i += 2
+                    else:
+                        res.append(syms[i])
+                        i += 1
+                out.append(res)
+            yield pd.DataFrame({"syms": out, "n": pdf["n"]})
+
+    return words.mapInPandas(run, _WORDS_SCHEMA)
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 50,
+    min_freq: int = 2,
+    lowercase: bool = False,
+    checkpoint_every: int = 8,
+) -> list[tuple[int, str, str, int]]:
+    """Learn up to ``n_merges`` BPE merges from the corpus; returns
+    ``[(rank, left, right, freq), ...]`` in merge order. Stops early
+    when the best remaining pair's frequency drops below
+    ``min_freq``."""
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    words = _word_table(df, text_col, lowercase).localCheckpoint()
+    merges: list[tuple[int, str, str, int]] = []
+    for k in range(n_merges):
+        best = _top_pair(words)
+        if best is None or best[2] < min_freq:
+            break
+        left, right, freq = best
+        merges.append((k, left, right, freq))
+        words = _apply_merge(words, left, right)
+        if (k + 1) % checkpoint_every == 0:
+            # cut the mapInPandas chain before the plan grows with k
+            words = words.localCheckpoint()
+    return merges
+
+
+def bpe_segment(word: str, merges: list[tuple[int, str, str, int]]) -> list[str]:
+    """Segment ONE word with a learned merge list (greedy by merge
+    rank — the standard BPE inference). Driver/worker-side helper for
+    :func:`bpe_apply`."""
+    syms = list(word) + [_END]
+    rank = {(l, r): k for k, l, r, _ in merges}
+    while len(syms) >= 2:
+        best_k = None
+        best_i = -1
+        for i in range(len(syms) - 1):
+            k = rank.get((syms[i], syms[i + 1]))
+            if k is not None and (best_k is None or k < best_k):
+                best_k, best_i = k, i
+        if best_k is None:
+            break
+        syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+    return syms
+
+
+def bpe_apply(
+    df: DataFrame,
+    merges: list[tuple[int, str, str, int]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lowercase: bool = False,
+) -> DataFrame:
+    """Tokenize documents with a learned merge list -> (id, n_tokens,
+    n_unk_chars). Merges ship to the workers inside the closure (a
+    merge list is vocabulary-sized — broadcast-small by construction);
+    per-word segmentation is memoized per batch since corpora repeat
+    words heavily."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_tokens", T.IntegerType()),
+            T.StructField("n_words", T.IntegerType()),
+        ]
+    )
+    df = df.select(id_col, text_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        memo: dict[str, int] = {}
+        for pdf in batches:
+            ids, ntok, nw = [], [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                s = "" if t is None else str(t)
+                if lowercase:
+                    s = s.lower()
+                words = [w for w in s.split() if w]
+                total = 0
+                for w in words:
+                    c = memo.get(w)
+                    if c is None:
+                        c = len(bpe_segment(w, merges))
+                        memo[w] = c
+                    total += c
+                ids.append(i)
+                ntok.append(total)
+                nw.append(len(words))
+            yield pd.DataFrame({"doc_id": ids, "n_tokens": ntok, "n_words": nw})
+
+    return df.mapInPandas(run, schema)

@@ -511,6 +511,109 @@ def test_g711_wav_fuzz_never_escapes_wav_unsupported():
             pass
 
 
+# ------------------------------------------------------- BPE training
+
+
+def _reference_bpe(texts, n_merges, min_freq=2, lowercase=False):
+    """Independent pure-Python Sennrich BPE with the pinned tie-break
+    (count desc, then lexicographic (left, right)) — the cross-check
+    the distributed trainer must match merge-for-merge."""
+    from collections import Counter
+
+    vocab = Counter()
+    for t in texts:
+        if lowercase:
+            t = t.lower()
+        for w in t.split():
+            if w:
+                vocab[tuple(list(w) + ["</w>"])] += 1
+    merges = []
+    for k in range(n_merges):
+        pairs = Counter()
+        for syms, n in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += n
+        if not pairs:
+            break
+        (left, right), freq = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if freq < min_freq:
+            break
+        merges.append((k, left, right, freq))
+        new_vocab = Counter()
+        for syms, n in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] += n
+        vocab = new_vocab
+    return merges
+
+
+_BPE_CORPUS = [
+    "low lower lowest low low",
+    "new newer newest new newer",
+    "wide wider widest wide",
+    "low newer wide lowest",
+    "the newer the lower the wider",
+]
+
+
+def test_bpe_train_matches_reference_merge_for_merge(spark):
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.bpe import (
+        bpe_train,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(_BPE_CORPUS)], "doc_id long, text string"
+    )
+    got = bpe_train(df, n_merges=20, min_freq=2)
+    want = _reference_bpe(_BPE_CORPUS, 20, min_freq=2)
+    assert got == want
+    assert len(got) >= 10  # the corpus genuinely supports many merges
+
+
+def test_bpe_train_min_freq_stops_early(spark):
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.bpe import (
+        bpe_train,
+    )
+
+    df = spark.createDataFrame([(1, "ab cd ef")], "doc_id long, text string")
+    # every pair occurs once: min_freq=2 learns nothing
+    assert bpe_train(df, n_merges=5, min_freq=2) == []
+    with pytest.raises(ValueError):
+        bpe_train(df, n_merges=0)
+
+
+def test_bpe_apply_counts_tokens_with_learned_merges(spark):
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.bpe import (
+        bpe_apply,
+        bpe_segment,
+        bpe_train,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(_BPE_CORPUS)], "doc_id long, text string"
+    )
+    merges = bpe_train(df, n_merges=15, min_freq=2)
+    rows = {r["doc_id"]: r for r in bpe_apply(df, merges).collect()}
+    for i, t in enumerate(_BPE_CORPUS):
+        words = t.split()
+        want = sum(len(bpe_segment(w, merges)) for w in words)
+        assert rows[i]["n_tokens"] == want
+        assert rows[i]["n_words"] == len(words)
+    # more merges => tokens never increase
+    rows0 = {r["doc_id"]: r for r in bpe_apply(df, []).collect()}
+    for i in rows:
+        assert rows[i]["n_tokens"] <= rows0[i]["n_tokens"]
+
+
 # ------------------------------------------- animated-GIF demux (r13)
 
 
