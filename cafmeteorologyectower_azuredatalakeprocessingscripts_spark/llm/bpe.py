@@ -129,6 +129,26 @@ def _apply_merge(words: DataFrame, left: str, right: str) -> DataFrame:
     return words.mapInPandas(run, _WORDS_SCHEMA)
 
 
+def _persistent_rdd_ids(spark) -> set[int]:
+    return {
+        int(x)
+        for x in spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+    }
+
+
+def _release_rdds(spark, ids: set[int]) -> None:
+    """Unpersist localCheckpoint storage by RDD id —
+    ``DataFrame.unpersist`` does NOT release a localCheckpoint, and a
+    training loop must not leak cached blocks into the caller's
+    session (the word table is vocabulary-sized, but sessions are
+    long-lived)."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for rid in ids:
+        rdd = jmap.get(rid)
+        if rdd is not None:
+            rdd.unpersist(False)
+
+
 def bpe_train(
     df: DataFrame,
     text_col: str = "text",
@@ -140,22 +160,39 @@ def bpe_train(
     """Learn up to ``n_merges`` BPE merges from the corpus; returns
     ``[(rank, left, right, freq), ...]`` in merge order. Stops early
     when the best remaining pair's frequency drops below
-    ``min_freq``."""
+    ``min_freq``. All checkpoint storage is released before returning
+    — the session's persistent-RDD set is left exactly as found."""
     if n_merges < 1:
         raise ValueError(f"n_merges must be >= 1, got {n_merges}")
-    words = _word_table(df, text_col, lowercase).localCheckpoint()
-    merges: list[tuple[int, str, str, int]] = []
-    for k in range(n_merges):
-        best = _top_pair(words)
-        if best is None or best[2] < min_freq:
-            break
-        left, right, freq = best
-        merges.append((k, left, right, freq))
-        words = _apply_merge(words, left, right)
-        if (k + 1) % checkpoint_every == 0:
-            # cut the mapInPandas chain before the plan grows with k
-            words = words.localCheckpoint()
-    return merges
+    spark = df.sparkSession
+    outside = _persistent_rdd_ids(spark)
+    held: set[int] = set()
+
+    def checkpoint(frame: DataFrame) -> DataFrame:
+        nonlocal held
+        out = frame.localCheckpoint()  # eager: once this materializes,
+        now = _persistent_rdd_ids(spark) - outside
+        stale = held & now  # ... the older checkpoints are no longer inputs
+        _release_rdds(spark, stale)
+        held = now - stale
+        return out
+
+    try:
+        words = checkpoint(_word_table(df, text_col, lowercase))
+        merges: list[tuple[int, str, str, int]] = []
+        for k in range(n_merges):
+            best = _top_pair(words)
+            if best is None or best[2] < min_freq:
+                break
+            left, right, freq = best
+            merges.append((k, left, right, freq))
+            words = _apply_merge(words, left, right)
+            if (k + 1) % checkpoint_every == 0:
+                # cut the mapInPandas chain before the plan grows
+                words = checkpoint(words)
+        return merges
+    finally:
+        _release_rdds(spark, _persistent_rdd_ids(spark) - outside)
 
 
 def bpe_segment(word: str, merges: list[tuple[int, str, str, int]]) -> list[str]:

@@ -591,6 +591,24 @@ def test_bpe_train_min_freq_stops_early(spark):
         bpe_train(df, n_merges=0)
 
 
+def test_bpe_train_leaves_no_persistent_rdds(spark):
+    """bpe_train localCheckpoints per 8 merges; the storage must be
+    released before returning — a leaked checkpoint polluted the
+    session-wide no-cache assertions of unrelated tests (caught by the
+    full-suite run, invisible in isolation)."""
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.bpe import (
+        bpe_train,
+    )
+
+    spark.catalog.clearCache()
+    before = len(spark.sparkContext._jsc.getPersistentRDDs())
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(_BPE_CORPUS)], "doc_id long, text string"
+    )
+    bpe_train(df, n_merges=12, min_freq=2, checkpoint_every=4)
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == before
+
+
 def test_bpe_apply_counts_tokens_with_learned_merges(spark):
     from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.bpe import (
         bpe_apply,
