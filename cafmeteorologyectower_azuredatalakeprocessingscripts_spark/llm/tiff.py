@@ -23,8 +23,10 @@ back to the digest stub, exactly like ``PngUnsupported`` /
 - PhotometricInterpretation 0 (WhiteIsZero — inverted to gray), 1
   (BlackIsZero — gray), 2 (RGB; SamplesPerPixel 3, or 4 = RGBA with
   an alpha extra sample);
-- strip layout (StripOffsets/StripByteCounts, any RowsPerStrip);
-  tiled TIFFs are refused.
+- strip layout (StripOffsets/StripByteCounts, any RowsPerStrip) OR
+  tiled layout (r13 — TileWidth/TileLength multiples of 16, edge
+  tiles padded per the spec and cropped on assembly; the padded
+  tile grid is bounded by the shared 64MB constant).
 
 Decode output matches :mod:`.png` / :mod:`.bmp`: ``(width, height,
 channels, pixel_bytes)`` row-major top-down, channels interleaved —
@@ -48,8 +50,9 @@ import numpy as np
 
 
 class TiffUnsupported(ValueError):
-    """Payload is not a TIFF this codec handles (bad magic, compressed,
-    tiled, non-8-bit, planar, or corrupt structure)."""
+    """Payload is not a TIFF this codec handles (bad magic,
+    unsupported compression, non-8-bit, planar, or corrupt
+    structure)."""
 
 
 def is_tiff(payload: bytes) -> bool:
@@ -118,8 +121,7 @@ def decode_tiff(payload: bytes) -> tuple[int, int, int, bytes]:
         raise TiffUnsupported(f"predictor={predictor} (only none/horizontal)")
     if one(284, 1) != 1:
         raise TiffUnsupported("planar configuration (only chunky)")
-    if 322 in e or 323 in e:
-        raise TiffUnsupported("tiled layout")
+    tiled = 322 in e or 323 in e
     bits = e.get(258, [8])
     if any(b != 8 for b in bits):
         raise TiffUnsupported(f"bits per sample {bits} (only 8)")
@@ -133,6 +135,58 @@ def decode_tiff(payload: bytes) -> tuple[int, int, int, bytes]:
             raise TiffUnsupported(f"RGB with SamplesPerPixel={spp}")
     else:
         raise TiffUnsupported(f"photometric={photometric}")
+
+    if tiled:
+        # tiled layout (r13 — the GeoTIFF/scanner shape): full-size
+        # tw x th tiles in row-major tile order, edge tiles PADDED to
+        # full size by the writer and cropped here on assembly; the
+        # per-tile decompressors and predictor reuse the strip
+        # machinery with width=tw
+        tw, th = one(322), one(323)
+        toffs, tcnts = e.get(324), e.get(325)
+        if tw <= 0 or th <= 0 or tw % 16 or th % 16:
+            raise TiffUnsupported(f"bad tile geometry {tw}x{th}")
+        across = (width + tw - 1) // tw
+        down = (height + th - 1) // th
+        if (
+            not toffs
+            or not tcnts
+            or len(toffs) != len(tcnts)
+            or len(toffs) != across * down
+        ):
+            raise TiffUnsupported("missing/mismatched tile tables")
+        # padded tile grid is what gets decoded — bound it by the
+        # shared 64MB constant, not the header's say-so
+        if across * down * tw * th * spp > (1 << 26):
+            raise TiffUnsupported("tile grid exceeds the output cap")
+        expected = tw * th * spp
+        out = np.zeros((height, width, spp), dtype=np.uint8)
+        for ti, (off, cnt) in enumerate(zip(toffs, tcnts)):
+            if off + cnt > len(data):
+                raise TiffUnsupported("tile out of bounds")
+            if compression == 32773:
+                tile = _unpackbits(data, off, cnt, expected)
+            elif compression == 5:
+                tile = _unlzw(data, off, cnt, expected)
+            else:
+                if cnt != expected:
+                    raise TiffUnsupported(
+                        f"tile {ti} byte count {cnt} != {expected} expected"
+                    )
+                tile = np.frombuffer(data, dtype=np.uint8, count=cnt, offset=off)
+            tile = tile.reshape(th, tw, spp)
+            if predictor == 2:
+                tile = (
+                    np.cumsum(tile, axis=1, dtype=np.int64) % 256
+                ).astype(np.uint8)
+            y0 = (ti // across) * th
+            x0 = (ti % across) * tw
+            ys, xs = min(th, height - y0), min(tw, width - x0)
+            out[y0 : y0 + ys, x0 : x0 + xs] = tile[:ys, :xs]
+        px = out.reshape(-1)
+        if photometric == 0:  # WhiteIsZero → invert to plain gray
+            px = (255 - px).astype(np.uint8)
+        return width, height, spp, px.tobytes()
 
     offsets = e.get(273)
     counts = e.get(279)
@@ -219,12 +273,16 @@ def encode_tiff(
     pixels: bytes,
     compression: int = 1,
     predictor: int = 1,
+    tile: tuple[int, int] | None = None,
 ) -> bytes:
     """Encode row-major top-down pixels (gray / RGB / RGBA) as a
     minimal little-endian baseline TIFF: one strip, BlackIsZero or
     RGB. ``compression`` 1 (none, the byte-identical default) or 5
     (LZW); ``predictor`` 2 applies horizontal differencing before
-    compression (the pairing real LZW writers use)."""
+    compression (the pairing real LZW writers use). ``tile=(tw, th)``
+    (r13) writes a TILED layout instead of strips — full-size tiles in
+    row-major tile order, edge tiles zero-padded per the spec
+    (tw/th must be multiples of 16)."""
     if channels not in (1, 3, 4):
         raise TiffUnsupported(f"channels={channels}")
     if compression not in (1, 5) or predictor not in (1, 2):
@@ -234,38 +292,92 @@ def encode_tiff(
             f"pixel buffer {len(pixels)} != {width}x{height}x{channels}"
         )
     photometric = 1 if channels == 1 else 2
-    body = bytes(pixels)
-    if predictor == 2:
-        arr = np.frombuffer(body, dtype=np.uint8).reshape(height, width, channels)
-        diff = arr.astype(np.int16)
-        diff[:, 1:, :] -= arr[:, :-1, :].astype(np.int16)
-        body = (diff % 256).astype(np.uint8).tobytes()
-    if compression == 5:
-        body = _lzw_compress(body)
-    # layout: header(8) | pixel strip | bits-per-sample array (if >2
-    # values, stored out-of-line) | IFD
-    strip_off = 8
-    bps_off = strip_off + len(body)
+
+    def _finish(chunk: np.ndarray) -> bytes:
+        """Per-chunk predictor + compression (a chunk = the one strip,
+        or one full-size tile of width tw)."""
+        if predictor == 2:
+            diff = chunk.astype(np.int16)
+            diff[:, 1:, :] -= chunk[:, :-1, :].astype(np.int16)
+            chunk = (diff % 256).astype(np.uint8)
+        body = chunk.tobytes()
+        return _lzw_compress(body) if compression == 5 else body
+
+    arr = np.frombuffer(bytes(pixels), dtype=np.uint8).reshape(
+        height, width, channels
+    )
+    if tile is not None:
+        tw, th = tile
+        if tw <= 0 or th <= 0 or tw % 16 or th % 16:
+            raise TiffUnsupported(f"tile dims must be multiples of 16, got {tw}x{th}")
+        across = (width + tw - 1) // tw
+        down = (height + th - 1) // th
+        chunks = []
+        for ty in range(down):
+            for tx in range(across):
+                t = np.zeros((th, tw, channels), dtype=np.uint8)
+                ys = min(th, height - ty * th)
+                xs = min(tw, width - tx * tw)
+                t[:ys, :xs] = arr[
+                    ty * th : ty * th + ys, tx * tw : tx * tw + xs
+                ]
+                chunks.append(_finish(t))
+    else:
+        chunks = [_finish(arr)]
+
+    # layout: header(8) | chunk bodies | out-of-line arrays | IFD
+    data_off = 8
+    offs, pos = [], data_off
+    for c in chunks:
+        offs.append(pos)
+        pos += len(c)
     bps_inline = channels <= 2
-    ifd_off = bps_off + (0 if bps_inline else 2 * channels)
+    extra = bytearray()
+    extra_off = pos
+
+    def _oolarray(vals: list[int], fmt: str, unit: int) -> int:
+        nonlocal extra
+        at = extra_off + len(extra)
+        extra += struct.pack(f"<{len(vals)}{fmt}", *vals)
+        return at
+
+    bps_val = 8 if bps_inline else _oolarray([8] * channels, "H", 2)
+    n = len(chunks)
+    if n == 1:
+        off_val, cnt_val = offs[0], len(chunks[0])
+    else:
+        off_val = _oolarray(offs, "I", 4)
+        cnt_val = _oolarray([len(c) for c in chunks], "I", 4)
     tags = [
         (256, 4, 1, width),           # ImageWidth
         (257, 4, 1, height),          # ImageLength
-        (258, 3, channels, 8 if bps_inline else bps_off),  # BitsPerSample
+        (258, 3, channels, bps_val),  # BitsPerSample
         (259, 3, 1, compression),     # Compression
         (262, 3, 1, photometric),     # PhotometricInterpretation
-        (273, 4, 1, strip_off),       # StripOffsets
         (277, 3, 1, channels),        # SamplesPerPixel
-        (278, 4, 1, height),          # RowsPerStrip: one strip
-        (279, 4, 1, len(body)),       # StripByteCounts
         (284, 3, 1, 1),               # PlanarConfiguration: chunky
     ]
+    if tile is not None:
+        tags += [
+            (322, 4, 1, tile[0]),     # TileWidth
+            (323, 4, 1, tile[1]),     # TileLength
+            (324, 4, n, off_val),     # TileOffsets
+            (325, 4, n, cnt_val),     # TileByteCounts
+        ]
+    else:
+        tags += [
+            (273, 4, 1, off_val),     # StripOffsets
+            (278, 4, 1, height),      # RowsPerStrip: one strip
+            (279, 4, 1, cnt_val),     # StripByteCounts
+        ]
     if predictor == 2:
         tags.append((317, 3, 1, 2))   # Predictor: horizontal
+    tags.sort()  # IFD entries must be tag-ordered per the spec
+    ifd_off = extra_off + len(extra)
     out = bytearray(b"II*\x00" + struct.pack("<I", ifd_off))
-    out += body
-    if not bps_inline:
-        out += struct.pack(f"<{channels}H", *([8] * channels))
+    for c in chunks:
+        out += c
+    out += extra
     out += struct.pack("<H", len(tags))
     for tag, ftype, count, value in tags:
         if ftype == 3 and count == 1:

@@ -511,6 +511,55 @@ def test_g711_wav_fuzz_never_escapes_wav_unsupported():
             pass
 
 
+# ----------------------------------------------------------- TIFF tiles
+
+
+def test_tiff_tiled_roundtrips_all_compressions():
+    """Tiled layout (GeoTIFF/scanner corpora): full-size tiles, edge
+    tiles padded and cropped, per-tile LZW/predictor — exact for every
+    supported compression; strip output stays byte-identical to r12
+    (frozen-oracle compat, asserted by the unchanged strip tests)."""
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.tiff import (
+        decode_tiff,
+        encode_tiff,
+    )
+
+    rng = np.random.default_rng(33)
+    for ch in (1, 3, 4):
+        for comp, pred in ((1, 1), (5, 1), (5, 2)):
+            img = rng.integers(0, 256, size=(37, 53, ch), dtype=np.uint8)
+            p = encode_tiff(
+                53, 37, ch, img.tobytes(),
+                compression=comp, predictor=pred, tile=(16, 16),
+            )
+            w, h, c, out = decode_tiff(p)
+            got = np.frombuffer(out, np.uint8).reshape(37, 53, ch)
+            assert (w, h, c) == (53, 37, ch)
+            assert (got == img).all(), (ch, comp, pred)
+
+
+def test_tiff_tiled_validation_and_fuzz():
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.tiff import (
+        TiffUnsupported,
+        decode_tiff,
+        encode_tiff,
+    )
+
+    img = np.arange(32 * 32, dtype=np.uint8).reshape(32, 32)
+    with pytest.raises(TiffUnsupported):
+        encode_tiff(32, 32, 1, img.tobytes(), tile=(10, 16))  # not %16
+    base = encode_tiff(32, 32, 1, img.tobytes(), tile=(16, 16), compression=5)
+    rng = np.random.default_rng(331)
+    for _ in range(300):
+        b = bytearray(base)
+        for _ in range(rng.integers(1, 5)):
+            b[rng.integers(4, len(b))] = rng.integers(0, 256)
+        try:
+            decode_tiff(bytes(b))
+        except TiffUnsupported:
+            pass
+
+
 # ------------------------------------------------------- BPE training
 
 
