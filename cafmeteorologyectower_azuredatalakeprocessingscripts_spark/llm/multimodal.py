@@ -34,6 +34,7 @@ from pyspark.sql import types as T
 
 from .bmp import BmpUnsupported, decode_bmp, encode_bmp, is_bmp
 from .gif import GifUnsupported, decode_gif, encode_gif, is_gif
+from .ico import IcoUnsupported, decode_ico, is_ico
 from .jpeg import (
     JpegUnsupported,
     decode_jpeg,
@@ -142,6 +143,12 @@ def _decode_image_batch(payloads: list) -> tuple[list, list]:
                     decoded[j] = decode_gif(p)
                     mimes[j] = "image/gif"
                 except GifUnsupported:
+                    pass
+            elif is_ico(p):
+                try:
+                    decoded[j] = decode_ico(p)
+                    mimes[j] = "image/x-icon"
+                except IcoUnsupported:
                     pass
     return decoded, mimes
 

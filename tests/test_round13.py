@@ -511,6 +511,77 @@ def test_g711_wav_fuzz_never_escapes_wav_unsupported():
             pass
 
 
+# -------------------------------------------------------- ICO container
+
+
+def test_ico_roundtrips_and_routes_in_extract_features(spark):
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.ico import (
+        decode_ico,
+        encode_ico,
+        encode_ico_png,
+    )
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.multimodal import (
+        extract_features,
+    )
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.png import (
+        encode_png,
+    )
+
+    rng = np.random.default_rng(55)
+    for ch in (1, 3, 4):
+        img = rng.integers(0, 256, size=(17, 23, ch), dtype=np.uint8)
+        w, h, c, px = decode_ico(encode_ico(23, 17, ch, img.tobytes()))
+        assert (w, h, c) == (23, 17, ch)
+        assert (np.frombuffer(px, np.uint8).reshape(17, 23, ch) == img).all()
+    # PNG entry route
+    g = rng.integers(0, 256, size=(16, 16), dtype=np.uint8)
+    pico = encode_ico_png(encode_png(16, 16, 1, g.tobytes()), 16, 16)
+    w, h, c, px = decode_ico(pico)
+    assert (w, h, c, px) == (16, 16, 1, g.tobytes())
+    # extract_features routing emits pixel columns for ICO payloads
+    df = spark.createDataFrame(
+        [(1, bytearray(pico), {"mime": "image/x-icon"})],
+        "doc_id long, payload binary, meta map<string,string>",
+    )
+    row = extract_features(df).collect()[0]
+    assert (row["width"], row["height"], row["channels"]) == (16, 16, 1)
+    assert row["pixel_sum"] == int(g.astype(np.int64).sum())
+
+
+def test_ico_largest_entry_selection_and_fuzz():
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.ico import (
+        IcoUnsupported,
+        decode_ico,
+        encode_ico,
+    )
+
+    rng = np.random.default_rng(551)
+    small = rng.integers(0, 256, size=(8, 8), dtype=np.uint8)
+    big = rng.integers(0, 256, size=(24, 24), dtype=np.uint8)
+    # hand-build a two-entry directory from two single-entry icos
+    a = encode_ico(8, 8, 1, small.tobytes())
+    b = encode_ico(24, 24, 1, big.tobytes())
+    body_a, body_b = a[22:], b[22:]
+    off_a = 6 + 32
+    off_b = off_a + len(body_a)
+    import struct as st
+
+    ent = st.pack("<BBBBHHII", 8, 8, 0, 0, 1, 8, len(body_a), off_a)
+    ent += st.pack("<BBBBHHII", 24, 24, 0, 0, 1, 8, len(body_b), off_b)
+    two = b"\x00\x00\x01\x00\x02\x00" + ent + body_a + body_b
+    w, h, c, px = decode_ico(two)
+    assert (w, h) == (24, 24)  # the LARGER entry wins
+    assert (np.frombuffer(px, np.uint8).reshape(24, 24) == big).all()
+    for _ in range(300):
+        m = bytearray(two)
+        for _ in range(rng.integers(1, 5)):
+            m[rng.integers(4, len(m))] = rng.integers(0, 256)
+        try:
+            decode_ico(bytes(m))
+        except IcoUnsupported:
+            pass
+
+
 # ----------------------------------------------------------- TIFF tiles
 
 
