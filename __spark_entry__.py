@@ -898,7 +898,10 @@ def q_multimodal_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpora carry — with the codepoints stored AS the 8-bit codes.
     The decoder expands them to 16-bit linear and the oracle replays
     the closed-form G.711 segment expansion from the text (same
-    no-registry-growth fold as the float path)."""
+    no-registry-growth fold as the float path). Docs with
+    doc_id % 8 == 3 are 16-bit big-endian AIFF (r13) with the same
+    codepoint samples — sums replay unchanged, bits flips to 16,
+    proving the AIFF chunk walk + 80-bit extended rate parse."""
     from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.multimodal import (
         extract_audio_features,
         text_to_wav_payload,
@@ -906,7 +909,7 @@ def q_multimodal_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = T(spark, sf_dir, "documents")
     feats = extract_audio_features(
-        text_to_wav_payload(d, "text", float_every=4, g711=True)
+        text_to_wav_payload(d, "text", float_every=4, g711=True, aiff=True)
     )
     return feats.select(
         "doc_id", "sample_rate", "channels", "bits", "n_frames",

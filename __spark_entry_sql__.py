@@ -842,7 +842,8 @@ WITH base AS (
   FROM base
 )
 SELECT doc_id, 8000 AS sample_rate, 1 AS channels,
-       CASE WHEN doc_id % 4 = 0 THEN 32 ELSE 8 END AS bits,
+       CASE WHEN doc_id % 4 = 0 THEN 32
+            WHEN doc_id % 8 = 3 THEN 16 ELSE 8 END AS bits,
        CAST(64 AS BIGINT) AS n_frames,
        64 * 1000.0 / 8000 AS duration_ms,
        CAST(list_sum(lv) AS BIGINT) AS sample_sum,

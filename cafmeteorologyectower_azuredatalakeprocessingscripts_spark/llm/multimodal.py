@@ -34,6 +34,7 @@ from pyspark.sql import types as T
 
 from .bmp import BmpUnsupported, decode_bmp, encode_bmp, is_bmp
 from .gif import GifUnsupported, decode_gif, encode_gif, is_gif
+from .aiff import AiffUnsupported, decode_aiff, encode_aiff, is_aiff
 from .ico import IcoUnsupported, decode_ico, is_ico
 from .jpeg import (
     JpegUnsupported,
@@ -256,6 +257,11 @@ def extract_audio_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                         dec = decode_wav(b)
                     except WavUnsupported:
                         pass
+                elif is_aiff(b):
+                    try:
+                        dec = decode_aiff(b)
+                    except AiffUnsupported:
+                        pass
                 if dec is None:
                     for k in (
                         "sample_rate", "channels", "bits", "n_frames",
@@ -303,6 +309,7 @@ def text_to_wav_payload(
     id_col: str = "doc_id",
     float_every: int | None = None,
     g711: bool = False,
+    aiff: bool = False,
 ) -> DataFrame:
     """Deterministic audio synthesis for fixtures and oracle replay —
     the WAV twin of :func:`_text_to_image_payload`: an 8-bit mono PCM
@@ -327,7 +334,13 @@ def text_to_wav_payload(
     ``doc_id % 4 == 2`` as A-LAW (format 6), the codepoints stored AS
     the 8-bit codes — the decoder expands them to 16-bit linear, and
     the oracle replays the closed-form G.711 segment expansion from
-    the text, so the telephony decode path is value-hash-checked."""
+    the text, so the telephony decode path is value-hash-checked.
+
+    With ``aiff=True`` (r13), docs with ``doc_id % 8 == 3`` become
+    16-bit big-endian AIFF files with the SAME codepoint sample
+    values — the sums replay unchanged and only the ``bits`` column
+    (16) marks them, proving the AIFF chunk walk + 80-bit-extended
+    rate parse inside the existing green row."""
     df = df.select(id_col, src_col)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -351,6 +364,13 @@ def text_to_wav_payload(
                         encode_wav_g711(
                             sample_rate, 1,
                             "ulaw" if int(i) % 4 == 1 else "alaw", vals,
+                        )
+                    )
+                    continue
+                if aiff and int(i) % 8 == 3:
+                    payloads.append(
+                        encode_aiff(
+                            sample_rate, 1, 16, vals.astype(np.int16)
                         )
                     )
                     continue

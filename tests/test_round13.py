@@ -511,6 +511,72 @@ def test_g711_wav_fuzz_never_escapes_wav_unsupported():
             pass
 
 
+# ----------------------------------------------------------- AIFF audio
+
+
+def test_aiff_matches_stdlib_aifc_reference():
+    """Roundtrips at 8/16/32-bit checked against CPython's aifc module
+    (an independent AIFF implementation); 24-bit and AIFC/sowt
+    (little-endian) roundtrip through our codec; AIFF 8-bit is SIGNED
+    (unlike WAV)."""
+    import io
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        import aifc
+
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.aiff import (
+        decode_aiff,
+        encode_aiff,
+    )
+
+    rng = np.random.default_rng(61)
+    for bits, dt in ((8, np.int8), (16, ">i2"), (32, ">i4")):
+        lo, hi = -(2 ** (bits - 1)), 2 ** (bits - 1) - 1
+        s = rng.integers(lo, hi + 1, size=(50, 2), dtype=np.int64)
+        p = encode_aiff(44100, 2, bits, s)
+        r, ch, b, got = decode_aiff(p)
+        assert (r, ch, b) == (44100, 2, bits) and (got == s).all()
+        f = aifc.open(io.BytesIO(p))
+        assert (f.getframerate(), f.getnchannels(), f.getsampwidth()) == (
+            44100, 2, bits // 8,
+        )
+        ref = np.frombuffer(f.readframes(50), dt).astype(np.int64).reshape(50, 2)
+        assert (ref == s).all()
+    s24 = rng.integers(-(2 ** 23), 2 ** 23, size=(33, 1), dtype=np.int64)
+    _r, _c, _b, got = decode_aiff(encode_aiff(8000, 1, 24, s24))
+    assert (got.reshape(-1) == s24.reshape(-1)).all()
+    p = encode_aiff(8000, 1, 16, s24 >> 8, sowt=True)
+    assert aifc.open(io.BytesIO(p)).getcomptype() == b"sowt"
+    _r, _c, _b, got = decode_aiff(p)
+    assert (got.reshape(-1) == (s24 >> 8).reshape(-1)).all()
+
+
+def test_aiff_validation_and_fuzz():
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.aiff import (
+        AiffUnsupported,
+        decode_aiff,
+        encode_aiff,
+    )
+
+    base = encode_aiff(8000, 1, 16, np.arange(64, dtype=np.int16))
+    # an AIFC compression id other than NONE/sowt is refused
+    comp = encode_aiff(8000, 1, 16, np.arange(64, dtype=np.int16), sowt=True)
+    bad = comp.replace(b"sowt", b"ima4")
+    with pytest.raises(AiffUnsupported):
+        decode_aiff(bad)
+    rng = np.random.default_rng(611)
+    for _ in range(300):
+        b = bytearray(base)
+        for _ in range(rng.integers(1, 5)):
+            b[rng.integers(0, len(b))] = rng.integers(0, 256)
+        try:
+            decode_aiff(bytes(b))
+        except AiffUnsupported:
+            pass
+
+
 # -------------------------------------------------------- ICO container
 
 
