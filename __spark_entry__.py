@@ -1871,17 +1871,19 @@ def q_charlm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tokenizer-coverage check (llm/text.oov_rate): per-doc OOV token
-    fraction against the corpus top-256 vocabulary (vocab_top_terms) —
-    the vocab side broadcasts, the corpus side is one explode + one
-    doc-keyed agg. Composes two operators in one lazy plan."""
+    """Tokenizer-coverage check (llm/text.oov_rate_against_top): per-doc
+    OOV token fraction against the corpus top-256 vocabulary. The fused
+    form — vocab build and probe side share one per-(doc, term) count
+    exchange via ReuseExchange, so the corpus tokenizes ONCE (the naive
+    oov_rate(d, vocab_top_terms(d)) composition scanned it twice;
+    flagged at 2.31x in r13 bench triage)."""
     from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.text import (
-        oov_rate,
-        vocab_top_terms,
+        oov_rate_against_top,
     )
 
-    d = T(spark, sf_dir, "documents")
-    return oov_rate(d, vocab_top_terms(d, k=_OOV_VOCAB_K))
+    return oov_rate_against_top(
+        T(spark, sf_dir, "documents"), k=_OOV_VOCAB_K
+    )
 
 
 def q_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -266,27 +266,66 @@ def jaccard_pairs(
     frame (e.g. ``minhash_signatures(with_sizes=True)``) instead of
     re-aggregating the shingle table here.
     """
+    # No .cache() on the internal shingle table: a lazy cache built here
+    # materializes when the CALLER executes the result and then lives
+    # until session teardown — a library op must not accrete storage it
+    # can never release (the r13 BPE-checkpoint lesson). Instead of
+    # caching to feed three consumers (sizes / index a / index b), the
+    # sizes pass is eliminated outright: set sizes ride the index as a
+    # window column over the doc partitioning the shingle table already
+    # has (a local sort, no exchange, no sizes joins). The self-join
+    # then has two consumers of the shingle pipeline; under AQE's
+    # broadcast self-join each side evaluates it once, which interleaved
+    # mins measured at the SAME wall-clock as the old cached form
+    # (ADJUDICATE_r14 'jaccard_variants': window 1.53s == cache 1.53s
+    # at sf0.1 — the saved sizes pass pays for the second evaluation).
     sh = (
         shingles_df
         if shingles_df is not None
-        else shingles(df, text_col, id_col, n).cache()
+        else shingles(df, text_col, id_col, n)
     )
-    sizes = (
-        sizes_df.select("id", "n_sh")
-        if sizes_df is not None
-        else sh.groupBy("id").agg(F.count("*").alias("n_sh"))
-    )
-    index = sh
-    if candidates is None and max_doc_freq is not None:
-        rare = (
-            sh.groupBy("sh_h")
-            .agg(F.count("*").alias("__df"))
-            .filter(F.col("__df") <= max_doc_freq)
-            .select("sh_h")
+    if sizes_df is not None:
+        # caller supplied a precomputed (and caller-owned) sizes frame —
+        # attach by join at the end, as before
+        sizes = sizes_df.select("id", "n_sh")
+        index = sh
+    else:
+        # n_sh attaches WHERE THE ROWS ALREADY ARE: count over the doc
+        # partition (the shingle table is doc-partitioned by
+        # construction, so this window adds a local sort, not a shuffle)
+        sizes = None
+        index = sh.withColumn(
+            "n_sh", F.count("*").over(Window.partitionBy("id"))
         )
-        index = sh.join(rare, "sh_h")
-    a = index.select(F.col("id").alias("id_a"), "sh_h")
-    b = index.select(F.col("id").alias("id_b"), "sh_h")
+    if candidates is None and max_doc_freq is not None:
+        # document-frequency cap as a window over the shingle partition:
+        # the count-over-sh_h exchange doubles as the self-join's
+        # partitioning (join keys = sh_h), so the cap costs no extra
+        # shuffle. n_sh is attached BEFORE this filter — reported sizes
+        # are the full set sizes, matching the oracle.
+        index = (
+            index.withColumn(
+                "__df", F.count("*").over(Window.partitionBy("sh_h"))
+            )
+            .filter(F.col("__df") <= max_doc_freq)
+            .drop("__df")
+        )
+    # (An explicit repartition(sh_h) boundary here — to guarantee the
+    # self-join sides share one materialized exchange — was probed and
+    # REJECTED: it demotes AQE's broadcast self-join to a sort-merge /
+    # shuffled-hash join and measured 2.7-6x slower at sf0.1. The
+    # broadcast plan recomputes the shingle pipeline once per side, but
+    # interleaved mins show that costs the same wall-clock as the old
+    # cached form — ADJUDICATE_r14 'jaccard_variants'.)
+    keep_a = ["sh_h"] if sizes is not None else ["sh_h", F.col("n_sh").alias("n_a")]
+    keep_b = ["sh_h"] if sizes is not None else ["sh_h", F.col("n_sh").alias("n_b")]
+    a = index.select(F.col("id").alias("id_a"), *keep_a)
+    b = index.select(F.col("id").alias("id_b"), *keep_b)
+    size_aggs = (
+        []
+        if sizes is not None
+        else [F.min("n_a").alias("n_a"), F.min("n_b").alias("n_b")]
+    )
     if candidates is not None:
         # verify ONLY the candidate pairs: attach each side's shingles to
         # the pair and count matches — the join fan-out is bounded by
@@ -295,19 +334,23 @@ def jaccard_pairs(
             candidates.join(a, "id_a")
             .join(b, ["id_b", "sh_h"])
             .groupBy("id_a", "id_b")
-            .agg(F.count("*").alias("n_inter"))
+            .agg(F.count("*").alias("n_inter"), *size_aggs)
         )
     else:
         inter = (
             a.join(b, "sh_h")
             .filter(F.col("id_a") < F.col("id_b"))
             .groupBy("id_a", "id_b")
-            .agg(F.count("*").alias("n_inter"))
+            .agg(F.count("*").alias("n_inter"), *size_aggs)
+        )
+    if sizes is not None:
+        inter = inter.join(
+            sizes.withColumnsRenamed({"id": "id_a", "n_sh": "n_a"}), "id_a"
+        ).join(
+            sizes.withColumnsRenamed({"id": "id_b", "n_sh": "n_b"}), "id_b"
         )
     out = (
-        inter.join(sizes.withColumnsRenamed({"id": "id_a", "n_sh": "n_a"}), "id_a")
-        .join(sizes.withColumnsRenamed({"id": "id_b", "n_sh": "n_b"}), "id_b")
-        .withColumn(
+        inter.withColumn(
             "jaccard",
             F.round(
                 F.col("n_inter")
@@ -422,6 +465,7 @@ def incremental_dedup(
     bands: int = LSH_BANDS,
     rows: int = LSH_ROWS,
     threshold: float = 0.1,
+    cache_out: list | None = None,
 ) -> DataFrame:
     """Surviving NEW documents after deduplicating against an existing
     corpus — the daily-refresh shape at 100 TB, where base ≫ new and a
@@ -439,33 +483,52 @@ def incremental_dedup(
     New-vs-new duplicates are deliberately untouched (run the
     within-corpus operators for that); ids must be unique across both
     inputs.
+
+    Storage lifecycle: by default nothing is persisted — the shared
+    intermediates (exact-surviving new docs, per-side shingle tables
+    and signatures) appear in several subtrees of the one returned
+    plan, and their duplicated evaluation is the price of leaving the
+    caller's session storage untouched (a library op cannot release a
+    cache feeding a still-lazy result; the r13 BPE-checkpoint lesson).
+    Callers at scale can pass ``cache_out=[]`` to persist those five
+    intermediates and unpersist them EXPLICITLY after consuming the
+    result: ``[f.unpersist() for f in cache_out]`` — same contract as
+    ``similarity.semdedup(cells_out=...)``. On a 100 TB daily refresh
+    the right materialization is usually a parquet checkpoint of
+    ``new_exact`` anyway, not executor memory.
     """
+
+    def _shared(frame: DataFrame) -> DataFrame:
+        if cache_out is None:
+            return frame
+        frame = frame.persist()
+        cache_out.append(frame)
+        return frame
     base_fps = base_df.select(
         fingerprint_md5(text_col).alias("__fp")
     ).distinct()
-    # cached: feeds BOTH the near-dup shingle build and the final
-    # anti-join — un-persisted, the exact-dedup anti join (and the base
-    # fingerprint distinct under it) executes twice
-    new_exact = (
+    # feeds BOTH the near-dup shingle build and the final anti-join;
+    # persisted only under a caller-owned cache_out handle (see
+    # docstring — default is leak-free, recompute-tolerant)
+    new_exact = _shared(
         new_df.withColumn("__fp", fingerprint_md5(text_col))
         .join(base_fps, "__fp", "left_anti")
         .drop("__fp")
-        .cache()
     )
-    sh_new = shingles(new_exact, text_col, id_col, n).cache()
-    sh_base = shingles(base_df, text_col, id_col, n).cache()
+    sh_new = _shared(shingles(new_exact, text_col, id_col, n))
+    sh_base = _shared(shingles(base_df, text_col, id_col, n))
     # r8 exchange diet (VERDICT r7 #8), same moves as minhash_lsh_pairs:
     # set sizes fold into the signature aggregates (no separate sizes
     # groupBy over the union shingle table), the cross-bucket candidate
     # dedup rides the id_a partitioning the verify join needs (lag
     # window, not pair-key distinct), and the final drop set skips its
     # distinct — a left-anti join is insensitive to duplicate build keys
-    sig_new = minhash_signatures(
+    sig_new = _shared(minhash_signatures(
         new_exact, text_col, id_col, bands * rows, n, sh_new, with_sizes=True
-    ).cache()
-    sig_base = minhash_signatures(
+    ))
+    sig_base = _shared(minhash_signatures(
         base_df, text_col, id_col, bands * rows, n, sh_base, with_sizes=True
-    ).cache()
+    ))
     bn = lsh_buckets(sig_new.drop("n_sh"), bands, rows).select(
         F.col("id").alias("id_a"), "band", "bucket"
     )

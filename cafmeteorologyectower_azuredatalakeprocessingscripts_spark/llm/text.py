@@ -238,6 +238,80 @@ def oov_rate(
     )
 
 
+def oov_rate_against_top(
+    df,
+    k: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Fused form of ``oov_rate(df, vocab_top_terms(df, k))`` — same
+    result, ONE corpus tokenization instead of two.
+
+    Composing the two operators naively pays the heavy scan+explode
+    twice: once inside the broadcast build (vocab) and once on the
+    probe side. Here both branches consume the SAME per-(doc, term)
+    count table, whose producing shuffle exchange is structurally
+    identical in the two subtrees — Spark's ReuseExchange rule dedupes
+    it into one ``ReusedExchange``, so the tokenize/explode/partial-agg
+    runs once and the vocab branch reads the shuffle output a second
+    time for free (verified in the physical plan; a regression test
+    pins the ReusedExchange node).
+
+    Exchange census: one doc-keyed repartition (reused by both
+    branches; the per-doc final agg is exchange-free on top of it), one
+    term-keyed agg feeding TakeOrderedAndProject for the top-k, one
+    broadcast of the k-row vocab. n_tok/n_oov aggregate the per-term
+    counts (``sum(c)``) instead of re-counting token occurrences —
+    bitwise-identical results, shuffle bytes ∝ docs·distinct-terms.
+    """
+    # the explicit isNotNull(id) matters: the probe branch's final join
+    # pushes an isnotnull(id) filter into ITS copy of the scan, and a
+    # filter present on one subtree but not the other breaks sameResult
+    # — no ReusedExchange, corpus scanned twice. Pre-filtering the
+    # SHARED source puts the same filter in both subtrees. (Semantics:
+    # a null-id doc can't appear in the keyed output; this also keeps
+    # its tokens out of the vocab, which the two-op composition would
+    # count — ids are the table PK, so the case is vacuous.)
+    t = (
+        repartition_pinned(
+            df.filter(F.col(id_col).isNotNull()), F.col(id_col)
+        )
+        .select(
+            F.col(id_col),
+            F.explode(F.split(norm_text(text_col), " ")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    per_doc_term = t.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("c"))
+    vocab = (
+        per_doc_term.groupBy("term")
+        .agg(F.sum("c").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("term").asc())
+        .limit(k)
+        .select("term")
+    )
+    marked = per_doc_term.join(
+        F.broadcast(vocab.withColumn("in_v", F.lit(1))), "term", "left"
+    )
+    per_doc = marked.groupBy(id_col).agg(
+        F.sum("c").alias("n_tok"),
+        F.sum(
+            F.when(F.col("in_v").isNull(), F.col("c")).otherwise(0)
+        ).alias("n_oov"),
+    )
+    return df.select(id_col).join(per_doc, id_col, "left").select(
+        id_col,
+        F.coalesce("n_tok", F.lit(0)).cast("bigint").alias("n_tok"),
+        F.coalesce("n_oov", F.lit(0)).cast("bigint").alias("n_oov"),
+        F.round(
+            F.coalesce(
+                F.col("n_oov") / F.col("n_tok").cast("double"), F.lit(0.0)
+            ),
+            6,
+        ).alias("oov_rate"),
+    )
+
+
 # control chars (C0/C1, EXCLUDING \t\n\r which are whitespace and
 # belong to the collapse step, not deletion) + zero-width
 # space/joiners + BOM — the classes web-crawl text pipelines strip

@@ -1,0 +1,130 @@
+"""Round-14 tests: VERDICT r13 worklist — the fused OOV plan (#1), the
+jaccard_pairs shingle-cache leak (#3), the BPE oracle promotion (#2) —
+and the ADVICE r13 items (JPEG entropy-word memory cap, ICO entry
+fallback, BPE dead pre-explode filter)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "pack my box with five dozen liquor jugs"),
+            (4, "sphinx of black quartz judge my vow"),
+            (5, ""),
+            (6, "the the the quick quick zebra"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+# ------------------------------------------------ VERDICT r13 #1: oov fusion
+
+
+def test_oov_fused_matches_two_op_composition(spark):
+    """oov_rate_against_top must equal oov_rate(d, vocab_top_terms(d, k))
+    row-for-row — the fusion is a plan change, not a semantics change."""
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.text import (
+        oov_rate,
+        oov_rate_against_top,
+        vocab_top_terms,
+    )
+
+    d = _docs(spark)
+    for k in (3, 5, 100):
+        old = {tuple(r) for r in oov_rate(d, vocab_top_terms(d, k=k)).collect()}
+        new = {tuple(r) for r in oov_rate_against_top(d, k=k).collect()}
+        assert new == old
+
+
+def test_oov_fused_plan_reuses_corpus_exchange(spark):
+    """The point of the fusion: the vocab build and the probe side share
+    ONE per-(doc, term) exchange. Pin the ReusedExchange node in the
+    final adaptive plan (read through collect() on the SAME
+    QueryExecution — df.write spawns a separate one that never runs,
+    which false-aborted the first adjudication run)."""
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.text import (
+        oov_rate_against_top,
+    )
+
+    out = oov_rate_against_top(_docs(spark), k=4)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ReusedExchange") >= 1, plan
+
+
+# --------------------------------------- VERDICT r13 #3: shingle cache leak
+
+
+def test_jaccard_pairs_leaves_no_persistent_rdds(spark):
+    """jaccard_pairs' internal shingle table must not leak cached RDDs
+    into the caller's session (the class of bug the r13 BPE fix closed:
+    library ops own their storage). The shared-subtree dedup now rides
+    ReuseExchange instead of a session-lifetime cache."""
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.dedup import (
+        jaccard_pairs,
+    )
+
+    sc = spark.sparkContext
+    before = len(sc._jsc.getPersistentRDDs())
+    jaccard_pairs(_docs(spark), n=2, threshold=0.1).collect()
+    jaccard_pairs(
+        _docs(spark), n=2, threshold=0.1, max_doc_freq=3
+    ).collect()
+    assert len(sc._jsc.getPersistentRDDs()) == before
+
+
+def test_incremental_dedup_leaves_no_persistent_rdds(spark):
+    """Same contract for incremental_dedup, the other dedup entry point
+    that cached internally: materialize the result, then the session's
+    persistent-RDD set must be exactly as found."""
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.dedup import (
+        incremental_dedup,
+    )
+
+    base = _docs(spark).filter(F.col("doc_id") <= 3)
+    new = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog"),
+            (11, "an entirely novel document about spark plans"),
+        ],
+        "doc_id long, text string",
+    )
+    sc = spark.sparkContext
+    before = len(sc._jsc.getPersistentRDDs())
+    incremental_dedup(new, base).collect()
+    assert len(sc._jsc.getPersistentRDDs()) == before
+
+
+def test_incremental_dedup_cache_out_handle(spark):
+    """cache_out=[] is the opt-in: intermediates persist during the run
+    and the CALLER releases them — after unpersisting every handle the
+    session is clean again, and results match the cache-free default."""
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.dedup import (
+        incremental_dedup,
+    )
+
+    base = _docs(spark).filter(F.col("doc_id") <= 3)
+    new = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog"),
+            (11, "an entirely novel document about spark plans"),
+        ],
+        "doc_id long, text string",
+    )
+    sc = spark.sparkContext
+    before = len(sc._jsc.getPersistentRDDs())
+    expected = {r["doc_id"] for r in incremental_dedup(new, base).collect()}
+    handles: list = []
+    got = {
+        r["doc_id"]
+        for r in incremental_dedup(new, base, cache_out=handles).collect()
+    }
+    assert got == expected
+    assert len(handles) == 5
+    for f in handles:
+        f.unpersist()
+    assert len(sc._jsc.getPersistentRDDs()) == before
