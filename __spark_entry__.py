@@ -2834,6 +2834,31 @@ def q_percentile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training behind the hash gate (r14,
+    VERDICT r13 #2): the first _BPE_MERGES_Q merges learned from the
+    documents corpus — (rank, left, right, freq) in merge order. The
+    training loop (llm/bpe.bpe_train) is iterative with a driver-side
+    scalar per round, so the query runs it eagerly and returns the
+    merge table as a DataFrame (vocabulary-sized by construction). The
+    oracle replays the SAME greedy loop unrolled in SQL — see
+    _bpe_train_sql's double-delimiter replace() encoding — so a green
+    row pins pair counting (overlapping-adjacent, word-frequency
+    weighted), the (freq DESC, left, right) tie-break, AND the
+    non-overlapping left-to-right merge application, merge for merge.
+    min_freq=1 so neither side can early-stop divergently."""
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.bpe import (
+        bpe_train,
+    )
+
+    merges = bpe_train(
+        T(spark, sf_dir, "documents"), n_merges=_BPE_MERGES_Q, min_freq=1
+    )
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, freq bigint"
+    )
+
+
 # ORDER MATTERS: the driver's correctness gate evaluates at most ~50
 # entries per round (r2 and r3 both stopped at exactly 50), so the
 # rotation policy is: no query goes more than 2 rounds without a driver
@@ -2845,61 +2870,60 @@ def q_percentile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
 # oldest 41 of the r7-green cohort; 51-59 = the 9 r7-greens that don't
 # fit the cap (re-verified locally in CORRECTNESS_LOCAL_r09.json, first
 # claim on r10 slots); 60-109 = driver-green in r8.
-_R13_ORDER = [
-    # r13 rotation (116 entries; registry grew 115 -> 116: the ONE
-    # genuine-gap addition VERDICT r12 #1 mandated —
-    # multimodal_gif_frames puts the animated-GIF demux behind the
-    # hash gate; otherwise FROZEN per #6). Exactly
-    # `tools/rotation_debt.py --suggest` order (VERDICT r12 #4), the
-    # new query leading:
+_R14_ORDER = [
+    # r14 rotation (117 entries; registry grew 116 -> 117: the ONE
+    # genuine-gap addition VERDICT r13 #2 mandated — bpe_train_merges
+    # puts distributed BPE training behind the hash gate; otherwise
+    # FROZEN per the standing rule). Exactly
+    # `tools/rotation_debt.py --suggest` order (stalest first,
+    # registry-order tiebreak), the new query leading:
     # ---- 1: NEW this round (first driver row in its first round).
-    # ---- 2-15: the 14 entries whose newest driver row is r10 (the
-    # SLA ceiling — 2 rounds stale; the exact cohort VERDICT r12 #4
-    # listed: bm25_topk, exact_quantiles, topk_per_group, ...).
-    # ---- 16-50: the oldest of the r11-green cohort.
-    # ---- 51-65: r11-greens past the cap — re-verify locally in
-    # CORRECTNESS_LOCAL_r13.json, first claim on r14 slots.
-    # ---- 66-116: driver-green in r12 (CORRECTNESS_r12 50/50), due
-    # r14.
-    "multimodal_gif_frames", "bm25_topk", "exact_quantiles",
-    "topk_per_group", "zorder_layout_key", "intersect_active_users",
-    "chunk_documents", "charlm_quality", "oov_rate",
-    "dedup_levenshtein_pairs", "corpus_cube_stats", "rolling_despike",
-    "dedup_span_corpus", "c4_line_filter", "vocab_top_terms",
-    "incremental_corpus_dedup", "multimodal_wav_features", "embed_cosine_topk",
-    "embed_neardup_blocked", "embed_neardup_clusters", "multimodal_features",
-    "multimodal_frames", "ann_lsh_topk", "ann_ivf_kmeans_topk",
-    "stream_incremental_dedup", "stream_windowed_agg", "stream_keep_richest_state",
-    "stream_corpus_dedup", "except_churned_users", "hard_negatives",
-    "sliding_window_counts", "html_strip", "json_props_extract",
-    "text_repetition_family", "dedup_clusters", "embed_neardup",
-    "ann_ivf_topk", "stream_interval_join", "dedup_simhash128_pairs",
-    "state_durations", "flatline_runs", "stream_interval_join_left",
-    "ann_recall_report", "multimodal_png_pixels", "sessionize",
-    "range_join_windows", "flagship_tower_pipeline", "flagship_partitioned",
-    "toa5_roundtrip", "sink_roundtrip", "dedup_keep_richest",
-    "gapfill_spine", "lag_spike_qc", "day_flatline_qc",
-    "flag_strings", "bounds_filtered", "wateryear_rollup",
-    "union_overlap_dedup", "mslp_barometric", "latest_per_user",
-    "anti_join_processed", "rollup_summary", "type_summary_stats",
-    "embed_label_centroids", "pivot_daily_counts", "session_window_native",
-    "multimodal_jpeg_pixels", "multimodal_gif_pixels", "null_profile",
-    "last10d_window", "pricing_summary", "top_revenue",
-    "text_stats", "text_lang_id", "text_fingerprint",
-    "text_tfidf_topk", "dedup_ngram_jaccard", "dedup_minhash_lsh",
-    "dedup_exact", "salted_skew_join", "training_data_pipeline",
-    "asof_join_checkpoint", "sketch_accuracy", "train_val_test_split",
-    "corpus_curation", "text_entropy", "decontaminate_ngrams",
-    "sample_shard_pack", "redact_pii", "dedup_simhash",
-    "dedup_simhash64", "multimodal_bmp_pixels", "multimodal_tiff_pixels",
-    "dedup_ngram_jaccard_capped", "text_repetition", "dedup_simhash_pairs",
-    "dedup_simhash64_pairs", "interpolate_linear", "stream_dedup_within_wm",
-    "variant_props_extract", "ann_ivf_arrow_recall", "flagship_interpolated",
-    "forward_fill_locf", "scd2_history", "percentile_norm",
-    "cusum_level_shift", "sample_per_group", "winsorize_values",
-    "climatology_anomaly", "semantic_dedup", "soft_dedup_weights",
-    "temperature_mix", "unicode_scrub", "token_compression",
-    "trend_slope_qc", "unpivot_profile",
+    # ---- 2-17: the 16 entries whose newest driver row is r11 (the
+    # SLA ceiling — 2 rounds stale: dedup_keep_richest ...
+    # session_window_native).
+    # ---- 18-67: the r12-green cohort (1 round stale).
+    # ---- 68-117: driver-green in r13 (CORRECTNESS_r13 50/50), due
+    # r15. Positions past the ~50 cap are re-verified locally in
+    # CORRECTNESS_LOCAL_r14.json.
+    "bpe_train_merges", "dedup_keep_richest", "gapfill_spine",
+    "lag_spike_qc", "day_flatline_qc", "flag_strings",
+    "bounds_filtered", "wateryear_rollup", "union_overlap_dedup",
+    "mslp_barometric", "latest_per_user", "anti_join_processed",
+    "rollup_summary", "type_summary_stats", "embed_label_centroids",
+    "pivot_daily_counts", "session_window_native", "multimodal_jpeg_pixels",
+    "multimodal_gif_pixels", "null_profile", "last10d_window",
+    "pricing_summary", "top_revenue", "text_stats",
+    "text_lang_id", "text_fingerprint", "text_tfidf_topk",
+    "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_exact",
+    "salted_skew_join", "training_data_pipeline", "asof_join_checkpoint",
+    "sketch_accuracy", "train_val_test_split", "corpus_curation",
+    "text_entropy", "decontaminate_ngrams", "sample_shard_pack",
+    "redact_pii", "dedup_simhash", "dedup_simhash64",
+    "multimodal_bmp_pixels", "multimodal_tiff_pixels", "dedup_ngram_jaccard_capped",
+    "text_repetition", "dedup_simhash_pairs", "dedup_simhash64_pairs",
+    "interpolate_linear", "stream_dedup_within_wm", "variant_props_extract",
+    "ann_ivf_arrow_recall", "flagship_interpolated", "forward_fill_locf",
+    "scd2_history", "percentile_norm", "cusum_level_shift",
+    "sample_per_group", "winsorize_values", "climatology_anomaly",
+    "semantic_dedup", "soft_dedup_weights", "temperature_mix",
+    "unicode_scrub", "token_compression", "trend_slope_qc",
+    "unpivot_profile", "multimodal_gif_frames", "bm25_topk",
+    "exact_quantiles", "topk_per_group", "zorder_layout_key",
+    "intersect_active_users", "chunk_documents", "charlm_quality",
+    "oov_rate", "dedup_levenshtein_pairs", "corpus_cube_stats",
+    "rolling_despike", "dedup_span_corpus", "c4_line_filter",
+    "vocab_top_terms", "incremental_corpus_dedup", "multimodal_wav_features",
+    "embed_cosine_topk", "embed_neardup_blocked", "embed_neardup_clusters",
+    "multimodal_features", "multimodal_frames", "ann_lsh_topk",
+    "ann_ivf_kmeans_topk", "stream_incremental_dedup", "stream_windowed_agg",
+    "stream_keep_richest_state", "stream_corpus_dedup", "except_churned_users",
+    "hard_negatives", "sliding_window_counts", "html_strip",
+    "json_props_extract", "text_repetition_family", "dedup_clusters",
+    "embed_neardup", "ann_ivf_topk", "stream_interval_join",
+    "dedup_simhash128_pairs", "state_durations", "flatline_runs",
+    "stream_interval_join_left", "ann_recall_report", "multimodal_png_pixels",
+    "sessionize", "range_join_windows", "flagship_tower_pipeline",
+    "flagship_partitioned", "toa5_roundtrip", "sink_roundtrip",
 ]
 
 
@@ -2909,7 +2933,7 @@ def _apply_rotation(base: dict) -> dict:
     Keys absent from the order list (there should be none — tested)
     keep their definition order at the tail rather than being dropped.
     """
-    out = {k: base[k] for k in _R13_ORDER if k in base}
+    out = {k: base[k] for k in _R14_ORDER if k in base}
     for k, v in base.items():
         out.setdefault(k, v)
     return out
@@ -2917,7 +2941,7 @@ def _apply_rotation(base: dict) -> dict:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Definition order below is historical (r8); the driver-visible
-    # order comes from _R13_ORDER via _apply_rotation.
+    # order comes from _R14_ORDER via _apply_rotation.
     return _apply_rotation({
         # ---- r8 top-50 (the driver checks ~50 entries/round).
         # 1-4: the r5-stale twins that spilled past r7's cap;
@@ -2939,6 +2963,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forward_fill_locf": q_forward_fill,
         "scd2_history": q_scd2_history,
         "percentile_norm": q_percentile_norm,
+        # ---- r14: the ONE registry addition (VERDICT r13 #2 — BPE
+        # training crosses the hash gate; otherwise FROZEN per the
+        # standing rule)
+        "bpe_train_merges": q_bpe_train_merges,
         "cusum_level_shift": q_cusum_qc,
         "sample_per_group": q_sample_per_group,
         "winsorize_values": q_winsorize,
@@ -3079,6 +3107,7 @@ def oracle_sql() -> dict[str, str]:
         "forward_fill_locf": _FORWARD_FILL_SQL,
         "scd2_history": _SCD2_SQL,
         "percentile_norm": _PERCENTILE_NORM_SQL,
+        "bpe_train_merges": _bpe_train_sql(),
         "cusum_level_shift": _CUSUM_SQL,
         "sample_per_group": _SAMPLE_PER_GROUP_SQL,
         "winsorize_values": _WINSORIZE_SQL,

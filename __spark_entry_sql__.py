@@ -2474,3 +2474,55 @@ SELECT doc_id, source, n_chars, round(pct, 6) AS pct_rank,
        CAST(least(10, CAST(floor(pct * 10) AS BIGINT) + 1) AS INT) AS decile
 FROM p
 """
+
+# BPE training replay (r14, VERDICT r13 #2 — the one capability that
+# shipped library-only in r13). The oracle UNROLLS the greedy loop:
+# merge k is a three-CTE block (pair explode -> global argmax -> merge
+# application), chained _BPE_MERGES_Q times. Merge application uses a
+# double-delimiter string encoding of the symbol sequence —
+# "<D><D>sym<D><D>sym<D><D>" with D = chr(31) (testdata corpus is pure
+# ASCII <= 'y'; no collision) — because SQL replace() is leftmost
+# non-overlapping, EXACTLY the BPE merge rule, once each boundary is
+# two delimiters (the pattern "<D>l<D><D>r<D>" consumes one delimiter
+# from each boundary, leaving the outer ones to re-form "<D><D>"; a
+# single-delimiter encoding loses the shared boundary between abutting
+# matches and under-merges runs like 'aaaa'). Tie-break mirrors
+# llm/bpe._top_pair: freq DESC, left ASC, right ASC — binary string
+# compare in both engines.
+_BPE_MERGES_Q = 10
+
+
+def _bpe_train_sql(n_merges: int = _BPE_MERGES_Q) -> str:
+    d = "chr(31)"
+    parts = [
+        f"""
+w0 AS (
+  SELECT w, count(*)::BIGINT AS n
+  FROM (SELECT unnest(string_split_regex(text, '\\s+')) AS w FROM documents)
+  WHERE len(w) > 0 GROUP BY 1),
+r0 AS (
+  SELECT {d} || {d} || array_to_string(string_split(w, ''), {d} || {d})
+         || {d} || {d} || '</w>' || {d} || {d} AS s, n
+  FROM w0)"""
+    ]
+    sel = []
+    for k in range(n_merges):
+        parts.append(
+            f"""
+e{k} AS (
+  SELECT n, unnest(range(1, len(ss))) AS i, ss
+  FROM (SELECT list_slice(ss0, 2, len(ss0) - 1) AS ss, n
+        FROM (SELECT string_split(s, {d} || {d}) AS ss0, n FROM r{k}))),
+f{k} AS (
+  SELECT ss[i] AS l, ss[i + 1] AS r, CAST(sum(n) AS BIGINT) AS freq
+  FROM e{k} GROUP BY 1, 2),
+m{k} AS (SELECT l, r, freq FROM f{k} ORDER BY freq DESC, l ASC, r ASC LIMIT 1),
+r{k + 1} AS (
+  SELECT replace(s, {d} || l || {d} || {d} || r || {d},
+                    {d} || l || r || {d}) AS s, n
+  FROM r{k} CROSS JOIN m{k})"""
+        )
+        sel.append(
+            f'SELECT {k} AS rank, l AS "left", r AS "right", freq FROM m{k}'
+        )
+    return "WITH " + ",".join(parts) + "\n" + "\nUNION ALL\n".join(sel)

@@ -103,6 +103,9 @@ EXTRA_QUERIES = [
     "multimodal_gif_pixels",
     # new in r13
     "multimodal_gif_frames",
+    # new in r14 (the BPE registry addition; ratio freezes from its
+    # first records per the amend-never-rebase rule)
+    "bpe_train_merges",
 ]
 
 HEADLINE = [

@@ -77,7 +77,12 @@ def _word_table(df: DataFrame, text_col: str, lowercase: bool) -> DataFrame:
 def _top_pair(words: DataFrame) -> tuple[str, str, int] | None:
     """One distributed pair-count round: the winning adjacent pair by
     (count desc, left asc, right asc) — or None when no pair exists."""
-    pairs = words.select(
+    # the >=2 guard runs BEFORE the explode (ADVICE r13: filtering
+    # after the select leaned on missing-reference resolution, and a
+    # 1-symbol word would build the descending sequence(0,-1) first —
+    # vacuous today since every word is chars+'</w>', but the guard
+    # belongs where it protects)
+    pairs = words.filter(F.size("syms") >= 2).select(
         "n",
         F.explode(
             F.transform(
@@ -88,7 +93,7 @@ def _top_pair(words: DataFrame) -> tuple[str, str, int] | None:
                 ),
             )
         ).alias("p"),
-    ).filter(F.size("syms") >= 2)
+    )
     row = (
         pairs.groupBy("p.left", "p.right")
         .agg(F.sum("n").alias("freq"))

@@ -153,23 +153,23 @@ def test_utc_alias_sessions_do_not_warn():
 
 
 def test_rotation_order_covers_full_registry():
-    """The r13 rotation list must cover exactly the registry: a new
+    """The r14 rotation list must cover exactly the registry: a new
     query added without a rotation slot would silently land at the
     tail (never driver-checked first), and a stale name in the list
     would shrink the checked window."""
     q = entrymod.queries()
-    assert set(q) == set(entrymod._R13_ORDER)
-    assert list(q) == entrymod._R13_ORDER
-    assert list(entrymod.oracle_sql()) == entrymod._R13_ORDER
-    # VERDICT r12 #4: the new animated-GIF demux query leads (first
-    # driver row in its first round), then the 14 entries whose
-    # newest driver row is r10 — the exact cohort the verdict listed.
-    assert entrymod._R13_ORDER[:15] == [
-        "multimodal_gif_frames",
-        "bm25_topk", "exact_quantiles", "topk_per_group",
-        "zorder_layout_key", "intersect_active_users",
-        "chunk_documents", "charlm_quality", "oov_rate",
-        "dedup_levenshtein_pairs", "corpus_cube_stats",
-        "rolling_despike", "dedup_span_corpus", "c4_line_filter",
-        "vocab_top_terms",
+    assert set(q) == set(entrymod._R14_ORDER)
+    assert list(q) == entrymod._R14_ORDER
+    assert list(entrymod.oracle_sql()) == entrymod._R14_ORDER
+    # VERDICT r13 #5: the new BPE-training query leads (first driver
+    # row in its first round), then the 16 entries whose newest driver
+    # row is r11 — the SLA-ceiling cohort rotation_debt ranks first.
+    assert entrymod._R14_ORDER[:17] == [
+        "bpe_train_merges",
+        "dedup_keep_richest", "gapfill_spine", "lag_spike_qc",
+        "day_flatline_qc", "flag_strings", "bounds_filtered",
+        "wateryear_rollup", "union_overlap_dedup", "mslp_barometric",
+        "latest_per_user", "anti_join_processed", "rollup_summary",
+        "type_summary_stats", "embed_label_centroids",
+        "pivot_daily_counts", "session_window_native",
     ]

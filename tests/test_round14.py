@@ -128,3 +128,47 @@ def test_incremental_dedup_cache_out_handle(spark):
     for f in handles:
         f.unpersist()
     assert len(sc._jsc.getPersistentRDDs()) == before
+
+
+# --------------------------------------- VERDICT r13 #2 / ADVICE r13 #3: BPE
+
+
+def test_top_pair_handles_single_symbol_words(spark):
+    """ADVICE r13: the >=2 size guard must run before the pair explode
+    so a 1-symbol word contributes nothing (instead of building a
+    descending sequence and null structs that survived only via
+    missing-reference filter resolution)."""
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.bpe import (
+        _top_pair,
+    )
+
+    words = spark.createDataFrame(
+        [(["x"], 100), (["a", "b"], 3), (["a", "b"], 2)],
+        "syms array<string>, n long",
+    )
+    assert _top_pair(words) == ("a", "b", 5)
+    only_single = spark.createDataFrame([(["x"], 9)], "syms array<string>, n long")
+    assert _top_pair(only_single) is None
+
+
+def test_bpe_query_matches_duckdb_replay(spark):
+    """The r14 registry addition end-to-end at sf0.001: the Spark
+    training loop and the unrolled double-delimiter SQL replay must
+    agree merge for merge (rank, left, right, freq)."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    got = [
+        (r["rank"], r["left"], r["right"], r["freq"])
+        for r in entrymod.queries()["bpe_train_merges"](spark, sf).collect()
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    want = con.execute(entrymod.oracle_sql()["bpe_train_merges"]).fetchall()
+    assert got == [tuple(w) for w in want]
+    assert len(got) == entrymod._BPE_MERGES_Q
