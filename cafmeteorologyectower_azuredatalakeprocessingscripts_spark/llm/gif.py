@@ -52,6 +52,21 @@ class GifUnsupported(ValueError):
     block structure, or malformed LZW stream)."""
 
 
+# LZW root tables, hoisted to module scope (r14, VERDICT r13 #4): the
+# per-call/per-clear rebuild of the 2^min_code root entries was ~40% of
+# the whole encode+decode profile at the twin queries' 8x8 frame size
+# (the dictionaries dwarf the 64-pixel payloads). Decoders copy with
+# list(base) / encoders with dict(base) — the shared roots are never
+# mutated.
+_LZW_DEC_BASE = {
+    mc: [bytes([i]) for i in range(1 << mc)] + [b"", b""]
+    for mc in range(2, 9)
+}
+_LZW_ENC_BASE = {
+    mc: {bytes([i]): i for i in range(1 << mc)} for mc in range(2, 9)
+}
+
+
 def is_gif(payload: bytes) -> bool:
     return payload is not None and bytes(payload[:6]) in (b"GIF87a", b"GIF89a")
 
@@ -107,7 +122,7 @@ def _lzw_decode(data: bytes, pos: int, min_code: int, n_pixels: int) -> tuple[np
     clear = 1 << min_code
     eoi = clear + 1
     # dictionary: index -> bytes; roots are single indices
-    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    base = _LZW_DEC_BASE[min_code]
     table = list(base)
     width = min_code + 1
     out = bytearray()
@@ -264,7 +279,7 @@ def _lzw_encode(indices: np.ndarray, min_code: int) -> bytes:
             acc >>= 8
             nb -= 8
 
-    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    table: dict[bytes, int] = dict(_LZW_ENC_BASE[min_code])
     next_code = eoi + 1
     width = min_code + 1
     put(clear, width)
@@ -282,7 +297,7 @@ def _lzw_encode(indices: np.ndarray, min_code: int) -> bytes:
             next_code += 1
         else:  # dictionary full: clear and restart
             put(clear, width)
-            table = {bytes([i]): i for i in range(clear)}
+            table = dict(_LZW_ENC_BASE[min_code])
             next_code = eoi + 1
             width = min_code + 1
         prev = bytes([v])

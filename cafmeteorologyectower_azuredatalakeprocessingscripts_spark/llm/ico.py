@@ -47,27 +47,8 @@ def is_ico(payload: bytes) -> bool:
     )
 
 
-def decode_ico(payload: bytes) -> tuple[int, int, int, bytes]:
-    """Decode the largest entry of an ICO → ``(width, height,
-    channels, pixels)``, the shared codec contract."""
-    data = bytes(payload)
-    if not is_ico(data):
-        raise IcoUnsupported("bad signature")
-    (count,) = struct.unpack_from("<H", data, 4)
-    if 6 + 16 * count > len(data):
-        raise IcoUnsupported("directory overruns payload")
-    best = None
-    for i in range(count):
-        at = 6 + 16 * i
-        w, h = data[at], data[at + 1]
-        (size, off) = struct.unpack_from("<II", data, at + 8)
-        w, h = w or 256, h or 256  # 0 encodes 256
-        if size < 8 or off + size > len(data):
-            raise IcoUnsupported(f"entry {i} out of bounds")
-        if best is None or w * h > best[0]:
-            best = (w * h, off, size)
-    _, off, size = best
-    body = data[off : off + size]
+def _decode_entry(body: bytes) -> tuple[int, int, int, bytes]:
+    """Decode ONE directory entry body (PNG stream or headerless DIB)."""
     if body[:8] == b"\x89PNG\r\n\x1a\n":
         try:
             return decode_png(body)
@@ -95,6 +76,43 @@ def decode_ico(payload: bytes) -> tuple[int, int, int, bytes]:
         return decode_bmp(bmp)
     except BmpUnsupported as ex:
         raise IcoUnsupported(f"embedded DIB: {ex}") from ex
+
+
+def decode_ico(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Decode the largest DECODABLE entry of an ICO → ``(width, height,
+    channels, pixels)``, the shared codec contract.
+
+    Entries are tried largest-first by the directory's declared
+    dimensions, falling back to the next entry when one fails (ADVICE
+    r13: directory width/height bytes are often inaccurate and real
+    consumers fall back across entries — a 1-bpp antique entry that
+    happens to be declared largest must not mask a decodable PNG
+    sibling). Only when EVERY entry fails does the icon raise, with
+    the largest entry's reason."""
+    data = bytes(payload)
+    if not is_ico(data):
+        raise IcoUnsupported("bad signature")
+    (count,) = struct.unpack_from("<H", data, 4)
+    if 6 + 16 * count > len(data):
+        raise IcoUnsupported("directory overruns payload")
+    entries = []
+    for i in range(count):
+        at = 6 + 16 * i
+        w, h = data[at], data[at + 1]
+        (size, off) = struct.unpack_from("<II", data, at + 8)
+        w, h = w or 256, h or 256  # 0 encodes 256
+        if size < 8 or off + size > len(data):
+            raise IcoUnsupported(f"entry {i} out of bounds")
+        entries.append((w * h, i, off, size))
+    entries.sort(key=lambda e: (-e[0], e[1]))
+    first_err: IcoUnsupported | None = None
+    for _area, _i, off, size in entries:
+        try:
+            return _decode_entry(data[off : off + size])
+        except IcoUnsupported as ex:
+            if first_err is None:
+                first_err = ex
+    raise first_err
 
 
 def encode_ico(

@@ -73,6 +73,12 @@ def is_jpeg(payload: bytes) -> bool:
 # Output allocation is bounded by this CONSTANT (64 MB of samples) —
 # never by header-declared dimensions alone (see module docstring).
 _MAX_OUTPUT_BYTES = 1 << 26
+# entropy segments up to this many (padded) bytes build the decode word
+# list as Python ints (fastest scalar loop); larger segments keep the
+# int64 ndarray — 8 bytes/word instead of ~28-byte boxed ints, bounding
+# the ADVICE-r13 transient-memory amplification on huge single-segment
+# scans (no DRI => the whole scan is ONE segment)
+_W48_LIST_MAX = 1 << 22
 
 # ---------------------------------------------------------------- DCT
 
@@ -384,14 +390,24 @@ def _decode_scan_sequential(segs, comps, coef, order, geom, dri):
                 else:
                     b = np.frombuffer(padded, dtype=np.uint8).astype(np.int64)
                     m_w = (len(padded) - 4) // 2
-                    w48 = (
+                    warr = (
                         (b[0 : 2 * m_w - 1 : 2] << 40)
                         | (b[1 : 2 * m_w : 2] << 32)
                         | (b[2 : 2 * m_w + 1 : 2] << 24)
                         | (b[3 : 2 * m_w + 2 : 2] << 16)
                         | (b[4 : 2 * m_w + 3 : 2] << 8)
                         | b[5 : 2 * m_w + 4 : 2]
-                    ).tolist()
+                    )
+                    # tolist() costs ~28 bytes per 2 entropy bytes (one
+                    # boxed int per word — ~18x transient amplification,
+                    # ADVICE r13), so only segments up to 4 MiB take the
+                    # fast Python-list path; a multi-hundred-MB segment
+                    # stays an int64 ndarray (8 bytes/word, scalar
+                    # indexing works identically in the decode loop —
+                    # np.int64 shifts/masks/table lookups are
+                    # bit-compatible, just slower per access, and that
+                    # path is already throughput-bound)
+                    w48 = warr.tolist() if len(padded) <= _W48_LIST_MAX else warr
                 bitpos = 0
                 if m:
                     pred = [0] * nc

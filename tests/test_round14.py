@@ -172,3 +172,83 @@ def test_bpe_query_matches_duckdb_replay(spark):
     want = con.execute(entrymod.oracle_sql()["bpe_train_merges"]).fetchall()
     assert got == [tuple(w) for w in want]
     assert len(got) == entrymod._BPE_MERGES_Q
+
+
+# -------------------------------------------------- ADVICE r13 #1/#2: codecs
+
+
+def test_ico_falls_back_to_next_entry_on_decode_failure():
+    """ADVICE r13: an undecodable entry declared largest must not mask
+    a decodable sibling — real icons often carry antique 1/4-bpp
+    entries next to a good PNG/DIB, and directory dimensions lie."""
+    import struct as st
+
+    import numpy as np
+
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.ico import (
+        IcoUnsupported,
+        decode_ico,
+        encode_ico,
+    )
+
+    good = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    body_good = encode_ico(8, 8, 1, good.tobytes())[22:]
+    # a 1-bpp BITMAPINFOHEADER DIB: structurally valid directory entry,
+    # unsupported bpp inside (the embedded-BMP decoder rejects it)
+    body_bad = st.pack(
+        "<IiiHHIIiiII", 40, 32, 64, 1, 1, 0, 0, 0, 0, 2, 0
+    ) + b"\x00" * (8 + 4 * 32)
+    off_bad = 6 + 32
+    off_good = off_bad + len(body_bad)
+    ent = st.pack("<BBBBHHII", 32, 32, 0, 0, 1, 1, len(body_bad), off_bad)
+    ent += st.pack("<BBBBHHII", 8, 8, 0, 0, 1, 8, len(body_good), off_good)
+    two = b"\x00\x00\x01\x00\x02\x00" + ent + body_bad + body_good
+    w, h, c, px = decode_ico(two)  # pre-fix: raised on the 1-bpp entry
+    assert (w, h, c) == (8, 8, 1)
+    assert np.frombuffer(px, np.uint8).reshape(8, 8).tolist() == good.tolist()
+    # every entry bad -> raises (largest entry's reason)
+    only_bad = b"\x00\x00\x01\x00\x01\x00" + st.pack(
+        "<BBBBHHII", 32, 32, 0, 0, 1, 1, len(body_bad), 6 + 16
+    ) + body_bad
+    with pytest.raises(IcoUnsupported):
+        decode_ico(only_bad)
+
+
+def test_jpeg_ndarray_word_path_matches_list_path(monkeypatch):
+    """ADVICE r13: segments past _W48_LIST_MAX keep the int64 ndarray
+    (8 B/word) instead of a boxed-int list (~28 B/word). Force the
+    ndarray path on ordinary fixtures and require bit-identical pixels."""
+    import numpy as np
+
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm import jpeg as J
+
+    rng = np.random.default_rng(14)
+    imgs = [
+        rng.integers(0, 256, size=(24, 16), dtype=np.uint8) for _ in range(4)
+    ]
+    payloads = [J.encode_jpeg(16, 24, 1, g.tobytes()) for g in imgs]
+    want = [J.decode_jpeg(p) for p in payloads]
+    monkeypatch.setattr(J, "_W48_LIST_MAX", 0)
+    got = [J.decode_jpeg(p) for p in payloads]
+    assert got == want
+
+
+def test_gif_lzw_base_tables_are_never_mutated():
+    """The hoisted LZW root tables are shared across calls — decode a
+    dictionary-heavy stream twice and require identical output (a
+    decoder mutating the shared base would corrupt the second call),
+    and pin the base objects' contents."""
+    import numpy as np
+
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm import gif as G
+
+    snap_dec = {mc: list(t) for mc, t in G._LZW_DEC_BASE.items()}
+    snap_enc = {mc: dict(t) for mc, t in G._LZW_ENC_BASE.items()}
+    rng = np.random.default_rng(7)
+    frame = rng.integers(0, 256, size=(32, 32), dtype=np.uint8)
+    p = G.encode_gif(32, 32, 1, frame.tobytes())
+    first = G.decode_gif(p)
+    second = G.decode_gif(p)
+    assert first == second
+    assert {mc: list(t) for mc, t in G._LZW_DEC_BASE.items()} == snap_dec
+    assert {mc: dict(t) for mc, t in G._LZW_ENC_BASE.items()} == snap_enc
