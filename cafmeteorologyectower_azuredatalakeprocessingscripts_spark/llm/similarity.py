@@ -82,6 +82,13 @@ def _as_double(c: Column) -> Column:
 # for wide production embeddings.
 _STATIC_EXPR_MAX_DIM = 128
 
+# bucket-local BLAS Gram blocks tile at this many rows: 4096² doubles =
+# 128 MiB per task regardless of bucket skew (a boilerplate cluster
+# shares every SRP bucket — the r14 tier probe measured one 8,188-row
+# bucket from a 10%-boilerplate corpus, a 512 MiB monolithic block).
+# Tiling changes memory only; the products and rounding are identical.
+_ARROW_BLOCK = 4096
+
 
 def _norm_expr(a: str, dim: int) -> Column:
     if dim <= _STATIC_EXPR_MAX_DIM:
@@ -641,10 +648,16 @@ def _bucket_pairs_arrow(tagged: DataFrame, threshold: float) -> DataFrame:
     local BLAS beats both (measured 5.1x vs the expression form:
     22.7 -> 4.5 s).
 
-    Skew note: one task holds one bucket's m x m block, so memory is
-    max_bucket². SRP buckets are auto-sized to ~256 occupancy
-    (``srp_planes_for``) and sign-projection buckets have no
-    vote-saturation mode, so m stays near the design occupancy.
+    Skew note: SRP buckets are auto-sized to ~256 occupancy
+    (``srp_planes_for``), but sign projection CANNOT split a
+    boilerplate cluster (near-identical vectors share every bucket in
+    every table) — the r14 tier probe measured a 10%-boilerplate 80k
+    corpus producing one 8,188-vector bucket (SCALING.md r14
+    addendum). So the m x m Gram block is computed BLOCKWISE past
+    ``_ARROW_BLOCK`` rows: per-task memory is bounded at
+    ``_ARROW_BLOCK²`` doubles (128 MiB) regardless of bucket skew,
+    with bit-identical output (same products, same rounding — only
+    the loop tiling changes). Compute is still the inherent m²·dim.
     Rounding is numpy HALF_EVEN vs the expression form's HALF_UP —
     differs only at exact half-microunit midpoints (same caveat as
     ``ivf_assign_arrow``)."""
@@ -664,12 +677,29 @@ def _bucket_pairs_arrow(tagged: DataFrame, threshold: float) -> DataFrame:
         ids = ids[order]
         v = np.stack(pdf["__v"].to_numpy())[order]
         nrm = pdf["__n"].to_numpy()[order]
-        g = (v @ v.T) / np.outer(nrm, nrm)
-        iu = np.triu_indices(m, k=1)
-        cos = np.round(g[iu], 6)
-        keep = cos >= threshold
+        B = _ARROW_BLOCK
+        out_a, out_b, out_c = [], [], []
+        for i0 in range(0, m, B):
+            vi, ni = v[i0 : i0 + B], nrm[i0 : i0 + B]
+            for j0 in range(i0, m, B):
+                g = (vi @ v[j0 : j0 + B].T) / np.outer(
+                    ni, nrm[j0 : j0 + B]
+                )
+                if i0 == j0:
+                    iu = np.triu_indices(len(ni), k=1)
+                else:
+                    iu = np.indices(g.shape).reshape(2, -1)
+                cos = np.round(g[iu[0], iu[1]], 6)
+                keep = cos >= threshold
+                out_a.append(ids[i0 + iu[0][keep]])
+                out_b.append(ids[j0 + iu[1][keep]])
+                out_c.append(cos[keep])
         return pd.DataFrame(
-            {"id_a": ids[iu[0][keep]], "id_b": ids[iu[1][keep]], "cosine": cos[keep]}
+            {
+                "id_a": np.concatenate(out_a) if out_a else np.array([], "int64"),
+                "id_b": np.concatenate(out_b) if out_b else np.array([], "int64"),
+                "cosine": np.concatenate(out_c) if out_c else np.array([], "float64"),
+            }
         )
 
     return tagged.groupBy("__tbl", "__bkt").applyInPandas(

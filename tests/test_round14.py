@@ -252,3 +252,46 @@ def test_gif_lzw_base_tables_are_never_mutated():
     assert first == second
     assert {mc: list(t) for mc, t in G._LZW_DEC_BASE.items()} == snap_dec
     assert {mc: dict(t) for mc, t in G._LZW_ENC_BASE.items()} == snap_enc
+
+
+# ------------------------------------- VERDICT r13 #7: arrow bucket tiling
+
+
+def test_arrow_bucket_scoring_tiles_identically(spark, monkeypatch):
+    """_bucket_pairs_arrow past _ARROW_BLOCK rows computes the Gram
+    matrix blockwise (bounded task memory under bucket skew — the r14
+    tier probe's boilerplate fixture made one 8k bucket). Force tiny
+    blocks and require the pair set identical to the monolithic path,
+    including cross-block and diagonal-block pairs."""
+    import numpy as np
+
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm import (
+        similarity as S,
+    )
+
+    rng = np.random.default_rng(41)
+    base = rng.standard_normal((40, 8))
+    # a boilerplate cluster: rows 10..29 nearly identical (spans blocks)
+    base[10:30] = base[10] + rng.standard_normal((20, 8)) * 1e-4
+    df = spark.createDataFrame(
+        [(int(i), base[i].tolist()) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    pairs = lambda: sorted(
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in S.embed_neardup_pairs(
+            df, threshold=0.9, dim=8, score="arrow", approx_count=40
+        ).collect()
+    )
+    whole = pairs()
+    # POSITIVE CONTROL first (the r10 serialization lesson): a sentinel
+    # that must RAISE worker-side proves the monkeypatch reaches the
+    # executors (nested closures capture module globals by value at
+    # job-submission pickling) — otherwise tiled == whole is vacuous.
+    monkeypatch.setattr(S, "_ARROW_BLOCK", 0)
+    with pytest.raises(Exception):
+        pairs()
+    monkeypatch.setattr(S, "_ARROW_BLOCK", 7)  # force many ragged tiles
+    tiled = pairs()
+    assert tiled == whole
+    assert len(whole) >= 20 * 19 / 2  # the cluster's pairs all present
