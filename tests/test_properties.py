@@ -572,3 +572,81 @@ def test_tiff_roundtrip_property(w, h, c, data):
         )
     )
     assert decode_tiff(encode_tiff(w, h, c, px)) == (w, h, c, px)
+
+
+# corpora of short pseudo-words, including empty docs, all-identical
+# docs, and single-word docs — the edge shapes the r14 plan rewrites
+# (fused OOV, window-sized jaccard) must hold on
+_texts = st.lists(
+    st.text(alphabet="ab c", min_size=0, max_size=24),
+    min_size=1,
+    max_size=10,
+)
+
+
+@settings(**_SETTINGS)
+@given(texts=_texts, k=st.integers(min_value=1, max_value=6))
+def test_oov_fusion_equals_composition(spark, texts, k):
+    """r14 plan fusion invariant: oov_rate_against_top(df, k) ==
+    oov_rate(df, vocab_top_terms(df, k)) on arbitrary corpora (empty
+    docs, whitespace-only docs, total-duplicate corpora)."""
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.text import (
+        oov_rate,
+        oov_rate_against_top,
+        vocab_top_terms,
+    )
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    old = {tuple(r) for r in oov_rate(df, vocab_top_terms(df, k=k)).collect()}
+    new = {tuple(r) for r in oov_rate_against_top(df, k=k).collect()}
+    assert new == old
+
+
+@settings(**_SETTINGS)
+@given(texts=_texts, cap=st.one_of(st.none(), st.integers(1, 4)))
+def test_jaccard_window_sizes_equal_exact_set_sizes(spark, texts, cap):
+    """r14 storage rewrite invariant: the window-attached n_sh must make
+    jaccard_pairs emit exactly the pairs a pandas set computation gives
+    (full set sizes even under the doc-frequency cap, cap only filters
+    the index)."""
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.dedup import (
+        jaccard_pairs,
+    )
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in jaccard_pairs(
+            df, n=2, threshold=0.0, max_doc_freq=cap
+        ).collect()
+    }
+    # pandas mini-oracle: normalized 2-gram shingle sets
+    import re as _re
+
+    def sh(t):
+        toks = [w for w in _re.sub(r"\s+", " ", t.strip().lower()).split(" ") if w]
+        return {" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)}
+
+    sets = {i: sh(t) for i, t in enumerate(texts)}
+    if cap is not None:
+        from collections import Counter
+
+        dfreq = Counter(s for v in sets.values() for s in v)
+        index = {i: {s for s in v if dfreq[s] <= cap} for i, v in sets.items()}
+    else:
+        index = sets
+    want = set()
+    ids = sorted(sets)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            inter = len(index[a] & index[b])
+            if inter == 0:
+                continue
+            jac = round(inter / (len(sets[a]) + len(sets[b]) - inter), 6)
+            want.add((a, b, jac))
+    assert got == want
