@@ -223,6 +223,111 @@ def cross_doc_span_fraction(
     )
 
 
+def remove_duplicate_spans(
+    df: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+    keep_first: bool = False,
+) -> DataFrame:
+    """Exact-substring dedup, the REMOVAL op (Lee et al. 2022 ExactSubstr
+    — :func:`cross_doc_span_fraction` is the matching detection signal):
+    (id, text_clean, n_tokens, n_removed) where every token covered by
+    an n-token span occurring in at least ``min_docs`` distinct
+    documents is dropped and the survivors are rejoined in order.
+    Output text is the NORMALIZED form (whitespace-collapsed,
+    lower-cased — span identity is defined on normalized tokens, so the
+    cleaned text is too; the reference implementation operates on the
+    tokenized corpus for the same reason).
+
+    ``keep_first=True`` keeps one canonical occurrence: the document
+    with the smallest id among a span's carriers keeps its tokens (the
+    paper's leave-one variant); other documents still lose theirs.
+
+    Scale shape (never an all-pairs): one doc-keyed repartition feeding
+    the token and span explodes; corpus-wide span document-frequency is
+    ONE aggregation keyed by the 60-bit md5 span hash (shuffle rows ∝
+    span slots, 8-byte keys); dup slots come back by one sp_h-keyed
+    join; covered positions fan out dup_slots x n — bounded by the
+    corpus's DUPLICATED mass only, the quantity the op exists to
+    remove — and collapse under the doc partitioning. Reconstruction
+    is one doc-keyed aggregation: order rides a (pos, token) struct
+    sort inside the group, no global sort.
+    """
+    toks = F.split(norm_text(text_col), " ")
+    arr = toks
+    for k in range(1, n):
+        arr = F.zip_with(
+            arr,
+            F.slice(toks, k + 1, F.size(toks)),
+            lambda x, y: F.concat(x, F.lit(" "), y),
+        )
+    base = repartition_pinned(
+        df.filter(F.col(id_col).isNotNull()), F.col(id_col)
+    )
+    tok = base.select(
+        F.col(id_col), F.posexplode(toks).alias("pos", "tok")
+    ).filter(F.col("tok") != "")
+    spans = (
+        base.select(F.col(id_col), F.posexplode(arr).alias("pos", "__sp"))
+        .filter(F.col("__sp").isNotNull())
+        .select(id_col, "pos", md5_int(F.col("__sp")).alias("sp_h"))
+    )
+    dup = (
+        spans.groupBy("sp_h")
+        .agg(
+            F.count_distinct(F.col(id_col)).alias("__df"),
+            F.min(id_col).alias("__first"),
+        )
+        .filter(F.col("__df") >= min_docs)
+        .select("sp_h", "__first")
+    )
+    slots = spans.join(dup, "sp_h")
+    if keep_first:
+        slots = slots.filter(F.col(id_col) != F.col("__first"))
+    covered = (
+        slots.select(
+            F.col(id_col),
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + (n - 1))).alias(
+                "pos"
+            ),
+        )
+        .groupBy(id_col, "pos")
+        .agg(F.lit(1).alias("__cov"))
+    )
+    rebuilt = (
+        tok.join(covered, [id_col, "pos"], "left")
+        .groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("__cov").isNull(),
+                                F.struct(F.col("pos"), F.col("tok")),
+                            )
+                        )
+                    ),
+                    lambda x: x["tok"],
+                ),
+                " ",
+            ).alias("text_clean"),
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("__cov").isNotNull(), 1).otherwise(0)
+            ).cast("bigint").alias("n_removed"),
+        )
+    )
+    return df.select(id_col).join(rebuilt, id_col, "left").select(
+        id_col,
+        F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+        F.coalesce("n_tokens", F.lit(0)).cast("bigint").alias("n_tokens"),
+        F.coalesce("n_removed", F.lit(0)).cast("bigint").alias("n_removed"),
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

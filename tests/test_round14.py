@@ -295,3 +295,66 @@ def test_arrow_bucket_scoring_tiles_identically(spark, monkeypatch):
     tiled = pairs()
     assert tiled == whole
     assert len(whole) >= 20 * 19 / 2  # the cluster's pairs all present
+
+
+# --------------------------------- r15 candidate: exact-substring REMOVAL
+
+
+def _span_removal_oracle(texts, n, min_docs, keep_first):
+    """Pure-Python replay of remove_duplicate_spans on normalized text."""
+    import re
+
+    norm = {
+        i: [w for w in re.sub(r"\s+", " ", t.strip().lower()).split(" ") if w]
+        for i, t in enumerate(texts)
+    }
+    span_docs: dict[tuple, set] = {}
+    for i, toks in norm.items():
+        for p in range(len(toks) - n + 1):
+            span_docs.setdefault(tuple(toks[p : p + n]), set()).add(i)
+    out = {}
+    for i, toks in norm.items():
+        covered = set()
+        for p in range(len(toks) - n + 1):
+            sp = tuple(toks[p : p + n])
+            docs = span_docs[sp]
+            if len(docs) < min_docs:
+                continue
+            if keep_first and i == min(docs):
+                continue
+            covered.update(range(p, p + n))
+        kept = [t for q, t in enumerate(toks) if q not in covered]
+        out[i] = (" ".join(kept), len(toks), len(covered))
+    return out
+
+
+@pytest.mark.parametrize("keep_first", [False, True])
+def test_remove_duplicate_spans_matches_python_oracle(spark, keep_first):
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.dedup import (
+        remove_duplicate_spans,
+    )
+
+    texts = [
+        "alpha beta gamma delta epsilon zeta eta",      # shares a 3-span with 1
+        "x alpha beta gamma delta y z",                  # ... and with 3
+        "totally unique words only here now",
+        "alpha beta gamma delta epsilon something else",
+        "",                                              # empty doc
+        "short one",                                     # shorter than n
+        "alpha beta gamma delta epsilon zeta eta",       # exact dup of 0
+    ]
+    n, min_docs = 3, 2
+    want = _span_removal_oracle(texts, n, min_docs, keep_first)
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["text_clean"], r["n_tokens"], r["n_removed"])
+        for r in remove_duplicate_spans(
+            df, n=n, min_docs=min_docs, keep_first=keep_first
+        ).collect()
+    }
+    assert got == want
+    # the full-duplicate pair must be gutted entirely when keep_first=False
+    if not keep_first:
+        assert got[0][0] == "" and got[6][0] == ""
+    else:
+        assert got[0][0] != "" and got[6][0] == ""
