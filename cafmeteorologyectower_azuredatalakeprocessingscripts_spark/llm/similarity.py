@@ -685,15 +685,19 @@ def _bucket_pairs_arrow(tagged: DataFrame, threshold: float) -> DataFrame:
                 g = (vi @ v[j0 : j0 + B].T) / np.outer(
                     ni, nrm[j0 : j0 + B]
                 )
+                # transient memory stays ~the block itself: round in
+                # place, threshold to a bool mask (B²/8 doubles), and
+                # let nonzero size the index arrays to the KEPT pairs —
+                # np.indices/fancy-index copies here were ~5x the
+                # documented per-task bound (r14 code review)
+                np.round(g, 6, out=g)
+                keep2d = g >= threshold
                 if i0 == j0:
-                    iu = np.triu_indices(len(ni), k=1)
-                else:
-                    iu = np.indices(g.shape).reshape(2, -1)
-                cos = np.round(g[iu[0], iu[1]], 6)
-                keep = cos >= threshold
-                out_a.append(ids[i0 + iu[0][keep]])
-                out_b.append(ids[j0 + iu[1][keep]])
-                out_c.append(cos[keep])
+                    keep2d = np.triu(keep2d, k=1)
+                ii, jj = np.nonzero(keep2d)
+                out_a.append(ids[i0 + ii])
+                out_b.append(ids[j0 + jj])
+                out_c.append(g[ii, jj])
         return pd.DataFrame(
             {
                 "id_a": np.concatenate(out_a) if out_a else np.array([], "int64"),

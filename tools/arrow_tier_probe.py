@@ -151,7 +151,6 @@ def main() -> None:
             df, threshold=0.95, dim=DIM, score="arrow", approx_count=n
         ).write.format("noop").mode("overwrite").save()
 
-    t0 = time.perf_counter()
     sec, bracket, _ = bracketed(spark, run_skew)
     record["skew"] = {
         "n": n,
