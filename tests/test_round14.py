@@ -358,3 +358,70 @@ def test_remove_duplicate_spans_matches_python_oracle(spark, keep_first):
         assert got[0][0] == "" and got[6][0] == ""
     else:
         assert got[0][0] != "" and got[6][0] == ""
+
+
+_SPAN_REMOVAL_ORACLE_SQL = """
+WITH nrm AS (
+  SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS ss
+  FROM documents),
+tk AS (
+  SELECT doc_id, i, ss[i] AS tok
+  FROM nrm, unnest(range(1, len(ss) + 1)) t(i)
+  WHERE ss[i] <> ''),
+sp AS (
+  SELECT doc_id, i AS p, array_to_string(list_slice(ss, i, i + {n} - 1), ' ') AS s
+  FROM nrm, unnest(range(1, len(ss) - {n} + 2)) t(i)
+  WHERE len(ss) >= {n} AND ss[1] <> ''),
+dup AS (
+  SELECT s FROM sp GROUP BY s HAVING count(DISTINCT doc_id) >= {min_docs}),
+cov AS (
+  SELECT DISTINCT sp.doc_id, u.cpos
+  FROM sp JOIN dup USING (s), unnest(range(sp.p, sp.p + {n})) u(cpos)),
+reb AS (
+  SELECT tk.doc_id,
+         coalesce(string_agg(CASE WHEN cov.cpos IS NULL THEN tk.tok END,
+                             ' ' ORDER BY tk.i), '') AS text_clean,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(CASE WHEN cov.cpos IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_removed
+  FROM tk LEFT JOIN cov ON tk.doc_id = cov.doc_id AND tk.i = cov.cpos
+  GROUP BY 1)
+SELECT d.doc_id, coalesce(text_clean, '') AS text_clean,
+       coalesce(n_tokens, 0) AS n_tokens, coalesce(n_removed, 0) AS n_removed
+FROM documents d LEFT JOIN reb USING (doc_id)
+"""
+
+
+def test_remove_duplicate_spans_matches_duckdb_replay(spark):
+    """Cross-engine check on the real sf0.001 corpus: the SQL above is
+    the validated oracle for the r15 registry promotion (the registry
+    is frozen at 117 this round, so it ships as a test — the r13 BPE
+    pattern). Span identity keys on the span STRING in SQL vs the
+    60-bit md5 in Spark: equivalent absent md5 collisions, the same
+    contract every shingle oracle already relies on."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.dedup import (
+        remove_duplicate_spans,
+    )
+
+    d = entrymod.T(spark, sf, "documents")
+    got = {
+        r["doc_id"]: (r["text_clean"], r["n_tokens"], r["n_removed"])
+        for r in remove_duplicate_spans(d, n=13, min_docs=2).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    want = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(
+            _SPAN_REMOVAL_ORACLE_SQL.format(n=13, min_docs=2)
+        ).fetchall()
+    }
+    assert got == want
