@@ -1837,6 +1837,37 @@ def q_dedup_span_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cross_doc_span_fraction(T(spark, sf_dir, "documents"), n=_SPAN_N_Q)
 
 
+def q_dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr span REMOVAL (Lee et al. 2022; llm/dedup.py
+    remove_duplicate_spans — the removal complement of the
+    q_dedup_span_corpus detection signal): per doc, the text with every
+    token covered by a 13-token span occurring in >= 2 documents
+    dropped, plus token/removal counts. BOTH keep_first modes ship
+    under one `dedup_mode` discriminator so the hash gate pins the
+    leave-one-occurrence variant too (a real pipeline runs exactly one
+    mode; the union exists for oracle coverage, and its cost is the
+    honest 2x of one mode — the span-frequency agg subtrees are
+    identical, so AQE may reuse the exchange). North-star surface; no
+    reference analogue."""
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.dedup import (
+        remove_duplicate_spans,
+    )
+
+    d = T(spark, sf_dir, "documents")
+    n, md = _SPAN_REMOVAL_N, _SPAN_REMOVAL_MIN_DOCS
+    both = None
+    for mode_name, kf in (("all", False), ("keep_first", True)):
+        one = remove_duplicate_spans(d, n=n, min_docs=md, keep_first=kf).select(
+            "doc_id",
+            F.lit(mode_name).alias("dedup_mode"),
+            "text_clean",
+            "n_tokens",
+            "n_removed",
+        )
+        both = one if both is None else both.unionByName(one)
+    return both
+
+
 # ------------------------------------------------ round-6 second wave
 
 
@@ -2870,60 +2901,61 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 # oldest 41 of the r7-green cohort; 51-59 = the 9 r7-greens that don't
 # fit the cap (re-verified locally in CORRECTNESS_LOCAL_r09.json, first
 # claim on r10 slots); 60-109 = driver-green in r8.
-_R14_ORDER = [
-    # r14 rotation (117 entries; registry grew 116 -> 117: the ONE
-    # genuine-gap addition VERDICT r13 #2 mandated — bpe_train_merges
-    # puts distributed BPE training behind the hash gate; otherwise
-    # FROZEN per the standing rule). Exactly
+_R15_ORDER = [
+    # r15 rotation (118 entries; registry grew 117 -> 118: the ONE
+    # genuine-gap addition VERDICT r14 #1 mandated — dedup_span_removal
+    # puts ExactSubstr span REMOVAL (both keep_first modes) behind the
+    # hash gate; otherwise FROZEN per the standing rule). Exactly
     # `tools/rotation_debt.py --suggest` order (stalest first,
     # registry-order tiebreak), the new query leading:
     # ---- 1: NEW this round (first driver row in its first round).
-    # ---- 2-17: the 16 entries whose newest driver row is r11 (the
-    # SLA ceiling — 2 rounds stale: dedup_keep_richest ...
-    # session_window_native).
-    # ---- 18-67: the r12-green cohort (1 round stale).
-    # ---- 68-117: driver-green in r13 (CORRECTNESS_r13 50/50), due
-    # r15. Positions past the ~50 cap are re-verified locally in
-    # CORRECTNESS_LOCAL_r14.json.
+    # ---- 2-18: the 17 entries whose newest driver row is r12 (the
+    # 2-round SLA ceiling cohort).
+    # ---- 19-68: the 50 entries last driver-checked at r13.
+    # ---- 69-118: driver-green in r14 (CORRECTNESS_r14 50/50).
+    "dedup_span_removal", "variant_props_extract",
+    "ann_ivf_arrow_recall", "flagship_interpolated",
+    "forward_fill_locf", "scd2_history", "percentile_norm",
+    "cusum_level_shift", "sample_per_group", "winsorize_values",
+    "climatology_anomaly", "semantic_dedup", "soft_dedup_weights",
+    "temperature_mix", "unicode_scrub", "token_compression",
+    "trend_slope_qc", "unpivot_profile", "multimodal_gif_frames",
+    "bm25_topk", "exact_quantiles", "topk_per_group",
+    "zorder_layout_key", "intersect_active_users", "chunk_documents",
+    "charlm_quality", "oov_rate", "dedup_levenshtein_pairs",
+    "corpus_cube_stats", "rolling_despike", "dedup_span_corpus",
+    "c4_line_filter", "vocab_top_terms", "incremental_corpus_dedup",
+    "multimodal_wav_features", "embed_cosine_topk",
+    "embed_neardup_blocked", "embed_neardup_clusters",
+    "multimodal_features", "multimodal_frames", "ann_lsh_topk",
+    "ann_ivf_kmeans_topk", "stream_incremental_dedup",
+    "stream_windowed_agg", "stream_keep_richest_state",
+    "stream_corpus_dedup", "except_churned_users", "hard_negatives",
+    "sliding_window_counts", "html_strip", "json_props_extract",
+    "text_repetition_family", "dedup_clusters", "embed_neardup",
+    "ann_ivf_topk", "stream_interval_join", "dedup_simhash128_pairs",
+    "state_durations", "flatline_runs", "stream_interval_join_left",
+    "ann_recall_report", "multimodal_png_pixels", "sessionize",
+    "range_join_windows", "flagship_tower_pipeline",
+    "flagship_partitioned", "toa5_roundtrip", "sink_roundtrip",
     "bpe_train_merges", "dedup_keep_richest", "gapfill_spine",
     "lag_spike_qc", "day_flatline_qc", "flag_strings",
     "bounds_filtered", "wateryear_rollup", "union_overlap_dedup",
     "mslp_barometric", "latest_per_user", "anti_join_processed",
     "rollup_summary", "type_summary_stats", "embed_label_centroids",
-    "pivot_daily_counts", "session_window_native", "multimodal_jpeg_pixels",
-    "multimodal_gif_pixels", "null_profile", "last10d_window",
-    "pricing_summary", "top_revenue", "text_stats",
+    "pivot_daily_counts", "session_window_native",
+    "multimodal_jpeg_pixels", "multimodal_gif_pixels", "null_profile",
+    "last10d_window", "pricing_summary", "top_revenue", "text_stats",
     "text_lang_id", "text_fingerprint", "text_tfidf_topk",
     "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_exact",
-    "salted_skew_join", "training_data_pipeline", "asof_join_checkpoint",
-    "sketch_accuracy", "train_val_test_split", "corpus_curation",
-    "text_entropy", "decontaminate_ngrams", "sample_shard_pack",
-    "redact_pii", "dedup_simhash", "dedup_simhash64",
-    "multimodal_bmp_pixels", "multimodal_tiff_pixels", "dedup_ngram_jaccard_capped",
+    "salted_skew_join", "training_data_pipeline",
+    "asof_join_checkpoint", "sketch_accuracy", "train_val_test_split",
+    "corpus_curation", "text_entropy", "decontaminate_ngrams",
+    "sample_shard_pack", "redact_pii", "dedup_simhash",
+    "dedup_simhash64", "multimodal_bmp_pixels",
+    "multimodal_tiff_pixels", "dedup_ngram_jaccard_capped",
     "text_repetition", "dedup_simhash_pairs", "dedup_simhash64_pairs",
-    "interpolate_linear", "stream_dedup_within_wm", "variant_props_extract",
-    "ann_ivf_arrow_recall", "flagship_interpolated", "forward_fill_locf",
-    "scd2_history", "percentile_norm", "cusum_level_shift",
-    "sample_per_group", "winsorize_values", "climatology_anomaly",
-    "semantic_dedup", "soft_dedup_weights", "temperature_mix",
-    "unicode_scrub", "token_compression", "trend_slope_qc",
-    "unpivot_profile", "multimodal_gif_frames", "bm25_topk",
-    "exact_quantiles", "topk_per_group", "zorder_layout_key",
-    "intersect_active_users", "chunk_documents", "charlm_quality",
-    "oov_rate", "dedup_levenshtein_pairs", "corpus_cube_stats",
-    "rolling_despike", "dedup_span_corpus", "c4_line_filter",
-    "vocab_top_terms", "incremental_corpus_dedup", "multimodal_wav_features",
-    "embed_cosine_topk", "embed_neardup_blocked", "embed_neardup_clusters",
-    "multimodal_features", "multimodal_frames", "ann_lsh_topk",
-    "ann_ivf_kmeans_topk", "stream_incremental_dedup", "stream_windowed_agg",
-    "stream_keep_richest_state", "stream_corpus_dedup", "except_churned_users",
-    "hard_negatives", "sliding_window_counts", "html_strip",
-    "json_props_extract", "text_repetition_family", "dedup_clusters",
-    "embed_neardup", "ann_ivf_topk", "stream_interval_join",
-    "dedup_simhash128_pairs", "state_durations", "flatline_runs",
-    "stream_interval_join_left", "ann_recall_report", "multimodal_png_pixels",
-    "sessionize", "range_join_windows", "flagship_tower_pipeline",
-    "flagship_partitioned", "toa5_roundtrip", "sink_roundtrip",
+    "interpolate_linear", "stream_dedup_within_wm",
 ]
 
 
@@ -2933,7 +2965,7 @@ def _apply_rotation(base: dict) -> dict:
     Keys absent from the order list (there should be none — tested)
     keep their definition order at the tail rather than being dropped.
     """
-    out = {k: base[k] for k in _R14_ORDER if k in base}
+    out = {k: base[k] for k in _R15_ORDER if k in base}
     for k, v in base.items():
         out.setdefault(k, v)
     return out
@@ -2941,7 +2973,7 @@ def _apply_rotation(base: dict) -> dict:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Definition order below is historical (r8); the driver-visible
-    # order comes from _R14_ORDER via _apply_rotation.
+    # order comes from _R15_ORDER via _apply_rotation.
     return _apply_rotation({
         # ---- r8 top-50 (the driver checks ~50 entries/round).
         # 1-4: the r5-stale twins that spilled past r7's cap;
@@ -2967,6 +2999,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training crosses the hash gate; otherwise FROZEN per the
         # standing rule)
         "bpe_train_merges": q_bpe_train_merges,
+        # ---- r15: the ONE registry addition (VERDICT r14 #1 —
+        # ExactSubstr span removal crosses the hash gate, both
+        # keep_first modes; otherwise FROZEN)
+        "dedup_span_removal": q_dedup_span_removal,
         "cusum_level_shift": q_cusum_qc,
         "sample_per_group": q_sample_per_group,
         "winsorize_values": q_winsorize,
@@ -3108,6 +3144,7 @@ def oracle_sql() -> dict[str, str]:
         "scd2_history": _SCD2_SQL,
         "percentile_norm": _PERCENTILE_NORM_SQL,
         "bpe_train_merges": _bpe_train_sql(),
+        "dedup_span_removal": _span_removal_sql(),
         "cusum_level_shift": _CUSUM_SQL,
         "sample_per_group": _SAMPLE_PER_GROUP_SQL,
         "winsorize_values": _WINSORIZE_SQL,

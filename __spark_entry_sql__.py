@@ -1509,6 +1509,72 @@ SELECT d.doc_id, coalesce(dup_span_frac, 0.0) AS dup_span_frac
 FROM documents d LEFT JOIN frac USING (doc_id)
 """
 
+# ExactSubstr span REMOVAL (r15 registry promotion of the r14 library
+# op). 13-token spans at test scale: long enough that only the synth's
+# seeded duplication matches, short enough that sf0.01 docs carry them.
+_SPAN_REMOVAL_N = 13
+_SPAN_REMOVAL_MIN_DOCS = 2
+
+
+def _span_removal_sql() -> str:
+    """DuckDB replay of llm/dedup.remove_duplicate_spans, BOTH
+    keep_first modes unioned under a `dedup_mode` discriminator.
+    Cross-engine-validated single-mode at r14
+    (tests/test_round14.py::test_remove_duplicate_spans_matches_duckdb_replay);
+    this builder shares the token/span/dup CTEs across the two
+    reconstructions. Span identity keys on the span STRING here vs the
+    60-bit md5 in Spark — equivalent absent md5 collisions, the same
+    contract every shingle oracle relies on."""
+    n, md = _SPAN_REMOVAL_N, _SPAN_REMOVAL_MIN_DOCS
+    return f"""
+WITH nrm AS (
+  SELECT doc_id, string_split({_NORM_SQL}, ' ') AS ss FROM documents),
+tk AS (
+  SELECT doc_id, i, ss[i] AS tok
+  FROM nrm, unnest(range(1, len(ss) + 1)) t(i)
+  WHERE ss[i] <> ''),
+sp AS (
+  SELECT doc_id, i AS p, array_to_string(list_slice(ss, i, i + {n} - 1), ' ') AS s
+  FROM nrm, unnest(range(1, len(ss) - {n} + 2)) t(i)
+  WHERE len(ss) >= {n} AND ss[1] <> ''),
+dup AS (
+  SELECT s, min(doc_id) AS first
+  FROM sp GROUP BY s HAVING count(DISTINCT doc_id) >= {md}),
+cov_all AS (
+  SELECT DISTINCT sp.doc_id, u.cpos
+  FROM sp JOIN dup USING (s), unnest(range(sp.p, sp.p + {n})) u(cpos)),
+cov_kf AS (
+  SELECT DISTINCT sp.doc_id, u.cpos
+  FROM sp JOIN dup USING (s), unnest(range(sp.p, sp.p + {n})) u(cpos)
+  WHERE sp.doc_id <> dup.first),
+reb_all AS (
+  SELECT tk.doc_id,
+         coalesce(string_agg(CASE WHEN c.cpos IS NULL THEN tk.tok END,
+                             ' ' ORDER BY tk.i), '') AS text_clean,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(CASE WHEN c.cpos IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_removed
+  FROM tk LEFT JOIN cov_all c ON tk.doc_id = c.doc_id AND tk.i = c.cpos
+  GROUP BY 1),
+reb_kf AS (
+  SELECT tk.doc_id,
+         coalesce(string_agg(CASE WHEN c.cpos IS NULL THEN tk.tok END,
+                             ' ' ORDER BY tk.i), '') AS text_clean,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(CASE WHEN c.cpos IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_removed
+  FROM tk LEFT JOIN cov_kf c ON tk.doc_id = c.doc_id AND tk.i = c.cpos
+  GROUP BY 1)
+SELECT d.doc_id, 'all' AS dedup_mode, coalesce(text_clean, '') AS text_clean,
+       coalesce(n_tokens, 0) AS n_tokens, coalesce(n_removed, 0) AS n_removed
+FROM documents d LEFT JOIN reb_all USING (doc_id)
+UNION ALL
+SELECT d.doc_id, 'keep_first' AS dedup_mode, coalesce(text_clean, '') AS text_clean,
+       coalesce(n_tokens, 0) AS n_tokens, coalesce(n_removed, 0) AS n_removed
+FROM documents d LEFT JOIN reb_kf USING (doc_id)
+"""
+
+
 _CHUNK_SIZE, _CHUNK_STRIDE = 64, 48
 
 _CHUNK_SQL = f"""

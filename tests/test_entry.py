@@ -153,23 +153,24 @@ def test_utc_alias_sessions_do_not_warn():
 
 
 def test_rotation_order_covers_full_registry():
-    """The r14 rotation list must cover exactly the registry: a new
+    """The r15 rotation list must cover exactly the registry: a new
     query added without a rotation slot would silently land at the
     tail (never driver-checked first), and a stale name in the list
     would shrink the checked window."""
     q = entrymod.queries()
-    assert set(q) == set(entrymod._R14_ORDER)
-    assert list(q) == entrymod._R14_ORDER
-    assert list(entrymod.oracle_sql()) == entrymod._R14_ORDER
-    # VERDICT r13 #5: the new BPE-training query leads (first driver
-    # row in its first round), then the 16 entries whose newest driver
-    # row is r11 — the SLA-ceiling cohort rotation_debt ranks first.
-    assert entrymod._R14_ORDER[:17] == [
-        "bpe_train_merges",
-        "dedup_keep_richest", "gapfill_spine", "lag_spike_qc",
-        "day_flatline_qc", "flag_strings", "bounds_filtered",
-        "wateryear_rollup", "union_overlap_dedup", "mslp_barometric",
-        "latest_per_user", "anti_join_processed", "rollup_summary",
-        "type_summary_stats", "embed_label_centroids",
-        "pivot_daily_counts", "session_window_native",
+    assert set(q) == set(entrymod._R15_ORDER)
+    assert list(q) == entrymod._R15_ORDER
+    assert list(entrymod.oracle_sql()) == entrymod._R15_ORDER
+    # VERDICT r14 #1/#7: the new span-removal query leads (first
+    # driver row in its first round), then the 17 entries whose newest
+    # driver row is r12 — the SLA-ceiling cohort rotation_debt ranks
+    # first.
+    assert entrymod._R15_ORDER[:18] == [
+        "dedup_span_removal",
+        "variant_props_extract", "ann_ivf_arrow_recall",
+        "flagship_interpolated", "forward_fill_locf", "scd2_history",
+        "percentile_norm", "cusum_level_shift", "sample_per_group",
+        "winsorize_values", "climatology_anomaly", "semantic_dedup",
+        "soft_dedup_weights", "temperature_mix", "unicode_scrub",
+        "token_compression", "trend_slope_qc", "unpivot_profile",
     ]
