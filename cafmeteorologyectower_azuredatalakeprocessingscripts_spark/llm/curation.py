@@ -501,15 +501,18 @@ def charlm_score(
     (the counts feed back into the SAME per-(doc, bigram) rows they
     aggregate):
 
-    - ``'broadcast'`` (default): persist the per-(doc, bigram) counts
-      once (MEMORY_AND_DISK, the semdedup cache pattern), aggregate the
-      two tiny model tables from the cache (≤ alphabet² rows — map-side
+    - ``'broadcast'`` (default): aggregate the two tiny model tables
+      from the per-(doc, bigram) counts (≤ alphabet² rows — map-side
       combine collapses them before the shuffle) and broadcast them
       back. The corpus-sized rows cross ONE exchange (the pre-explode
       doc repartition, whose partitioning the final per-doc agg then
       rides); everything else that shuffles is model-sized. Pass
-      ``cache_out=[]`` to receive the persisted frame and
-      ``.unpersist()`` it after consuming the result.
+      ``cache_out=[]`` to additionally persist the per-(doc, bigram)
+      frame once (MEMORY_AND_DISK) and receive the handle —
+      ``.unpersist()`` it after consuming the result. Without the
+      opt-in nothing persists (no session-lifetime cache; the model
+      broadcasts re-evaluate the bigram subtree, bounded at 3x one
+      scan and usually cheaper via ReusedExchange).
     - ``'window'``: the model totals ride along as unbounded
       ``sum().over(partitionBy)`` windows — nothing persists, but every
       corpus bigram row crosses the bg-window and first-char-window
@@ -541,8 +544,17 @@ def charlm_score(
         .agg(F.countDistinct("ch").alias("v"))
     )
     if model == "broadcast":
-        per_doc_bg = per_doc_bg.persist()
+        # Persist is OPT-IN (cache_out=[]): the caller owns the handle
+        # and unpersists after consuming the result (the
+        # incremental_dedup contract; r14 removed the same
+        # session-lifetime default cache from jaccard_pairs). Without
+        # it the per-(doc, bigram) subtree is re-evaluated for the two
+        # model broadcasts — AQE's ReusedExchange typically recovers
+        # the repartition, and the recompute is bounded at 3x one scan;
+        # a silent MEMORY_AND_DISK frame that outlives the call is the
+        # worse default for long-lived sessions.
         if cache_out is not None:
+            per_doc_bg = per_doc_bg.persist()
             cache_out.append(per_doc_bg)
         model_bg = per_doc_bg.groupBy("bg").agg(F.sum("c").alias("cb"))
         model_cu = (
