@@ -2546,8 +2546,15 @@ FROM p
 # merge k is a three-CTE block (pair explode -> global argmax -> merge
 # application), chained _BPE_MERGES_Q times. Merge application uses a
 # double-delimiter string encoding of the symbol sequence —
-# "<D><D>sym<D><D>sym<D><D>" with D = chr(31) (testdata corpus is pure
-# ASCII <= 'y'; no collision) — because SQL replace() is leftmost
+# "<D><D>sym<D><D>sym<D><D>" with D = chr(31). The encoding's actual
+# invariant (guarded by the corpus assert in
+# tests/test_round14.py::test_bpe_corpus_safe_for_delimiter_encoding,
+# ADVICE r14 #1): no document may contain (a) chr(31) itself — it IS
+# ASCII and would alias the delimiter, (b) a standalone '</w>' token —
+# it would alias the end-of-word marker, or (c) chr(11) \x0B — Java's
+# \s splits on vertical tab but DuckDB/RE2's \s does not, so the two
+# engines would tokenize such a document differently before training
+# even starts. replace() works here because it is leftmost
 # non-overlapping, EXACTLY the BPE merge rule, once each boundary is
 # two delimiters (the pattern "<D>l<D><D>r<D>" consumes one delimiter
 # from each boundary, leaving the outer ones to re-form "<D><D>"; a

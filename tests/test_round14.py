@@ -174,6 +174,30 @@ def test_bpe_query_matches_duckdb_replay(spark):
     assert len(got) == entrymod._BPE_MERGES_Q
 
 
+def test_bpe_corpus_safe_for_delimiter_encoding():
+    """ADVICE r14 #1: the double-delimiter oracle encoding is only
+    equivalent to the Spark training loop when no document contains
+    (a) chr(31) — the delimiter itself (it IS ASCII, so 'pure ASCII'
+    alone excludes nothing), (b) a standalone '</w>' token — the
+    end-of-word marker, or (c) chr(11) \\x0B — Java's \\s splits on
+    vertical tab, DuckDB/RE2's \\s does not, so tokenization itself
+    would diverge. Pin the invariant on every corpus the gate and the
+    bench run against; if testdata ever regenerates with such bytes,
+    this fails loudly instead of the hash gate red-flagging a correct
+    implementation."""
+    import duckdb
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        bad = duckdb.sql(
+            "SELECT count(*) FROM "
+            f"read_parquet('/root/testdata/{sf}/documents.parquet') "
+            "WHERE contains(text, chr(31)) OR contains(text, chr(11)) "
+            "   OR len(list_filter(string_split_regex(text, '\\s+'), "
+            "                      t -> t = '</w>')) > 0"
+        ).fetchone()[0]
+        assert bad == 0, f"{sf}: {bad} documents break the BPE oracle encoding"
+
+
 # -------------------------------------------------- ADVICE r13 #1/#2: codecs
 
 

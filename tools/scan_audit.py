@@ -35,8 +35,17 @@ def main() -> None:
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     spark = get_spark("caf-scan-audit")
     spark.sparkContext.setLogLevel("ERROR")
+    # ADVICE r14 #3: q_bpe_train_merges runs TRAINING eagerly at
+    # DataFrame-construction time (10 sequential Spark jobs + driver
+    # collects; the returned frame is a local relation with no parquet
+    # scans), so a plan-only audit would silently pay the full training
+    # cost for a vacuous zero-scan row. Skip it explicitly.
+    EAGER = {"bpe_train_merges"}
     out: dict = {}
     for name, fn in entrymod.queries().items():
+        if name in EAGER:
+            out[name] = "SKIPPED eager-execution query (local-relation result)"
+            continue
         try:
             plan = fn(spark, sf)._jdf.queryExecution().optimizedPlan().toString()
             tables = re.findall(r"/(\w+)\.parquet", plan)
