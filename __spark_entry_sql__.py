@@ -1454,7 +1454,7 @@ FROM documents d LEFT JOIN wide USING (doc_id) JOIN paras USING (doc_id)
 _VOCAB_SQL = f"""
 WITH t AS (
   SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS term
-  FROM documents),
+  FROM documents WHERE doc_id IS NOT NULL),
 pd AS (SELECT doc_id, term, count(*) AS c FROM t WHERE term <> '' GROUP BY 1, 2),
 totals AS (
   SELECT term, CAST(sum(c) AS BIGINT) AS n_occurrences, count(*) AS n_docs
@@ -1631,8 +1631,11 @@ _OOV_VOCAB_K = 256
 
 _OOV_SQL = f"""
 WITH tt AS (
+  -- doc_id IS NOT NULL mirrors the engine's shared null-id contract
+  -- (null-id docs contribute no tokens to vocab or counts); a no-op
+  -- on testdata, but it keeps the oracle correct on any corpus
   SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS term
-  FROM documents),
+  FROM documents WHERE doc_id IS NOT NULL),
 t AS (SELECT doc_id, term FROM tt WHERE term <> ''),
 pd AS (SELECT doc_id, term, count(*) AS c FROM t GROUP BY 1, 2),
 totals AS (SELECT term, CAST(sum(c) AS BIGINT) AS n_occ FROM pd GROUP BY 1),

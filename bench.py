@@ -106,6 +106,14 @@ EXTRA_QUERIES = [
     # new in r14 (the BPE registry addition; ratio freezes from its
     # first records per the amend-never-rebase rule)
     "bpe_train_merges",
+    # new in r15 (ExactSubstr span removal promoted across the hash
+    # gate; ratio freezes from its first records)
+    "dedup_span_removal",
+    # added in r15 without being new (ADVICE r14 #2): the r14 cache
+    # removal changed this plan materially (exchanges 7 -> 17, shared
+    # subtrees now recomputed) and it had NO bench record — first
+    # records freeze its ratio like any new entry
+    "incremental_corpus_dedup",
 ]
 
 HEADLINE = [

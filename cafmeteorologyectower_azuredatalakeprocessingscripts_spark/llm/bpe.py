@@ -200,6 +200,132 @@ def bpe_train(
         _release_rdds(spark, _persistent_rdd_ids(spark) - outside)
 
 
+def bpe_train_hybrid(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 50,
+    min_freq: int = 2,
+    lowercase: bool = False,
+    min_word_freq: int = 1,
+    max_distinct_words: int | None = None,
+) -> list[tuple[int, str, str, int]]:
+    """Merge-identical fast path for production merge budgets: ONE
+    distributed pass builds the (word, count) histogram, then the merge
+    loop runs in driver memory with incremental pair-count maintenance
+    (a lazy-deletion heap + per-affected-word updates — the classic
+    single-node BPE trainer structure).
+
+    Why this exists (VERDICT r14 #4): :func:`bpe_train` pays one Spark
+    job + a driver round-trip PER MERGE (~0.1-0.3 s floor each), which
+    is the right shape for auditing a handful of merges against an
+    oracle but puts a 30-50k-merge production budget at hours of
+    driver-bound latency. The histogram, however, is corpus-size-
+    INDEPENDENT after the first aggregation (~1e8 distinct words at
+    100 TB, a few GB as strings) — so the scalable split is: Spark does
+    the corpus-sized work (tokenize + count, one shuffle), the driver
+    does the vocabulary-sized work (merge loop, microseconds per round
+    after the first). Identical tie-break (freq desc, left asc, right
+    asc), identical non-overlapping left-to-right merge application,
+    identical ``min_freq`` stop — a regression test pins the merge list
+    against :func:`bpe_train` round-for-round.
+
+    Escape hatches when the histogram itself is too big to collect:
+    ``min_word_freq`` drops hapax/rare words from the histogram (the
+    standard trainer cutoff; changes learned merges only where rare
+    words would have contributed pair mass — documented, off by
+    default) and ``max_distinct_words`` keeps the top-N words by
+    (count desc, word asc) — a deterministic truncation, same caveat.
+    """
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    import heapq
+
+    txt = F.col(text_col)
+    if lowercase:
+        txt = F.lower(txt)
+    hist = (
+        df.select(F.explode(F.split(txt, r"\s+")).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    if min_word_freq > 1:
+        hist = hist.filter(F.col("n") >= min_word_freq)
+    if max_distinct_words is not None:
+        hist = hist.orderBy(F.desc("n"), F.asc("w")).limit(max_distinct_words)
+    pdf = hist.toPandas()
+
+    # ---- driver-side exact trainer over the histogram ----
+    words: list[list[str]] = [list(w) + [_END] for w in pdf["w"]]
+    counts: list[int] = [int(x) for x in pdf["n"]]
+    pair_count: dict[tuple[str, str], int] = {}
+    pair_words: dict[tuple[str, str], set[int]] = {}
+    for wi, syms in enumerate(words):
+        cw = counts[wi]
+        for i in range(len(syms) - 1):
+            p = (syms[i], syms[i + 1])
+            pair_count[p] = pair_count.get(p, 0) + cw
+            pair_words.setdefault(p, set()).add(wi)
+    # lazy-deletion heap: entries are (-count, left, right, count); an
+    # entry is live iff its count still equals pair_count[pair]
+    heap = [(-c, l, r, c) for (l, r), c in pair_count.items()]
+    heapq.heapify(heap)
+
+    def push(p: tuple[str, str]) -> None:
+        c = pair_count.get(p, 0)
+        if c > 0:
+            heapq.heappush(heap, (-c, p[0], p[1], c))
+
+    merges: list[tuple[int, str, str, int]] = []
+    for k in range(n_merges):
+        best = None
+        while heap:
+            negc, l, r, c = heap[0]
+            if pair_count.get((l, r), 0) != c:
+                heapq.heappop(heap)  # stale entry
+                continue
+            best = (l, r, c)
+            break
+        if best is None or best[2] < min_freq:
+            break
+        left, right, freq = best
+        merges.append((k, left, right, freq))
+        fused = left + right
+        touched: set[tuple[str, str]] = set()
+        for wi in list(pair_words.get((left, right), ())):
+            syms = words[wi]
+            cw = counts[wi]
+            # retract this word's pair mass, rewrite, re-add — O(len)
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pair_count[p] -= cw
+                if pair_count[p] <= 0:
+                    del pair_count[p]
+                    pair_words.pop(p, None)
+                else:
+                    pair_words[p].discard(wi)
+                touched.add(p)
+            res: list[str] = []
+            i = 0
+            ln = len(syms)
+            while i < ln:
+                if i + 1 < ln and syms[i] == left and syms[i + 1] == right:
+                    res.append(fused)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            words[wi] = res
+            for i in range(len(res) - 1):
+                p = (res[i], res[i + 1])
+                pair_count[p] = pair_count.get(p, 0) + cw
+                pair_words.setdefault(p, set()).add(wi)
+                touched.add(p)
+        for p in touched:
+            push(p)
+    return merges
+
+
 def bpe_segment(word: str, merges: list[tuple[int, str, str, int]]) -> list[str]:
     """Segment ONE word with a learned merge list (greedy by merge
     rank — the standard BPE inference). Driver/worker-side helper for

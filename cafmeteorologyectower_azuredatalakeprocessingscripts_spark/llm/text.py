@@ -165,10 +165,17 @@ def vocab_top_terms(
     the distinct terms only) → global top-k via TakeOrderedAndProject
     (no full sort). The heavy-hitter list a 100 TB corpus feeds to BPE
     training or stopword discovery.
+
+    Null-id contract (shared by :func:`oov_rate` and
+    :func:`oov_rate_against_top`): documents with a null ``id_col``
+    contribute NO tokens — so the fused and composed OOV forms agree
+    on any corpus, not just ones where ids are a primary key.
     """
     from pyspark.sql import Window
 
-    t = repartition_pinned(df, F.col(id_col)).select(
+    t = repartition_pinned(
+        df.filter(F.col(id_col).isNotNull()), F.col(id_col)
+    ).select(
         F.col(id_col).alias("id"),
         F.explode(F.split(norm_text(text_col), " ")).alias("term"),
     ).filter(F.col("term") != "")
@@ -204,12 +211,14 @@ def oov_rate(
     hitters), so it BROADCASTS; the corpus side is one explode plus one
     doc-keyed agg that collapses map-side inside the doc partitioning —
     shuffle bytes ∝ documents, never token occurrences. Empty docs
-    report 0/0 with rate 0.
+    report 0/0 with rate 0. Null-id docs contribute no tokens (the
+    shared contract — see :func:`vocab_top_terms`); their output row
+    is (null, 0, 0, 0.0) in every form.
     """
     from pyspark.sql import functions as F
 
     toks = (
-        repartition_pinned(df, F.col(id_col))
+        repartition_pinned(df.filter(F.col(id_col).isNotNull()), F.col(id_col))
         .select(
             F.col(id_col),
             F.explode(F.split(norm_text(text_col), " ")).alias("term"),
@@ -268,10 +277,10 @@ def oov_rate_against_top(
     # pushes an isnotnull(id) filter into ITS copy of the scan, and a
     # filter present on one subtree but not the other breaks sameResult
     # — no ReusedExchange, corpus scanned twice. Pre-filtering the
-    # SHARED source puts the same filter in both subtrees. (Semantics:
-    # a null-id doc can't appear in the keyed output; this also keeps
-    # its tokens out of the vocab, which the two-op composition would
-    # count — ids are the table PK, so the case is vacuous.)
+    # SHARED source puts the same filter in both subtrees. Semantics:
+    # null-id docs contribute no tokens — the SAME contract
+    # vocab_top_terms and oov_rate enforce (ADVICE r14 #4), so the
+    # fused and composed forms agree on ANY corpus, null ids included.
     t = (
         repartition_pinned(
             df.filter(F.col(id_col).isNotNull()), F.col(id_col)

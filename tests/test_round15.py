@@ -61,3 +61,150 @@ def test_charlm_score_cache_out_handle(spark):
     for f in handles:
         f.unpersist()
     assert len(sc._jsc.getPersistentRDDs()) == before
+
+
+# ------------------------------------------ ADVICE r14 #4: oov null-id pin
+
+
+def _docs_with_null_id(spark):
+    """The round-14 corpus plus a null-id doc whose tokens ('zzz' x 12)
+    would DOMINATE a small-k vocabulary if counted — the exact case
+    where the composed and fused OOV forms used to diverge."""
+    return spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "pack my box with five dozen liquor jugs"),
+            (4, "sphinx of black quartz judge my vow"),
+            (5, ""),
+            (6, "the the the quick quick zebra"),
+            (None, "zzz zzz zzz zzz zzz zzz zzz zzz zzz zzz zzz zzz"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_vocab_top_terms_excludes_null_id_docs(spark):
+    """Null-id docs contribute no tokens to the vocabulary (the shared
+    contract, ADVICE r14 #4): 'zzz' outnumbers every real token yet
+    must not appear, and the list must equal the null-free corpus's."""
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.text import (
+        vocab_top_terms,
+    )
+
+    with_null = {
+        tuple(r) for r in vocab_top_terms(_docs_with_null_id(spark), k=3).collect()
+    }
+    without = {tuple(r) for r in vocab_top_terms(_docs(spark), k=3).collect()}
+    assert with_null == without
+    assert not any(r[0] == "zzz" for r in with_null)
+
+
+def test_oov_forms_agree_on_null_id_corpus(spark):
+    """The fused and composed OOV forms must agree row-for-row on a
+    corpus WITH a null-id doc, unconditionally (no ids-are-PK
+    assumption)."""
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.text import (
+        oov_rate,
+        oov_rate_against_top,
+        vocab_top_terms,
+    )
+
+    d = _docs_with_null_id(spark)
+    for k in (3, 5, 100):
+        composed = {
+            tuple(r) for r in oov_rate(d, vocab_top_terms(d, k=k)).collect()
+        }
+        fused = {tuple(r) for r in oov_rate_against_top(d, k=k).collect()}
+        assert fused == composed
+        # the null-id doc's row exists and is all-zero in both forms
+        assert (None, 0, 0, 0.0) in fused
+
+
+# --------------------------------- VERDICT r14 #6: SRP eager-count fallback
+
+
+def test_no_registry_query_hits_eager_count_fallback(spark):
+    """embed_neardup_pairs(planes=None) falls back to an eager
+    df.count() (with a RuntimeWarning) when Catalyst sizeInBytes is
+    unavailable. No registry entry may pay that hidden job: parquet-
+    backed plans carry stats, and the embed callers pin planes= or use
+    block=False. Constructing every plan under a warnings trap proves
+    it and keeps it true for future entries (VERDICT r14 #6)."""
+    import warnings
+
+    import __spark_entry__ as entrymod
+
+    # eager-at-construction queries (training loops / convergence
+    # iterations) are excluded on cost grounds, same set as
+    # tools/scan_audit.py — their code paths contain no SRP sizing.
+    eager = {"bpe_train_merges"}
+    hits = []
+    for name, fn in entrymod.queries().items():
+        if name in eager:
+            continue
+        with warnings.catch_warnings(record=True) as rec:
+            warnings.simplefilter("always")
+            fn(spark, "/root/testdata/sf0.001")
+        for w in rec:
+            if issubclass(w.category, RuntimeWarning) and "sizeInBytes" in str(
+                w.message
+            ):
+                hits.append(name)
+    assert hits == [], f"eager-count SRP fallback hit by: {hits}"
+
+
+# ------------------------------------- VERDICT r14 #4: BPE merge budgets
+
+
+def _bpe_corpora(spark):
+    yield _docs(spark)
+    # overlapping runs — the non-overlapping left-to-right rule and
+    # per-position pair counting must agree between trainers
+    yield spark.createDataFrame(
+        [(1, "aaaa aaa aa a"), (2, "aaa bbb aab"), (3, "ab ab ab")],
+        "doc_id long, text string",
+    )
+
+
+def test_bpe_hybrid_merge_identical_to_distributed(spark):
+    """bpe_train_hybrid (one histogram job + driver merge loop) must
+    produce the EXACT merge list of bpe_train (one Spark job per merge)
+    — same tie-break, same non-overlapping application, same min_freq
+    stop. This is what makes the hybrid the production path for
+    30-50k-merge budgets without leaving the oracle's semantics."""
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.bpe import (
+        bpe_train,
+        bpe_train_hybrid,
+    )
+
+    for d in _bpe_corpora(spark):
+        for n_merges, min_freq in ((12, 2), (40, 1)):
+            dist = bpe_train(d, n_merges=n_merges, min_freq=min_freq)
+            hyb = bpe_train_hybrid(d, n_merges=n_merges, min_freq=min_freq)
+            assert hyb == dist
+
+
+def test_bpe_hybrid_histogram_cutoffs_are_deterministic(spark):
+    """The escape hatches truncate the histogram deterministically:
+    min_word_freq drops rare words, max_distinct_words keeps the top-N
+    by (count desc, word asc). Training on the truncated histogram
+    equals training on a corpus containing exactly those words."""
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.bpe import (
+        bpe_train,
+        bpe_train_hybrid,
+    )
+
+    d = spark.createDataFrame(
+        [(1, "foo foo foo bar bar baz"), (2, "foo bar qux")],
+        "doc_id long, text string",
+    )
+    # min_word_freq=2 keeps {foo:4, bar:3} — same merges as a corpus of
+    # just those words at those counts
+    trunc = spark.createDataFrame(
+        [(1, "foo foo foo foo bar bar bar")], "doc_id long, text string"
+    )
+    got = bpe_train_hybrid(d, n_merges=10, min_word_freq=2)
+    want = bpe_train(trunc, n_merges=10)
+    assert got == want
+    assert bpe_train_hybrid(d, n_merges=10, max_distinct_words=2) == want
