@@ -1,7 +1,18 @@
-"""Adjudicate the 2 extras flagged by r15 bench triage (driver's
-latest BENCH_extra.json vs frozen BASELINE_RATIO.json):
-`variant_props_extract` (1.39x) and `multimodal_wav_features` (1.39x)
-— past the 1.35x noise band, under the 2x acceptance ceiling.
+"""Adjudicate the r15 flag set: the 2 extras from the driver's
+r14-close BENCH_extra.json (`variant_props_extract` 1.39x,
+`multimodal_wav_features` 1.39x) plus the 2 headline flags from the
+degraded-phase BENCH_LOCAL_r15a record (`flagship_partitioned` 1.39x,
+`pricing_summary` 1.36x) — all past the 1.35x noise band, all under
+the 2x acceptance ceiling.
+
+pricing_summary needs a note: it IS the drift probe, so its "ratio"
+in a bench record is phase-min / bracket-mean — it can only flag when
+the box speed CHANGES during the run (r15a: pre-probe 1.656, post
+1.3, a recovering box), never from a code change (zero commits since
+r6). The interleaved design adjudicates it by construction: the probe
+is measured in the same rounds as the queries, so we record its
+absolute per-round mins plus the pure-CPython py_probe as an
+independent box-speed witness instead of a vacuous pricing/pricing=1.
 
 Method (DECISIONS r9s3 standing rule: cross-phase totals are weather;
 only interleaved same-process measurements adjudicate): N_ROUNDS
@@ -50,10 +61,12 @@ N_ROUNDS = int(os.environ.get("N_ROUNDS", "6"))
 FROZEN = {
     "variant_props_extract": 0.271,
     "multimodal_wav_features": 0.306,
+    "flagship_partitioned": 0.412,
 }
 DRIVER_FLAGGED = {
-    "variant_props_extract": 0.377,
-    "multimodal_wav_features": 0.425,
+    "variant_props_extract": 0.377,   # driver r14-close BENCH_extra
+    "multimodal_wav_features": 0.425,  # driver r14-close BENCH_extra
+    "flagship_partitioned": 0.574,     # BENCH_LOCAL_r15a (local)
 }
 
 
@@ -80,9 +93,13 @@ def main() -> None:
         lambda it: it, "id long"
     ).write.format("noop").mode("overwrite").save()
 
+    from tools.drift import py_probe
+
     names = list(FROZEN)
     times: dict[str, list[float]] = {PROBE: [], **{n: [] for n in names}}
+    py_probes: list[float] = []
     for r in range(N_ROUNDS):
+        py_probes.append(py_probe())
         times[PROBE].append(t(PROBE))
         for n in names:
             times[n].append(t(n))
@@ -102,6 +119,13 @@ def main() -> None:
             "old-code control."
         ),
         "probe_min": round(probe_min, 3),
+        "probe_rounds": [round(x, 3) for x in times[PROBE]],
+        "py_probe_per_round": py_probes,
+        "pricing_summary_note": (
+            "probe flag on r15a = phase-min/bracket-mean on a recovering "
+            "box (pre 1.656, post 1.3); interleaved rounds adjudicate it "
+            "by construction — see probe_rounds stability vs py_probe"
+        ),
         "queries": {},
     }
     for n in names:
