@@ -70,8 +70,42 @@ def main() -> None:
         }
         print(f"[hyb]  n={n}: {dt:.1f}s, learned {len(m)}", flush=True)
 
-    # identity: the hybrid must reproduce the distributed merge list
-    # exactly at every shared budget
+    # synthetic large-vocabulary leg: the sf0.1 corpus exhausts at
+    # ~107 learnable merges (min_freq=2), so the production-budget
+    # claim needs a vocabulary that can sustain tens of thousands of
+    # merges. Build a Zipf-ish histogram of distinct words directly
+    # (the trainer's input shape after the Spark aggregation) and
+    # time the driver loop alone at production budgets.
+    if os.environ.get("SYNTH", "1") == "1":
+        import random
+
+        rng = random.Random(42)
+        alphabet = "abcdefghijklmnopqrstuvwxyz"
+        n_words = int(os.environ.get("SYNTH_WORDS", "200000"))
+        # one row per distinct word (uniform counts): the driver
+        # loop's cost is governed by vocabulary size and merge count
+        # — count magnitudes only change WHICH pair wins, not the
+        # per-merge update work — so a uniform histogram times the
+        # loop honestly without materializing Zipf-many corpus rows
+        words = {
+            "".join(rng.choice(alphabet) for _ in range(4 + (i % 9)))
+            for i in range(n_words)
+        }
+        sdf = spark.createDataFrame([(w,) for w in words], "text string")
+        out["synthetic"] = {"n_distinct_words": len(words)}
+        for n in (1000, 10000, 30000):
+            t0 = time.perf_counter()
+            m = bpe_train_hybrid(sdf, n_merges=n, min_freq=1)
+            dt = time.perf_counter() - t0
+            out["synthetic"][str(n)] = {
+                "sec": round(dt, 3),
+                "merges_learned": len(m),
+                "sec_per_merge": round(dt / max(len(m), 1), 5),
+            }
+            print(f"[synth] n={n}: {dt:.1f}s, learned {len(m)}", flush=True)
+
+    # identity: the hybrid must reproduce the merge list of the
+    # distributed trainer exactly at every shared budget
     ident = {}
     for n in DIST_BUDGETS:
         if n in hyb_merges:
