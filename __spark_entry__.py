@@ -1844,28 +1844,22 @@ def q_dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     token covered by a 13-token span occurring in >= 2 documents
     dropped, plus token/removal counts. BOTH keep_first modes ship
     under one `dedup_mode` discriminator so the hash gate pins the
-    leave-one-occurrence variant too (a real pipeline runs exactly one
-    mode; the union exists for oracle coverage, and its cost is the
-    honest 2x of one mode — the span-frequency agg subtrees are
-    identical, so AQE may reuse the exchange). North-star surface; no
-    reference analogue."""
+    leave-one-occurrence variant too. r15: the naive union of two
+    single-mode plans re-ran the whole pipeline per mode (22 scans /
+    28 live exchanges at sf0.01; ReuseExchange recovered only 5) —
+    `remove_duplicate_spans_modes` computes both coverage flags in ONE
+    span-frequency pass and both cleaned texts in one rebuild, then
+    explodes the two mode rows. Row-identical to the union (pinned by
+    test + the unchanged oracle). North-star surface; no reference
+    analogue."""
     from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.dedup import (
-        remove_duplicate_spans,
+        remove_duplicate_spans_modes,
     )
 
     d = T(spark, sf_dir, "documents")
-    n, md = _SPAN_REMOVAL_N, _SPAN_REMOVAL_MIN_DOCS
-    both = None
-    for mode_name, kf in (("all", False), ("keep_first", True)):
-        one = remove_duplicate_spans(d, n=n, min_docs=md, keep_first=kf).select(
-            "doc_id",
-            F.lit(mode_name).alias("dedup_mode"),
-            "text_clean",
-            "n_tokens",
-            "n_removed",
-        )
-        both = one if both is None else both.unionByName(one)
-    return both
+    return remove_duplicate_spans_modes(
+        d, n=_SPAN_REMOVAL_N, min_docs=_SPAN_REMOVAL_MIN_DOCS
+    ).select("doc_id", "dedup_mode", "text_clean", "n_tokens", "n_removed")
 
 
 # ------------------------------------------------ round-6 second wave

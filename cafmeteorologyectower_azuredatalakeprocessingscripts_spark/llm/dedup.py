@@ -326,6 +326,137 @@ def remove_duplicate_spans(
     )
 
 
+def remove_duplicate_spans_modes(
+    df: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Both :func:`remove_duplicate_spans` modes in ONE corpus pass —
+    (id, dedup_mode 'all'|'keep_first', text_clean, n_tokens,
+    n_removed), two rows per document, row-identical to unioning the
+    single-mode calls (pinned by test).
+
+    The modes differ only in which covering slots count (keep_first
+    exempts the span's smallest-id carrier), so the span
+    document-frequency aggregation, the covered-position fan-out, and
+    the doc-keyed rebuild — every expensive stage — are shared: the
+    coverage aggregation carries two flags (any-slot, any-non-first
+    slot), the rebuild computes both cleaned texts in the same
+    ``collect_list`` pass, and a 2-element inline explode emits the
+    mode rows. Measured vs the naive union of two single-mode plans:
+    the union re-ran the whole pipeline per mode (22 scans / 28 live
+    exchanges at sf0.01 — ReuseExchange recovered only 5), this form
+    halves it. Running one mode? Use :func:`remove_duplicate_spans`.
+    """
+    toks = F.split(norm_text(text_col), " ")
+    arr = _ngram_arr(toks, n)
+    base = repartition_pinned(
+        df.filter(F.col(id_col).isNotNull()), F.col(id_col)
+    )
+    tok = base.select(
+        F.col(id_col), F.posexplode(toks).alias("pos", "tok")
+    ).filter(F.col("tok") != "")
+    spans = (
+        base.select(F.col(id_col), F.posexplode(arr).alias("pos", "__sp"))
+        .filter(F.col("__sp").isNotNull())
+        .select(id_col, "pos", md5_int(F.col("__sp")).alias("sp_h"))
+    )
+    dup = (
+        spans.groupBy("sp_h")
+        .agg(
+            F.count_distinct(F.col(id_col)).alias("__df"),
+            F.min(id_col).alias("__first"),
+        )
+        .filter(F.col("__df") >= min_docs)
+        .select("sp_h", "__first")
+    )
+    covered = (
+        spans.join(dup, "sp_h")
+        .select(
+            F.col(id_col),
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + (n - 1))).alias(
+                "pos"
+            ),
+            (F.col(id_col) != F.col("__first")).cast("int").alias("__kf"),
+        )
+        .groupBy(id_col, "pos")
+        .agg(F.max("__kf").alias("__cov_kf"))
+        # every surviving row is covered in 'all' mode; covered in
+        # 'keep_first' mode iff some covering slot is a non-first
+        # carrier (__cov_kf = 1)
+    )
+    j = tok.join(covered, [id_col, "pos"], "left")
+    kept_kf = F.col("__cov_kf").isNull() | (F.col("__cov_kf") == 0)
+    rebuilt = j.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("__cov_kf").isNull(),
+                            F.struct(F.col("pos"), F.col("tok")),
+                        )
+                    )
+                ),
+                lambda x: x["tok"],
+            ),
+            " ",
+        ).alias("__text_all"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(kept_kf, F.struct(F.col("pos"), F.col("tok")))
+                    )
+                ),
+                lambda x: x["tok"],
+            ),
+            " ",
+        ).alias("__text_kf"),
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum(F.when(F.col("__cov_kf").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("__rm_all"),
+        F.sum(F.when(kept_kf, 0).otherwise(1)).cast("bigint").alias("__rm_kf"),
+    )
+    wide = df.select(id_col).join(rebuilt, id_col, "left")
+    return wide.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("all").alias("dedup_mode"),
+                    F.coalesce("__text_all", F.lit("")).alias("text_clean"),
+                    F.coalesce("n_tokens", F.lit(0)).cast("bigint").alias(
+                        "n_tokens"
+                    ),
+                    F.coalesce("__rm_all", F.lit(0)).cast("bigint").alias(
+                        "n_removed"
+                    ),
+                ),
+                F.struct(
+                    F.lit("keep_first").alias("dedup_mode"),
+                    F.coalesce("__text_kf", F.lit("")).alias("text_clean"),
+                    F.coalesce("n_tokens", F.lit(0)).cast("bigint").alias(
+                        "n_tokens"
+                    ),
+                    F.coalesce("__rm_kf", F.lit(0)).cast("bigint").alias(
+                        "n_removed"
+                    ),
+                ),
+            )
+        ).alias("__m"),
+    ).select(
+        id_col,
+        F.col("__m.dedup_mode").alias("dedup_mode"),
+        F.col("__m.text_clean").alias("text_clean"),
+        F.col("__m.n_tokens").alias("n_tokens"),
+        F.col("__m.n_removed").alias("n_removed"),
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

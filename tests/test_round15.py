@@ -154,6 +154,50 @@ def test_no_registry_query_hits_eager_count_fallback(spark):
     assert hits == [], f"eager-count SRP fallback hit by: {hits}"
 
 
+# ----------------------------- r15: fused dual-mode span removal
+
+
+def test_span_removal_modes_equals_union_of_single_modes(spark):
+    """remove_duplicate_spans_modes must be row-identical to unioning
+    the two single-mode remove_duplicate_spans calls — the fusion is a
+    plan change (one span-frequency pass, one rebuild), not a
+    semantics change. Corpus includes an empty doc, a fully-duplicated
+    doc, and a null-id doc."""
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.dedup import (
+        remove_duplicate_spans,
+        remove_duplicate_spans_modes,
+    )
+
+    common = "one two three four five six seven"
+    d = spark.createDataFrame(
+        [
+            (1, f"{common} alpha beta"),
+            (2, f"gamma {common} delta"),
+            (3, common),  # fully covered in 'all' mode
+            (4, "unrelated words only here"),
+            (5, ""),
+            (None, f"{common} from a null-id doc"),
+        ],
+        "doc_id long, text string",
+    )
+    n, md = 4, 2
+    union = []
+    for mode, kf in (("all", False), ("keep_first", True)):
+        for r in remove_duplicate_spans(d, n=n, min_docs=md, keep_first=kf).collect():
+            union.append((r["doc_id"], mode, r["text_clean"], r["n_tokens"], r["n_removed"]))
+    fused = [
+        (r["doc_id"], r["dedup_mode"], r["text_clean"], r["n_tokens"], r["n_removed"])
+        for r in remove_duplicate_spans_modes(d, n=n, min_docs=md).collect()
+    ]
+    key = lambda t: (t[0] is None, t[0], t[1])
+    assert sorted(fused, key=key) == sorted(union, key=key)
+    # the fully-covered doc loses everything in 'all' mode but keeps
+    # its tokens in keep_first mode when it is the smallest carrier
+    by = {(r[0], r[1]): r for r in fused}
+    assert by[(3, "all")][2] == ""
+    assert by[(1, "keep_first")][4] == 0  # doc 1 is the first carrier
+
+
 # ------------------------------------- VERDICT r14 #4: BPE merge budgets
 
 
