@@ -90,20 +90,18 @@ def test_chunk_documents_map_only(spark):
     assert plan.count("Generate") == 1
 
 
-def test_charlm_single_bigram_generate(spark):
-    # The corpus bigram explode must EXECUTE once (plus the one-row
-    # alphabet explode), never once per model table. With the
-    # broadcast-model default the per-(doc, bigram) counts are
-    # persisted, so every textual repeat of the explode must sit
-    # inside an InMemoryTableScan (the cache executes it once); the
-    # model join-backs must broadcast, never sort-merge.
+def test_charlm_leakfree_plan_bounded_reevaluation(spark):
+    # r15 contract (charlm persist became a cache_out opt-in): the
+    # DEFAULT plan persists NOTHING — no InMemoryTableScan may appear,
+    # because that is the session-lifetime cache the opt-in removed.
+    # The price is the bigram subtree re-evaluating under the model
+    # broadcasts, bounded at 3 textual repeats + the one-row alphabet
+    # explode (the docstring's "3x one scan" bound); the model
+    # join-backs must broadcast, never sort-merge.
     plan = _plan(spark, "charlm_quality")
-    assert "InMemoryTableScan" in plan
-    # the only Generate OUTSIDE the cached subtree display is the
-    # alphabet explode: strip InMemory blocks' display indents by
-    # counting Generates on lines that also mention the live side
-    live_generates = plan.count("Generate") - plan.count("InMemoryTableScan")
-    assert live_generates <= 2
+    assert "InMemoryTableScan" not in plan
+    assert plan.count("Generate") <= 4
+    assert plan.count("BroadcastHashJoin") >= 2
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
 
