@@ -139,18 +139,33 @@ def test_no_registry_query_hits_eager_count_fallback(spark):
     # iterations) are excluded on cost grounds, same set as
     # tools/scan_audit.py — their code paths contain no SRP sizing.
     eager = {"bpe_train_merges"}
+    # connected-components queries run their convergence loop at
+    # construction and the RETURNED frame rides the final
+    # localCheckpoint, which the library cannot release — drop the
+    # session-leaked checkpoint storage afterwards so the shared-
+    # session cleanliness tests downstream see what they saw before
+    # this test existed
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.bpe import (
+        _persistent_rdd_ids,
+        _release_rdds,
+    )
+
+    before = _persistent_rdd_ids(spark)
     hits = []
-    for name, fn in entrymod.queries().items():
-        if name in eager:
-            continue
-        with warnings.catch_warnings(record=True) as rec:
-            warnings.simplefilter("always")
-            fn(spark, "/root/testdata/sf0.001")
-        for w in rec:
-            if issubclass(w.category, RuntimeWarning) and "sizeInBytes" in str(
-                w.message
-            ):
-                hits.append(name)
+    try:
+        for name, fn in entrymod.queries().items():
+            if name in eager:
+                continue
+            with warnings.catch_warnings(record=True) as rec:
+                warnings.simplefilter("always")
+                fn(spark, "/root/testdata/sf0.001")
+            for w in rec:
+                if issubclass(w.category, RuntimeWarning) and "sizeInBytes" in str(
+                    w.message
+                ):
+                    hits.append(name)
+    finally:
+        _release_rdds(spark, _persistent_rdd_ids(spark) - before)
     assert hits == [], f"eager-count SRP fallback hit by: {hits}"
 
 
