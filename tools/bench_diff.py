@@ -30,6 +30,22 @@ import sys
 
 TOL = 1.35
 
+# DECISIONS r15: queries whose ABSOLUTE cost is flat across rounds
+# while their probe-ratio swings with the denominator — a ratio flag
+# on one of these is adjudicated against its absolute same-code band
+# (ADJUDICATE_r15.json wav leg), not the ratio alone. Ratio flags
+# still print; this annotates them with the controlling evidence.
+FIXED_COST_NOTE = {
+    "multimodal_wav_features": (
+        "abs-min band 0.445-0.584 s across r11-r15; real signal is "
+        "abs min > ~0.8 s, not the ratio"
+    ),
+    "variant_props_extract": (
+        "~0.38-0.43 s absolute since r7; small denominator amplifies "
+        "probe swings"
+    ),
+}
+
 
 def load_record(path: str, extra: bool) -> dict:
     text = open(path).read()
@@ -67,6 +83,8 @@ def main() -> int:
     print(f"{'query':30s} {'old':>8s} {'new':>8s} {'rel':>6s}")
     for rel, k, o, v in rows:
         mark = "  <-- ADJUDICATE" if rel > TOL else ""
+        if rel > TOL and k in FIXED_COST_NOTE:
+            mark += f"  [fixed-cost query — {FIXED_COST_NOTE[k]}]"
         print(f"{k:30s} {o:8.3f} {v:8.3f} {rel:6.2f}{mark}")
     fresh = sorted(set(new) - set(old))
     if fresh:
