@@ -35,27 +35,39 @@ from pyspark.sql import functions as F
 from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.session import get_spark
 from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.dedup import (
     remove_duplicate_spans,
+    remove_duplicate_spans_modes,
 )
 from tools.drift import bracketed
 from tools.pipeline_tier_probe import synth_docs_en
 
 N = int(os.environ.get("N", "13"))
 TIERS = [int(x) for x in os.environ.get("TIERS", "125000,500000").split(",")]
+# MODES=1 probes the r15 fused dual-mode op instead (the registry
+# query's plan since the span fusion); the removed fraction is read
+# off the dedup_mode='all' rows so the semantic check stays comparable
+MODES = os.environ.get("MODES", "0") == "1"
 
 
 def main() -> None:
     out_path = sys.argv[1] if len(sys.argv) > 1 else "/tmp/span_removal_tier_probe.json"
     spark = get_spark("caf-span-removal-probe")
     spark.sparkContext.setLogLevel("ERROR")
-    record: dict = {"n": N, "tiers": []}
+    record: dict = {"n": N, "modes_op": MODES, "tiers": []}
     for n_docs in TIERS:
         docs = synth_docs_en(spark, n_docs)
 
         stats = {}
 
         def run():
+            op = (
+                remove_duplicate_spans_modes(docs, n=N).filter(
+                    F.col("dedup_mode") == "all"
+                )
+                if MODES
+                else remove_duplicate_spans(docs, n=N)
+            )
             row = (
-                remove_duplicate_spans(docs, n=N)
+                op
                 .agg(
                     F.sum("n_tokens").alias("tok"),
                     F.sum("n_removed").alias("rem"),
