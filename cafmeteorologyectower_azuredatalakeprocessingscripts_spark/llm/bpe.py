@@ -238,8 +238,6 @@ def bpe_train_hybrid(
     """
     if n_merges < 1:
         raise ValueError(f"n_merges must be >= 1, got {n_merges}")
-    import heapq
-
     txt = F.col(text_col)
     if lowercase:
         txt = F.lower(txt)
@@ -254,10 +252,28 @@ def bpe_train_hybrid(
     if max_distinct_words is not None:
         hist = hist.orderBy(F.desc("n"), F.asc("w")).limit(max_distinct_words)
     pdf = hist.toPandas()
+    return _train_from_histogram(
+        list(pdf["w"]), [int(x) for x in pdf["n"]], n_merges, min_freq
+    )
 
-    # ---- driver-side exact trainer over the histogram ----
-    words: list[list[str]] = [list(w) + [_END] for w in pdf["w"]]
-    counts: list[int] = [int(x) for x in pdf["n"]]
+
+def _train_from_histogram(
+    hist_words: list[str],
+    hist_counts: list[int],
+    n_merges: int,
+    min_freq: int,
+) -> list[tuple[int, str, str, int]]:
+    """The driver-side exact merge loop over a (word, count) histogram
+    — the in-memory half of :func:`bpe_train_hybrid`, factored out so
+    property tests can drive it directly against an independent
+    reference with no Spark in the loop. Same pinned tie-break
+    (freq desc, left asc, right asc), same non-overlapping
+    left-to-right merge application, same ``min_freq`` stop as
+    :func:`bpe_train`."""
+    import heapq
+
+    words: list[list[str]] = [list(w) + [_END] for w in hist_words]
+    counts: list[int] = list(hist_counts)
     pair_count: dict[tuple[str, str], int] = {}
     pair_words: dict[tuple[str, str], set[int]] = {}
     for wi, syms in enumerate(words):

@@ -244,6 +244,41 @@ def test_bpe_hybrid_merge_identical_to_distributed(spark):
             assert hyb == dist
 
 
+def test_bpe_histogram_trainer_property_vs_reference():
+    """Hypothesis property (no Spark in the loop): the hybrid's
+    in-memory merge loop (`_train_from_histogram` — lazy-deletion heap
+    + incremental per-affected-word pair updates) must match the
+    independent full-recount reference implementation
+    (test_round13._reference_bpe) merge-for-merge on random corpora.
+    The incremental bookkeeping is exactly the kind of code a fixed
+    corpus undertests: overlap runs, ties, pairs whose counts fall to
+    zero and return."""
+    from hypothesis import given, settings, strategies as st
+
+    from test_round13 import _reference_bpe
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.bpe import (
+        _train_from_histogram,
+    )
+
+    words_st = st.lists(
+        st.text(alphabet="abc", min_size=1, max_size=6), min_size=1, max_size=30
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(words=words_st, n_merges=st.integers(1, 25), min_freq=st.integers(1, 3))
+    def prop(words, n_merges, min_freq):
+        from collections import Counter
+
+        hist = Counter(words)
+        got = _train_from_histogram(
+            list(hist.keys()), list(hist.values()), n_merges, min_freq
+        )
+        want = _reference_bpe([" ".join(words)], n_merges, min_freq=min_freq)
+        assert got == want
+
+    prop()
+
+
 def test_bpe_hybrid_histogram_cutoffs_are_deterministic(spark):
     """The escape hatches truncate the histogram deterministically:
     min_word_freq drops rare words, max_distinct_words keeps the top-N
