@@ -2884,6 +2884,31 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_train_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid BPE trainer behind the hash gate (r16, VERDICT r15 #3):
+    the PRODUCTION training path — one distributed (word, count)
+    histogram job, then the incremental driver-side merge loop
+    (llm/bpe.bpe_train_hybrid) — at the same shared budget
+    (_BPE_MERGES_Q merges, min_freq=1) as q_bpe_train_merges. The
+    oracle is the SAME unrolled greedy SQL replay (_bpe_train_sql), so
+    a green row proves hybrid == greedy-replay == (transitively) the
+    per-merge distributed path, merge for merge — the hash-gate form
+    of tests/test_round15.py::test_bpe_hybrid_merge_identical_to_
+    distributed. No histogram cutoffs (min_word_freq=1,
+    max_distinct_words=None): the gated claim is exact equivalence,
+    not the documented approximation hatches."""
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.bpe import (
+        bpe_train_hybrid,
+    )
+
+    merges = bpe_train_hybrid(
+        T(spark, sf_dir, "documents"), n_merges=_BPE_MERGES_Q, min_freq=1
+    )
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, freq bigint"
+    )
+
+
 # ORDER MATTERS: the driver's correctness gate evaluates at most ~50
 # entries per round (r2 and r3 both stopped at exactly 50), so the
 # rotation policy is: no query goes more than 2 rounds without a driver
@@ -2895,45 +2920,26 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 # oldest 41 of the r7-green cohort; 51-59 = the 9 r7-greens that don't
 # fit the cap (re-verified locally in CORRECTNESS_LOCAL_r09.json, first
 # claim on r10 slots); 60-109 = driver-green in r8.
-_R15_ORDER = [
-    # r15 rotation (118 entries; registry grew 117 -> 118: the ONE
-    # genuine-gap addition VERDICT r14 #1 mandated — dedup_span_removal
-    # puts ExactSubstr span REMOVAL (both keep_first modes) behind the
-    # hash gate; otherwise FROZEN per the standing rule). Exactly
+_R16_ORDER = [
+    # r16 rotation (119 entries; registry grew 118 -> 119: the ONE
+    # genuine-gap addition VERDICT r15 #3 mandated — bpe_train_hybrid
+    # puts the production hybrid BPE trainer behind the hash gate;
+    # otherwise FROZEN per the standing rule). Exactly
     # `tools/rotation_debt.py --suggest` order (stalest first,
     # registry-order tiebreak), the new query leading:
     # ---- 1: NEW this round (first driver row in its first round).
-    # ---- 2-18: the 17 entries whose newest driver row is r12 (the
+    # ---- 2-19: the 18 entries whose newest driver row is r13 (the
     # 2-round SLA ceiling cohort).
-    # ---- 19-68: the 50 entries last driver-checked at r13.
-    # ---- 69-118: driver-green in r14 (CORRECTNESS_r14 50/50).
-    "dedup_span_removal", "variant_props_extract",
-    "ann_ivf_arrow_recall", "flagship_interpolated",
-    "forward_fill_locf", "scd2_history", "percentile_norm",
-    "cusum_level_shift", "sample_per_group", "winsorize_values",
-    "climatology_anomaly", "semantic_dedup", "soft_dedup_weights",
-    "temperature_mix", "unicode_scrub", "token_compression",
-    "trend_slope_qc", "unpivot_profile", "multimodal_gif_frames",
-    "bm25_topk", "exact_quantiles", "topk_per_group",
-    "zorder_layout_key", "intersect_active_users", "chunk_documents",
-    "charlm_quality", "oov_rate", "dedup_levenshtein_pairs",
-    "corpus_cube_stats", "rolling_despike", "dedup_span_corpus",
-    "c4_line_filter", "vocab_top_terms", "incremental_corpus_dedup",
-    "multimodal_wav_features", "embed_cosine_topk",
-    "embed_neardup_blocked", "embed_neardup_clusters",
-    "multimodal_features", "multimodal_frames", "ann_lsh_topk",
-    "ann_ivf_kmeans_topk", "stream_incremental_dedup",
-    "stream_windowed_agg", "stream_keep_richest_state",
-    "stream_corpus_dedup", "except_churned_users", "hard_negatives",
-    "sliding_window_counts", "html_strip", "json_props_extract",
-    "text_repetition_family", "dedup_clusters", "embed_neardup",
-    "ann_ivf_topk", "stream_interval_join", "dedup_simhash128_pairs",
-    "state_durations", "flatline_runs", "stream_interval_join_left",
-    "ann_recall_report", "multimodal_png_pixels", "sessionize",
-    "range_join_windows", "flagship_tower_pipeline",
-    "flagship_partitioned", "toa5_roundtrip", "sink_roundtrip",
-    "bpe_train_merges", "dedup_keep_richest", "gapfill_spine",
-    "lag_spike_qc", "day_flatline_qc", "flag_strings",
+    # ---- 20-69: the 50 entries last driver-checked at r14.
+    # ---- 70-119: driver-green in r15 (CORRECTNESS_r15 50/50).
+    "bpe_train_hybrid", "json_props_extract", "text_repetition_family",
+    "dedup_clusters", "embed_neardup", "ann_ivf_topk",
+    "stream_interval_join", "dedup_simhash128_pairs", "state_durations",
+    "flatline_runs", "stream_interval_join_left", "ann_recall_report",
+    "multimodal_png_pixels", "sessionize", "range_join_windows",
+    "flagship_tower_pipeline", "flagship_partitioned", "toa5_roundtrip",
+    "sink_roundtrip", "bpe_train_merges", "dedup_keep_richest",
+    "gapfill_spine", "lag_spike_qc", "day_flatline_qc", "flag_strings",
     "bounds_filtered", "wateryear_rollup", "union_overlap_dedup",
     "mslp_barometric", "latest_per_user", "anti_join_processed",
     "rollup_summary", "type_summary_stats", "embed_label_centroids",
@@ -2942,14 +2948,32 @@ _R15_ORDER = [
     "last10d_window", "pricing_summary", "top_revenue", "text_stats",
     "text_lang_id", "text_fingerprint", "text_tfidf_topk",
     "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_exact",
-    "salted_skew_join", "training_data_pipeline",
-    "asof_join_checkpoint", "sketch_accuracy", "train_val_test_split",
-    "corpus_curation", "text_entropy", "decontaminate_ngrams",
-    "sample_shard_pack", "redact_pii", "dedup_simhash",
-    "dedup_simhash64", "multimodal_bmp_pixels",
-    "multimodal_tiff_pixels", "dedup_ngram_jaccard_capped",
-    "text_repetition", "dedup_simhash_pairs", "dedup_simhash64_pairs",
-    "interpolate_linear", "stream_dedup_within_wm",
+    "salted_skew_join", "training_data_pipeline", "asof_join_checkpoint",
+    "sketch_accuracy", "train_val_test_split", "corpus_curation",
+    "text_entropy", "decontaminate_ngrams", "sample_shard_pack",
+    "redact_pii", "dedup_simhash", "dedup_simhash64",
+    "multimodal_bmp_pixels", "multimodal_tiff_pixels",
+    "dedup_ngram_jaccard_capped", "text_repetition", "dedup_simhash_pairs",
+    "dedup_simhash64_pairs", "interpolate_linear",
+    "stream_dedup_within_wm", "dedup_span_removal",
+    "variant_props_extract", "ann_ivf_arrow_recall",
+    "flagship_interpolated", "forward_fill_locf", "scd2_history",
+    "percentile_norm", "cusum_level_shift", "sample_per_group",
+    "winsorize_values", "climatology_anomaly", "semantic_dedup",
+    "soft_dedup_weights", "temperature_mix", "unicode_scrub",
+    "token_compression", "trend_slope_qc", "unpivot_profile",
+    "multimodal_gif_frames", "bm25_topk", "exact_quantiles",
+    "topk_per_group", "zorder_layout_key", "intersect_active_users",
+    "chunk_documents", "charlm_quality", "oov_rate",
+    "dedup_levenshtein_pairs", "corpus_cube_stats", "rolling_despike",
+    "dedup_span_corpus", "c4_line_filter", "vocab_top_terms",
+    "incremental_corpus_dedup", "multimodal_wav_features",
+    "embed_cosine_topk", "embed_neardup_blocked", "embed_neardup_clusters",
+    "multimodal_features", "multimodal_frames", "ann_lsh_topk",
+    "ann_ivf_kmeans_topk", "stream_incremental_dedup",
+    "stream_windowed_agg", "stream_keep_richest_state",
+    "stream_corpus_dedup", "except_churned_users", "hard_negatives",
+    "sliding_window_counts", "html_strip",
 ]
 
 
@@ -2959,7 +2983,7 @@ def _apply_rotation(base: dict) -> dict:
     Keys absent from the order list (there should be none — tested)
     keep their definition order at the tail rather than being dropped.
     """
-    out = {k: base[k] for k in _R15_ORDER if k in base}
+    out = {k: base[k] for k in _R16_ORDER if k in base}
     for k, v in base.items():
         out.setdefault(k, v)
     return out
@@ -2967,7 +2991,7 @@ def _apply_rotation(base: dict) -> dict:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Definition order below is historical (r8); the driver-visible
-    # order comes from _R15_ORDER via _apply_rotation.
+    # order comes from _R16_ORDER via _apply_rotation.
     return _apply_rotation({
         # ---- r8 top-50 (the driver checks ~50 entries/round).
         # 1-4: the r5-stale twins that spilled past r7's cap;
@@ -2997,6 +3021,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ExactSubstr span removal crosses the hash gate, both
         # keep_first modes; otherwise FROZEN)
         "dedup_span_removal": q_dedup_span_removal,
+        # ---- r16: the ONE registry addition (VERDICT r15 #3 — the
+        # production hybrid BPE trainer crosses the hash gate at the
+        # shared _BPE_MERGES_Q budget; otherwise FROZEN)
+        "bpe_train_hybrid": q_bpe_train_hybrid,
         "cusum_level_shift": q_cusum_qc,
         "sample_per_group": q_sample_per_group,
         "winsorize_values": q_winsorize,
@@ -3138,6 +3166,10 @@ def oracle_sql() -> dict[str, str]:
         "scd2_history": _SCD2_SQL,
         "percentile_norm": _PERCENTILE_NORM_SQL,
         "bpe_train_merges": _bpe_train_sql(),
+        # r16: the hybrid trainer's oracle is the SAME greedy replay —
+        # one SQL, two training paths, so a green row on each pins
+        # hybrid == distributed transitively through the oracle.
+        "bpe_train_hybrid": _bpe_train_sql(),
         "dedup_span_removal": _span_removal_sql(),
         "cusum_level_shift": _CUSUM_SQL,
         "sample_per_group": _SAMPLE_PER_GROUP_SQL,

@@ -269,8 +269,24 @@ def _train_from_histogram(
     reference with no Spark in the loop. Same pinned tie-break
     (freq desc, left asc, right asc), same non-overlapping
     left-to-right merge application, same ``min_freq`` stop as
-    :func:`bpe_train`."""
+    :func:`bpe_train`.
+
+    Precondition (ADVICE r15 #2): every histogram count must be >= 1.
+    The retraction bookkeeping below (``del pair_count[p]`` once a
+    running total hits <= 0) is only sound under that invariant — a
+    zero/negative count would desync ``pair_words`` from
+    ``pair_count`` and silently skip rewrites. Spark ``groupBy``
+    counts and ``Counter`` values always satisfy it; guard the public
+    boundary so a direct caller cannot violate it silently."""
     import heapq
+
+    for c in hist_counts:
+        if c < 1:
+            raise ValueError(
+                f"histogram counts must all be >= 1, got {c}; "
+                "zero/negative counts would desync the incremental "
+                "pair bookkeeping"
+            )
 
     words: list[list[str]] = [list(w) + [_END] for w in hist_words]
     counts: list[int] = list(hist_counts)

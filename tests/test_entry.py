@@ -153,24 +153,24 @@ def test_utc_alias_sessions_do_not_warn():
 
 
 def test_rotation_order_covers_full_registry():
-    """The r15 rotation list must cover exactly the registry: a new
+    """The r16 rotation list must cover exactly the registry: a new
     query added without a rotation slot would silently land at the
     tail (never driver-checked first), and a stale name in the list
     would shrink the checked window."""
     q = entrymod.queries()
-    assert set(q) == set(entrymod._R15_ORDER)
-    assert list(q) == entrymod._R15_ORDER
-    assert list(entrymod.oracle_sql()) == entrymod._R15_ORDER
-    # VERDICT r14 #1/#7: the new span-removal query leads (first
-    # driver row in its first round), then the 17 entries whose newest
-    # driver row is r12 — the SLA-ceiling cohort rotation_debt ranks
-    # first.
-    assert entrymod._R15_ORDER[:18] == [
-        "dedup_span_removal",
-        "variant_props_extract", "ann_ivf_arrow_recall",
-        "flagship_interpolated", "forward_fill_locf", "scd2_history",
-        "percentile_norm", "cusum_level_shift", "sample_per_group",
-        "winsorize_values", "climatology_anomaly", "semantic_dedup",
-        "soft_dedup_weights", "temperature_mix", "unicode_scrub",
-        "token_compression", "trend_slope_qc", "unpivot_profile",
+    assert set(q) == set(entrymod._R16_ORDER)
+    assert list(q) == entrymod._R16_ORDER
+    assert list(entrymod.oracle_sql()) == entrymod._R16_ORDER
+    # VERDICT r15 #3: the new hybrid-BPE query leads (first driver row
+    # in its first round), then the 18 entries whose newest driver row
+    # is r13 — the SLA-ceiling cohort rotation_debt ranks first.
+    assert entrymod._R16_ORDER[:19] == [
+        "bpe_train_hybrid",
+        "json_props_extract", "text_repetition_family",
+        "dedup_clusters", "embed_neardup", "ann_ivf_topk",
+        "stream_interval_join", "dedup_simhash128_pairs",
+        "state_durations", "flatline_runs", "stream_interval_join_left",
+        "ann_recall_report", "multimodal_png_pixels", "sessionize",
+        "range_join_windows", "flagship_tower_pipeline",
+        "flagship_partitioned", "toa5_roundtrip", "sink_roundtrip",
     ]
