@@ -93,3 +93,31 @@ def test_histogram_trainer_rejects_nonpositive_counts():
             _train_from_histogram(["ab", "cd"], [2, bad], 5, 1)
     # the guard must not reject the valid boundary
     assert _train_from_histogram(["ab"], [1], 1, 1) == [(0, "a", "b", 1)]
+
+
+# ------------- VERDICT r15 #2: fixed-cost abs bands in the triage tool
+
+
+def test_bench_diff_abs_bands_load_from_frozen_file():
+    """The fixed-cost bands must come from BASELINE_RATIO.json at
+    runtime (ADVICE r15 #3: no hand-copied literals that silently go
+    stale on a re-freeze) and cover the whole payload-synthesis
+    family, each with a sane lo < hi."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    try:
+        from bench_diff import abs_bands
+    finally:
+        sys.path.remove("/root/repo/tools")
+
+    bands = abs_bands()
+    for name in (
+        "multimodal_png_pixels", "multimodal_bmp_pixels",
+        "multimodal_tiff_pixels", "multimodal_jpeg_pixels",
+        "multimodal_gif_pixels", "multimodal_gif_frames",
+        "multimodal_wav_features", "variant_props_extract",
+    ):
+        assert name in bands, name
+        lo, hi = bands[name]
+        assert 0 < lo < hi < 10, (name, lo, hi)

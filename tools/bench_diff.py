@@ -10,6 +10,18 @@ tools/adjudicate_r10.py uses) still get the interleaved ratio test
 before being called regressions; everything under it is noise by the
 measured band.
 
+Fixed-cost absolute-band rule (VERDICT r15 #2, generalizing the
+DECISIONS r15 wav finding): queries that synthesize their payloads
+in-query have flat absolute cost while the probe denominator swings
+with host load, so a probe-ratio flag on one of them is first checked
+against its recorded same-code absolute band
+(BASELINE_RATIO.json `_abs_bands`): new abs min <= band-hi * 1.10 ->
+IN-BAND(abs), a mechanical false flag, excluded from the adjudication
+queue; above it -> real signal. The check needs the new record's
+absolute seconds — available in every bench.py/driver record shape;
+when absent (e.g. diffing two frozen-ratio files) the ratio flag
+stands and is marked "no abs in record".
+
 Accepts either record shape:
 - the driver's BENCH_r{N}.json ({"parsed": {...}}),
 - bench.py's own stdout line / BENCH_LOCAL_r{N}.txt (last JSON line),
@@ -26,45 +38,63 @@ Usage:
 from __future__ import annotations
 
 import json
+import os
 import sys
 
 TOL = 1.35
+ABS_BAND_MARGIN = 1.10
 
-# DECISIONS r15: queries whose ABSOLUTE cost is flat across rounds
-# while their probe-ratio swings with the denominator — a ratio flag
-# on one of these is adjudicated against its absolute same-code band
-# (ADJUDICATE_r15.json wav leg), not the ratio alone. Ratio flags
-# still print; this annotates them with the controlling evidence.
-FIXED_COST_NOTE = {
-    "multimodal_wav_features": (
-        "abs-min band 0.445-0.584 s across r11-r15; real signal is "
-        "abs min > ~0.8 s, not the ratio"
-    ),
-    "variant_props_extract": (
-        "~0.38-0.43 s absolute since r7; small denominator amplifies "
-        "probe swings"
-    ),
-}
+_BASELINE_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "BASELINE_RATIO.json",
+)
 
 
-def load_record(path: str, extra: bool) -> dict:
+def abs_bands() -> dict[str, tuple[float, float]]:
+    """The frozen fixed-cost bands — always read from the canonical
+    BASELINE_RATIO.json at runtime (ADVICE r15 #3: no hand-copied
+    literals that silently go stale on a re-freeze)."""
+    try:
+        d = json.load(open(_BASELINE_PATH))
+    except (OSError, json.JSONDecodeError):
+        return {}
+    return {
+        k: (float(v[0]), float(v[1]))
+        for k, v in d.get("_abs_bands", {}).items()
+        if not k.startswith("_")
+    }
+
+
+def _parse(path: str) -> dict:
     text = open(path).read()
     try:
         d = json.loads(text)
     except json.JSONDecodeError:
         lines = [l for l in text.splitlines() if l.startswith("{")]
-        d = json.loads(lines[-1 if not extra else -2])
+        d = json.loads(lines[-1])
     if "parsed" in d:
         d = d["parsed"]
+    return d
+
+
+def load_record(path: str, extra: bool) -> tuple[dict, dict]:
+    """-> (ratio_to_probe, absolute_seconds); either may be empty for
+    record shapes that don't carry it (the frozen-ratio file has no
+    absolutes; pre-r11 records have no ratios)."""
+    d = _parse(path)
     if extra:
-        if "extra_ratio_to_probe" in d:
-            return d["extra_ratio_to_probe"]
-        probe = d.get("drift_probe_extra") or 1.0
-        return {k: v / probe for k, v in d.get("extra", {}).items()}
-    if "ratio_to_probe" in d:
-        return d["ratio_to_probe"]
-    probe = d.get("drift_probe") or 1.0
-    return {k: v / probe for k, v in d.get("queries", {}).items()}
+        ratios = d.get("extra_ratio_to_probe", {})
+        absolute = d.get("extra", {})
+        if not ratios:
+            probe = d.get("drift_probe_extra") or 1.0
+            ratios = {k: v / probe for k, v in absolute.items()}
+        return ratios, absolute
+    ratios = d.get("ratio_to_probe", {})
+    absolute = d.get("queries", {})
+    if not ratios:
+        probe = d.get("drift_probe") or 1.0
+        ratios = {k: v / probe for k, v in absolute.items()}
+    return ratios, absolute
 
 
 def main() -> int:
@@ -73,25 +103,52 @@ def main() -> int:
     if len(args) != 2:
         print(__doc__)
         return 2
-    old, new = (load_record(p, extra) for p in args)
+    (old, _), (new, new_abs) = (load_record(p, extra) for p in args)
+    bands = abs_bands()
     rows = []
     for k, v in new.items():
         if k in old and old[k] > 0:
             rows.append((v / old[k], k, old[k], v))
     rows.sort(reverse=True)
-    flagged = [r for r in rows if r[0] > TOL]
+    adjudicate = []
     print(f"{'query':30s} {'old':>8s} {'new':>8s} {'rel':>6s}")
     for rel, k, o, v in rows:
-        mark = "  <-- ADJUDICATE" if rel > TOL else ""
-        if rel > TOL and k in FIXED_COST_NOTE:
-            mark += f"  [fixed-cost query — {FIXED_COST_NOTE[k]}]"
+        mark = ""
+        if rel > TOL:
+            band = bands.get(k)
+            a = new_abs.get(k)
+            if band is not None and a is not None:
+                lo, hi = band
+                if a <= hi * ABS_BAND_MARGIN:
+                    mark = (
+                        f"  [IN-BAND(abs): {a:.3f}s vs same-code band "
+                        f"{lo:.3f}-{hi:.3f}s — fixed-cost false flag]"
+                    )
+                else:
+                    adjudicate.append(k)
+                    mark = (
+                        f"  <-- ADJUDICATE [OUT-OF-BAND(abs): {a:.3f}s "
+                        f"> {hi:.3f}s*{ABS_BAND_MARGIN}]"
+                    )
+            elif band is not None:
+                adjudicate.append(k)
+                mark = "  <-- ADJUDICATE [fixed-cost query, no abs in record]"
+            else:
+                adjudicate.append(k)
+                mark = "  <-- ADJUDICATE"
         print(f"{k:30s} {o:8.3f} {v:8.3f} {rel:6.2f}{mark}")
     fresh = sorted(set(new) - set(old))
     if fresh:
         print(f"new queries (no prior ratio): {', '.join(fresh)}")
+    n_flag = sum(1 for r in rows if r[0] > TOL)
     print(
-        f"\n{len(flagged)} / {len(rows)} past TOL={TOL}"
-        + (" — run the interleaved ratio test on those" if flagged else "")
+        f"\n{n_flag} / {len(rows)} past TOL={TOL}; "
+        f"{len(adjudicate)} to adjudicate after the abs-band rule"
+        + (
+            " — run the interleaved ratio test on: " + ", ".join(adjudicate)
+            if adjudicate
+            else ""
+        )
     )
     return 0
 
