@@ -95,6 +95,196 @@ def test_histogram_trainer_rejects_nonpositive_counts():
     assert _train_from_histogram(["ab"], [1], 1, 1) == [(0, "a", "b", 1)]
 
 
+# --------------- VERDICT r15 #5: WordPiece — the second trainer family
+
+
+def _reference_wordpiece(docs, n_merges, min_freq=2):
+    """Independent WordPiece reference: full recount of pair AND
+    unigram frequencies every iteration (no incremental bookkeeping,
+    no heap) — the same role test_round13._reference_bpe plays for the
+    BPE trainers. Score uses the identical cast-then-divide double."""
+    from collections import Counter
+
+    wc = Counter(w for d in docs for w in d.split() if w)
+    words = [([w[0]] + ["##" + c for c in w[1:]], n) for w, n in wc.items()]
+    merges = []
+    for k in range(n_merges):
+        pc, uc = Counter(), Counter()
+        for syms, n in words:
+            for s in syms:
+                uc[s] += n
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += n
+        if not pc:
+            break
+        best = min(
+            pc.items(),
+            key=lambda kv: (
+                -(float(kv[1]) / float(uc[kv[0][0]] * uc[kv[0][1]])),
+                kv[0][0],
+                kv[0][1],
+            ),
+        )
+        (l, r), pf = best
+        if pf < min_freq:
+            break
+        merges.append((k, l, r, pf))
+        fused = l + (r[2:] if r.startswith("##") else r)
+        nxt = []
+        for syms, n in words:
+            res, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    res.append(fused)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            nxt.append((res, n))
+        words = nxt
+    return merges
+
+
+def test_wordpiece_histogram_trainer_property_vs_reference():
+    """Hypothesis property (no Spark in the loop): the hybrid's
+    incremental merge loop — pair bookkeeping PLUS unigram maintenance
+    and symbol-indexed re-scoring — must match the full-recount
+    reference merge-for-merge on random corpora. The unigram index is
+    the part BPE's property test cannot cover: a merge silently
+    changing the score of an untouched pair (through its symbols'
+    counts) is exactly the bug class this hunts."""
+    from hypothesis import given, settings, strategies as st
+
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.wordpiece import (
+        _wordpiece_from_histogram,
+    )
+
+    words_st = st.lists(
+        st.text(alphabet="abc", min_size=1, max_size=6), min_size=1, max_size=30
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(words=words_st, n_merges=st.integers(1, 25), min_freq=st.integers(1, 3))
+    def prop(words, n_merges, min_freq):
+        from collections import Counter
+
+        hist = Counter(words)
+        got = _wordpiece_from_histogram(
+            list(hist.keys()), list(hist.values()), n_merges, min_freq
+        )
+        want = _reference_wordpiece([" ".join(words)], n_merges, min_freq)
+        assert got == want
+
+    prop()
+
+
+def test_wordpiece_hybrid_merge_identical_to_distributed(spark):
+    """wordpiece_train_hybrid (one histogram job + driver merge loop)
+    must produce the EXACT merge list of wordpiece_train (one Spark
+    scoring job per merge) — same double score, same tie-break, same
+    non-overlapping application, same min_freq stop."""
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.wordpiece import (
+        wordpiece_train,
+        wordpiece_train_hybrid,
+    )
+
+    corpora = [
+        spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over the lazy dog"),
+                (2, "the quick brown fox jumps over the lazy cat"),
+                (3, "pack my box with five dozen liquor jugs"),
+                (4, ""),
+                (5, "the the the quick quick zebra"),
+            ],
+            "doc_id long, text string",
+        ),
+        spark.createDataFrame(
+            [(1, "aaaa aaa aa a"), (2, "aaa bbb aab"), (3, "ab ab ab")],
+            "doc_id long, text string",
+        ),
+    ]
+    for d in corpora:
+        for n_merges, min_freq in ((12, 2), (30, 1)):
+            dist = wordpiece_train(d, n_merges=n_merges, min_freq=min_freq)
+            hyb = wordpiece_train_hybrid(d, n_merges=n_merges, min_freq=min_freq)
+            assert hyb == dist
+            assert dist == _reference_wordpiece(
+                [r["text"] for r in d.collect()], n_merges, min_freq
+            )
+
+
+def test_wordpiece_train_leaves_no_persistent_rdds(spark):
+    """The bpe_train storage contract carries over: checkpoint blocks
+    are released before returning; the session's persistent-RDD set is
+    left exactly as found."""
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.wordpiece import (
+        wordpiece_train,
+    )
+
+    sc = spark.sparkContext
+    before = len(sc._jsc.getPersistentRDDs())
+    d = spark.createDataFrame(
+        [(1, "aa ab aa ab ba"), (2, "aa aa bb")], "doc_id long, text string"
+    )
+    got = wordpiece_train(d, n_merges=20, min_freq=1, checkpoint_every=2)
+    assert got  # learned something
+    assert len(sc._jsc.getPersistentRDDs()) == before
+
+
+def test_wordpiece_prefers_cohesive_pairs_over_frequent_ones():
+    """The score divides by unigram mass, so a pair whose parts never
+    occur apart must beat a more frequent pair built from ubiquitous
+    symbols — the defining behavioral difference from BPE (which would
+    pick the raw-frequency winner)."""
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.wordpiece import (
+        _wordpiece_from_histogram,
+    )
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.bpe import (
+        _train_from_histogram,
+    )
+
+    # 'qz' only ever together (freq 3, score 3/(3*3)=1/3);
+    # 'aa' everywhere (freq 12 across words but symbols a ubiquitous)
+    words = ["aaaa", "aaab", "qz"]
+    counts = [6, 6, 3]
+    wp = _wordpiece_from_histogram(words, counts, 1, 1)
+    assert (wp[0][1], wp[0][2]) == ("q", "##z")
+    bpe = _train_from_histogram(words, counts, 1, 1)
+    assert (bpe[0][1], bpe[0][2]) == ("a", "a")  # raw frequency winner
+
+
+def test_wordpiece_vocab_and_greedy_segmentation():
+    """Vocab = alphabet + fused symbols in merge order; inference is
+    longest-match-first with ## continuations; unmatched -> None."""
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.wordpiece import (
+        wordpiece_segment,
+        wordpiece_vocab,
+    )
+
+    merges = [(0, "f", "##o", 9), (1, "fo", "##x", 7)]
+    vocab = set(
+        wordpiece_vocab(merges, alphabet={"f", "##o", "##x", "b", "##a"})
+    )
+    assert {"fo", "fox"} <= vocab
+    assert wordpiece_segment("fox", vocab) == ["fox"]
+    # greedy longest-match: "fof" -> "fo", then "##f" NOT in vocab -> None
+    assert wordpiece_segment("fof", vocab) is None
+    assert wordpiece_segment("ba", vocab) == ["b", "##a"]
+    assert wordpiece_segment("q", vocab) is None
+
+
+def test_wordpiece_histogram_rejects_nonpositive_counts():
+    """Same precondition as the BPE histogram trainer (ADVICE r15 #2):
+    counts < 1 must fail loudly at the public boundary."""
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.wordpiece import (
+        _wordpiece_from_histogram,
+    )
+
+    with pytest.raises(ValueError, match=">= 1"):
+        _wordpiece_from_histogram(["ab"], [0], 1, 1)
+
+
 # ------------- VERDICT r15 #2: fixed-cost abs bands in the triage tool
 
 
