@@ -114,6 +114,9 @@ EXTRA_QUERIES = [
     # subtrees now recomputed) and it had NO bench record — first
     # records freeze its ratio like any new entry
     "incremental_corpus_dedup",
+    # new in r16 (the hybrid BPE trainer promoted across the hash
+    # gate; ratio freezes from its first records)
+    "bpe_train_hybrid",
 ]
 
 HEADLINE = [
