@@ -285,6 +285,149 @@ def test_wordpiece_histogram_rejects_nonpositive_counts():
         _wordpiece_from_histogram(["ab"], [0], 1, 1)
 
 
+# ----------------------- unigram-LM — the third trainer family (r16)
+
+
+def test_unigram_forward_backward_matches_brute_force_enumeration():
+    """Hypothesis property: the lattice forward-backward (likelihood
+    + expected piece counts) must match brute-force enumeration of
+    ALL segmentations — an exponential, genuinely independent
+    reference. This is the DP half every EM result depends on."""
+    import math
+
+    from hypothesis import given, settings, strategies as st
+
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.unigram import (
+        _forward_backward,
+    )
+
+    def enum_segs(word, logp):
+        if not word:
+            yield []
+            return
+        for l in range(1, len(word) + 1):
+            p = word[:l]
+            if p in logp:
+                for rest in enum_segs(word[l:], logp):
+                    yield [p] + rest
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        word=st.text(alphabet="ab", min_size=1, max_size=7),
+        data=st.data(),
+    )
+    def prop(word, data):
+        pieces = {word[i:j] for i in range(len(word)) for j in range(i + 1, len(word) + 1)}
+        pieces = sorted(pieces)
+        kept = data.draw(
+            st.lists(st.sampled_from(pieces), unique=True, min_size=0, max_size=8)
+        )
+        vocab = sorted(set(kept) | set(word))  # chars always in (coverage)
+        logp = {
+            p: data.draw(st.floats(-3.0, -0.1), label=f"logp[{p}]")
+            for p in vocab
+        }
+        got: dict = {}
+        got_ll = _forward_backward(word, 2.0, logp, 8, got)
+        segs = list(enum_segs(word, logp))
+        scores = [sum(logp[p] for p in s) for s in segs]
+        m = max(scores)
+        z = m + math.log(sum(math.exp(s - m) for s in scores))
+        assert abs(got_ll - z) < 1e-9
+        want: dict = {}
+        for s, sc in zip(segs, scores):
+            w = 2.0 * math.exp(sc - z)
+            for p in s:
+                want[p] = want.get(p, 0.0) + w
+        for p in set(want) | set(got):
+            assert abs(want.get(p, 0.0) - got.get(p, 0.0)) < 1e-6, p
+
+    prop()
+
+
+def test_unigram_spark_equals_local_and_learns_dominant_words(spark):
+    """The fully-distributed trainer (JVM seed build + Arrow E-steps)
+    must equal the driver-only twin exactly under the quantization
+    contract; a dominant repeated word must survive as a whole piece
+    and Viterbi-segment to itself; the session keeps no storage."""
+    from collections import Counter
+
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.unigram import (
+        unigram_segment,
+        unigram_train,
+        unigram_train_local,
+    )
+
+    rows = [(1, "spark spark spark engine engine lattice")] * 20 + [
+        (2, "sp ar k en gine lat tice")
+    ]
+    d = spark.createDataFrame(
+        [(i, t) for i, (_, t) in enumerate(rows)], "doc_id long, text string"
+    )
+    sc = spark.sparkContext
+    before = len(sc._jsc.getPersistentRDDs())
+    got = unigram_train(d, vocab_size=24, seed_size=60, n_em_iters=2)
+    assert len(sc._jsc.getPersistentRDDs()) == before
+    wc = Counter(
+        w for _, t in [(i, t) for i, (_, t) in enumerate(rows)] for w in t.split()
+    )
+    want = unigram_train_local(
+        list(wc.keys()), list(wc.values()), vocab_size=24, seed_size=60,
+        n_em_iters=2,
+    )
+    assert got == want
+    vocab = dict(got)
+    assert "spark" in vocab
+    assert unigram_segment("spark", vocab) == ["spark"]
+    assert unigram_segment("sparkengine", vocab) == ["spark", "engine"]
+    # normalization: piece probs sum to 1
+    import math
+
+    assert abs(sum(math.exp(lp) for _, lp in got) - 1.0) < 1e-9
+    # coverage: every corpus character survives as a piece
+    chars = {c for w in wc for c in w}
+    assert chars <= set(vocab)
+
+
+def test_unigram_seed_builds_agree(spark):
+    """JVM substring seed build == driver substring seed build on the
+    same histogram — exact interchangeability (integer scores, same
+    (score desc, piece asc) selection)."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.unigram import (
+        _seed_pieces_spark,
+        _word_hist,
+        seed_pieces,
+    )
+
+    d = spark.createDataFrame(
+        [(1, "abc abcd bc a"), (2, "abc zz zz q")],
+        "doc_id long, text string",
+    )
+    words = _word_hist(d, "text", False)
+    got = _seed_pieces_spark(words, 12, 4)
+    wc = Counter(w for t in ("abc abcd bc a", "abc zz zz q") for w in t.split())
+    want = seed_pieces(list(wc.keys()), list(wc.values()), 12, 4)
+    assert got == want
+    assert all(len(p) == 1 for p in got[: len({c for w in wc for c in w})])
+
+
+def test_unigram_guards():
+    """vocab_size below the alphabet is impossible (single chars are
+    never pruned); counts < 1 rejected at the public boundary."""
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.unigram import (
+        unigram_train_local,
+    )
+
+    with pytest.raises(ValueError, match="alphabet"):
+        unigram_train_local(["abcdefgh"], [5], vocab_size=3)
+    with pytest.raises(ValueError, match=">= 1"):
+        unigram_train_local(["ab"], [0])
+
+
 # ------------- VERDICT r15 #2: fixed-cost abs bands in the triage tool
 
 
