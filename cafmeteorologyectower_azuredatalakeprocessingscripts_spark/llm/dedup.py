@@ -730,6 +730,14 @@ def incremental_dedup(
     ``similarity.semdedup(cells_out=...)``. On a 100 TB daily refresh
     the right materialization is usually a parquet checkpoint of
     ``new_exact`` anyway, not executor memory.
+
+    Measured (INCREMENTAL_TIER_r16.json): the recompute multiplier is
+    1.27x at a 3:1 base/new ratio but **1.98x at 100:1** — the
+    twice-evaluated subtrees are base-sized, so at daily-refresh
+    shapes (base ≳ 10x new) pass ``cache_out=[]`` or read the base
+    from its parquet location (2.05x vs the cold default, with no
+    executor memory needed); never run the leak-free default cold at
+    production base sizes.
     """
 
     def _shared(frame: DataFrame) -> DataFrame:
