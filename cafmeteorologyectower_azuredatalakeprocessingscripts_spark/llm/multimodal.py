@@ -310,6 +310,7 @@ def text_to_wav_payload(
     float_every: int | None = None,
     g711: bool = False,
     aiff: bool = False,
+    n_partitions: int | None = None,
 ) -> DataFrame:
     """Deterministic audio synthesis for fixtures and oracle replay —
     the WAV twin of :func:`_text_to_image_payload`: an 8-bit mono PCM
@@ -340,8 +341,12 @@ def text_to_wav_payload(
     16-bit big-endian AIFF files with the SAME codepoint sample
     values — the sums replay unchanged and only the ``bits`` column
     (16) marks them, proving the AIFF chunk walk + 80-bit-extended
-    rate parse inside the existing green row."""
-    df = df.select(id_col, src_col)
+    rate parse inside the existing green row.
+
+    ``n_partitions`` sizes the CPU-bound encode stage to cores when
+    the input layout is coarser than the core count (the jpeg
+    precedent); None inherits the scan's partitioning."""
+    df = _maybe_size(df.select(id_col, src_col), n_partitions, _BPT_CHEAP)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -663,7 +668,62 @@ _TEXT_IMAGE_SCHEMA = T.StructType(
 )
 
 
-def _text_to_image_payload(df, src_col, width, height, id_col, encoder, mime):
+# --- codec-stage width sizing (r16 optimization round) ---------------
+# A payload-synth + decode chain is CPU-bound Python behind an Arrow
+# boundary; its best task width is NOT the session core count but a
+# balance of per-task boundary overhead (each chained MapInPandas
+# crossing costs a fixed per-task price) against per-doc codec cost.
+# Measured on the sf0.1 documents table (local[32], interleaved mins,
+# plan-estimated input 255 KB): jpeg bottoms at ~16 tasks
+# (None/4/8/16/32 = 10.68/3.39/1.83/1.26/1.39 s), the gif family at ~8
+# (single-frame 1.36/0.69/0.54/0.81/1.13 s; the 3-stage animation
+# chain 2.60/1.44/1.26/1.88/2.84 s — 32 tasks is WORSE than one), the
+# cheap containers (png/bmp/tiff/wav) at ~4. Hence bytes-per-task
+# constants per codec-cost class, and a width derived from the plan's
+# own size estimate — scale-adaptive (guide §2), never a constant
+# tuned to one box: small inputs stay narrow (no exchange at all when
+# the sized width does not beat the input's partitioning), large
+# inputs grow until the session-parallelism cap.
+_BPT_JPEG = 16 << 10
+_BPT_GIF = 32 << 10
+_BPT_CHEAP = 64 << 10
+
+
+def sized_codec_partitions(df: DataFrame, bytes_per_task: int) -> int | None:
+    """Width for a CPU-bound codec stage over ``df``: plan-estimated
+    input bytes / ``bytes_per_task``, capped at session parallelism.
+    Returns None — leave the input partitioning alone — when the
+    estimate is unavailable or the sized width would not exceed the
+    partitioning the input already has (at 100 TB row-group widths the
+    scan is already wider than any cap, so this is a no-op there)."""
+    try:
+        est = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        return None
+    cores = df.sparkSession.sparkContext.defaultParallelism
+    width = min(cores, max(1, -(-est // bytes_per_task)))
+    if width <= 1 or width <= df.rdd.getNumPartitions():
+        return None
+    return width
+
+
+def _maybe_size(df: DataFrame, n_partitions, bytes_per_task: int) -> DataFrame:
+    """Apply the ``n_partitions`` contract shared by the payload
+    synths: an int repartitions to exactly that width, ``"auto"``
+    derives the width from input size via
+    :func:`sized_codec_partitions`, None leaves the input alone."""
+    if n_partitions == "auto":
+        n_partitions = sized_codec_partitions(df, bytes_per_task)
+    if n_partitions:
+        return df.repartition(n_partitions)
+    return df
+
+
+def _text_to_image_payload(
+    df, src_col, width, height, id_col, encoder, mime, n_partitions=None
+):
     """Deterministic image synthesis for fixtures and oracle replay: a
     ``width x height`` GRAYSCALE image whose pixels are the codepoints
     (mod 256) of the first ``width*height`` characters of ``src_col``,
@@ -674,9 +734,15 @@ def _text_to_image_payload(df, src_col, width, height, id_col, encoder, mime):
     Arrow-batched, map-only. The explicit projection below matters:
     mapInPandas ships every input column to the Python worker, so
     selecting (id, text) first is what lets the parquet scan prune to
-    2 columns."""
+    2 columns. ``n_partitions`` repartitions the 2-column projection
+    BEFORE the encode stage (the jpeg precedent, r16): when the input's
+    file layout is coarser than the core count (one parquet row group =
+    one task), the CPU-bound Python stage otherwise runs serially on
+    one core; the exchange moves only (id, text). Leave None to inherit
+    the scan's partitioning (the 100 TB case, where row groups already
+    out-number cores)."""
     n = width * height
-    df = df.select(id_col, src_col)
+    df = _maybe_size(df.select(id_col, src_col), n_partitions, _BPT_CHEAP)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -705,11 +771,13 @@ def text_to_png_payload(
     width: int = 8,
     height: int = 8,
     id_col: str = "doc_id",
+    n_partitions: int | None = None,
 ) -> DataFrame:
     """Codepoints-mod-256 grayscale PNG per document (see
     :func:`_text_to_image_payload`)."""
     return _text_to_image_payload(
-        df, src_col, width, height, id_col, encode_png, "image/png"
+        df, src_col, width, height, id_col, encode_png, "image/png",
+        n_partitions=n_partitions,
     )
 
 
@@ -719,12 +787,14 @@ def text_to_bmp_payload(
     width: int = 8,
     height: int = 8,
     id_col: str = "doc_id",
+    n_partitions: int | None = None,
 ) -> DataFrame:
     """BMP twin of :func:`text_to_png_payload`: 8-bit BI_RGB with a
     grayscale identity palette — exercises bottom-up row order, palette
     handling, and row padding end-to-end."""
     return _text_to_image_payload(
-        df, src_col, width, height, id_col, encode_bmp, "image/bmp"
+        df, src_col, width, height, id_col, encode_bmp, "image/bmp",
+        n_partitions=n_partitions,
     )
 
 
@@ -734,11 +804,13 @@ def text_to_tiff_payload(
     width: int = 8,
     height: int = 8,
     id_col: str = "doc_id",
+    n_partitions: int | None = None,
 ) -> DataFrame:
     """TIFF twin of :func:`text_to_png_payload`: baseline uncompressed
     gray — exercises the IFD walk and strip assembly end-to-end."""
     return _text_to_image_payload(
-        df, src_col, width, height, id_col, encode_tiff, "image/tiff"
+        df, src_col, width, height, id_col, encode_tiff, "image/tiff",
+        n_partitions=n_partitions,
     )
 
 
@@ -749,6 +821,7 @@ def text_to_gif_payload(
     height: int = 8,
     id_col: str = "doc_id",
     interlace_every: int | None = 3,
+    n_partitions: int | None = None,
 ) -> DataFrame:
     """GIF twin of :func:`text_to_png_payload`: the same
     codepoints-mod-256 grayscale image, packaged as a single-frame GIF
@@ -756,9 +829,13 @@ def text_to_gif_payload(
     pixel-sum oracle replays unchanged and a green row proves the LZW
     stream, sub-block walk and palette machinery invert exactly. Every
     ``interlace_every``-th doc is written INTERLACED (the 4-pass row
-    order), folding that path into the same query."""
+    order), folding that path into the same query. ``n_partitions``
+    sizes the CPU-bound LZW stage to cores when the input layout is
+    coarser than the core count — the jpeg precedent (LZW encode+decode
+    is the most expensive codec pair after JPEG); None inherits the
+    scan's partitioning (the 100 TB case)."""
     n = width * height
-    df = df.select(id_col, src_col)
+    df = _maybe_size(df.select(id_col, src_col), n_partitions, _BPT_GIF)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -833,9 +910,7 @@ def text_to_jpeg_payload(
     out-number cores)."""
     n = blocks_x * blocks_y
     width, height = 8 * blocks_x, 8 * blocks_y
-    df = df.select(id_col, src_col)
-    if n_partitions:
-        df = df.repartition(n_partitions)
+    df = _maybe_size(df.select(id_col, src_col), n_partitions, _BPT_JPEG)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -884,7 +959,10 @@ def text_to_jpeg_payload(
 
 
 def text_to_gif_animation_payload(
-    df: DataFrame, src_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    src_col: str = "text",
+    id_col: str = "doc_id",
+    n_partitions: int | None = None,
 ) -> DataFrame:
     """Animated-GIF twin (VERDICT r12 #1): each document becomes a
     deterministic FOUR-frame 8x8 GIF89a animation whose frame pixels
@@ -903,10 +981,15 @@ def text_to_gif_animation_payload(
     Each composited canvas sum is a closed-form expression over the
     codepoints, so the DuckDB oracle replays all four frames from the
     text — transparency and both non-trivial disposal methods are
-    value-hash-checked, not just pytest-covered."""
+    value-hash-checked, not just pytest-covered.
+
+    ``n_partitions`` sizes the CPU-bound four-frame LZW encode stage
+    to cores when the input layout is coarser than the core count (the
+    jpeg precedent); None inherits the scan's partitioning (the 100 TB
+    case)."""
     from .gif import encode_gif_animation
 
-    df = df.select(id_col, src_col)
+    df = _maybe_size(df.select(id_col, src_col), n_partitions, _BPT_GIF)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1003,8 +1086,16 @@ def sample_frames(
     ``decode_stub``); for those the stand-in treats the payload as a
     flat array of ``frame_bytes``-byte frames, which keeps the fan-out
     dataflow (row multiplication inside mapInPandas) and the output
-    schema real either way."""
+    schema real either way.
+
+    Projects (id, payload) first: mapInPandas ships every input column
+    to the Python worker, and callers hand this the payload-synth
+    output whose ``meta`` struct the demux never reads — the explicit
+    select keeps it out of the Arrow boundary (guide §4: pass only the
+    columns the function needs)."""
     from .gif import decode_gif_frames
+
+    df = df.select(id_col, "payload")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
