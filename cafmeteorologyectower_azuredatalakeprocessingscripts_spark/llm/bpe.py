@@ -107,31 +107,57 @@ def _top_pair(words: DataFrame) -> tuple[str, str, int] | None:
     return r["left"], r["right"], int(r["freq"])
 
 
-def _apply_merge(words: DataFrame, left: str, right: str) -> DataFrame:
-    """Rewrite every symbol array replacing adjacent (left, right) with
-    the fused symbol, non-overlapping left-to-right — Arrow-batched;
-    there is no built-in for adjacent-pair rewriting."""
-    fused = left + right
+def _apply_merges(
+    words: DataFrame, merges: list[tuple[str, str]]
+) -> DataFrame:
+    """Rewrite every symbol array applying ``merges`` IN ORDER, each
+    replacing adjacent (left, right) with the fused symbol,
+    non-overlapping left-to-right — Arrow-batched; there is no built-in
+    for adjacent-pair rewriting.
+
+    Takes the whole pending-merge list so the un-checkpointed tail of
+    the training loop is ONE MapInPandas stage instead of a chain of
+    one per merge (r16: each chained stage is a separate JVM->Python
+    ->JVM crossing per task; with ``checkpoint_every=8`` the pair-count
+    job after merge k re-paid k crossings. Applying the list inside a
+    single Python function is order-identical, so the learned merge
+    sequence is byte-for-byte unchanged — pinned by the hybrid/
+    distributed identity tests)."""
+    if not merges:
+        return words
+    pairs = [(left, right, left + right) for left, right in merges]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for syms in pdf["syms"]:
                 syms = list(syms)
-                res = []
-                i = 0
-                ln = len(syms)
-                while i < ln:
-                    if i + 1 < ln and syms[i] == left and syms[i + 1] == right:
-                        res.append(fused)
-                        i += 2
-                    else:
-                        res.append(syms[i])
-                        i += 1
-                out.append(res)
+                for left, right, fused in pairs:
+                    res = []
+                    i = 0
+                    ln = len(syms)
+                    while i < ln:
+                        if (
+                            i + 1 < ln
+                            and syms[i] == left
+                            and syms[i + 1] == right
+                        ):
+                            res.append(fused)
+                            i += 2
+                        else:
+                            res.append(syms[i])
+                            i += 1
+                    syms = res
+                out.append(syms)
             yield pd.DataFrame({"syms": out, "n": pdf["n"]})
 
     return words.mapInPandas(run, _WORDS_SCHEMA)
+
+
+def _apply_merge(words: DataFrame, left: str, right: str) -> DataFrame:
+    """Single-merge form of :func:`_apply_merges` (kept for API and
+    test compatibility)."""
+    return _apply_merges(words, [(left, right)])
 
 
 def _persistent_rdd_ids(spark) -> set[int]:
@@ -183,18 +209,24 @@ def bpe_train(
         return out
 
     try:
-        words = checkpoint(_word_table(df, text_col, lowercase))
+        base = checkpoint(_word_table(df, text_col, lowercase))
+        pending: list[tuple[str, str]] = []
         merges: list[tuple[int, str, str, int]] = []
         for k in range(n_merges):
-            best = _top_pair(words)
+            # the un-checkpointed merge tail rides as ONE fused Python
+            # stage over the last checkpoint (r16 — see _apply_merges),
+            # so each pair-count job pays a single Arrow crossing
+            # regardless of how many merges are pending
+            best = _top_pair(_apply_merges(base, pending))
             if best is None or best[2] < min_freq:
                 break
             left, right, freq = best
             merges.append((k, left, right, freq))
-            words = _apply_merge(words, left, right)
+            pending.append((left, right))
             if (k + 1) % checkpoint_every == 0:
-                # cut the mapInPandas chain before the plan grows
-                words = checkpoint(words)
+                # materialize the pending tail before the plan grows
+                base = checkpoint(_apply_merges(base, pending))
+                pending = []
         return merges
     finally:
         _release_rdds(spark, _persistent_rdd_ids(spark) - outside)

@@ -154,34 +154,52 @@ def _top_scored_pair(words: DataFrame) -> tuple[str, str, int] | None:
     return r["left"], r["right"], int(r["freq"])
 
 
-def _apply_wp_merge(words: DataFrame, left: str, right: str) -> DataFrame:
-    """Non-overlapping left-to-right rewrite of adjacent (left, right)
-    into the ##-stripped fused symbol — Arrow-batched like
-    ``bpe._apply_merge`` (the fusion rule differs, the scan is the
-    same)."""
+def _apply_wp_merges(
+    words: DataFrame, merges: list[tuple[str, str]]
+) -> DataFrame:
+    """Non-overlapping left-to-right rewrite applying ``merges`` IN
+    ORDER, each fusing adjacent (left, right) into the ##-stripped
+    fused symbol — Arrow-batched like ``bpe._apply_merges`` (the
+    fusion rule differs, the scan is the same). Takes the whole
+    pending list so the un-checkpointed merge tail is ONE Python
+    stage, not a chain of crossings (r16, the bpe fusion)."""
     from collections.abc import Iterator
 
-    fused = _fuse(left, right)
+    if not merges:
+        return words
+    pairs = [(left, right, _fuse(left, right)) for left, right in merges]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for syms in pdf["syms"]:
                 syms = list(syms)
-                res = []
-                i = 0
-                ln = len(syms)
-                while i < ln:
-                    if i + 1 < ln and syms[i] == left and syms[i + 1] == right:
-                        res.append(fused)
-                        i += 2
-                    else:
-                        res.append(syms[i])
-                        i += 1
-                out.append(res)
+                for left, right, fused in pairs:
+                    res = []
+                    i = 0
+                    ln = len(syms)
+                    while i < ln:
+                        if (
+                            i + 1 < ln
+                            and syms[i] == left
+                            and syms[i + 1] == right
+                        ):
+                            res.append(fused)
+                            i += 2
+                        else:
+                            res.append(syms[i])
+                            i += 1
+                    syms = res
+                out.append(syms)
             yield pd.DataFrame({"syms": out, "n": pdf["n"]})
 
     return words.mapInPandas(run, _WORDS_SCHEMA)
+
+
+def _apply_wp_merge(words: DataFrame, left: str, right: str) -> DataFrame:
+    """Single-merge form of :func:`_apply_wp_merges` (kept for API and
+    test compatibility)."""
+    return _apply_wp_merges(words, [(left, right)])
 
 
 def wordpiece_train(
@@ -214,17 +232,20 @@ def wordpiece_train(
         return out
 
     try:
-        words = checkpoint(_wp_word_table(df, text_col, lowercase))
+        base = checkpoint(_wp_word_table(df, text_col, lowercase))
+        pending: list[tuple[str, str]] = []
         merges: list[tuple[int, str, str, int]] = []
         for k in range(n_merges):
-            best = _top_scored_pair(words)
+            # un-checkpointed tail as ONE fused Python stage (r16)
+            best = _top_scored_pair(_apply_wp_merges(base, pending))
             if best is None or best[2] < min_freq:
                 break
             left, right, freq = best
             merges.append((k, left, right, freq))
-            words = _apply_wp_merge(words, left, right)
+            pending.append((left, right))
             if (k + 1) % checkpoint_every == 0:
-                words = checkpoint(words)
+                base = checkpoint(_apply_wp_merges(base, pending))
+                pending = []
         return merges
     finally:
         _release_rdds(spark, _persistent_rdd_ids(spark) - outside)
