@@ -1341,8 +1341,13 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "vec_id")
 
     def hits(approx: DataFrame, method: str) -> DataFrame:
+        # truth is q x k rows (bounded by the sampled query set, never
+        # corpus-sized): broadcast the semi-join build side so neither
+        # ANN result is exchanged+sorted for a 25-row probe (r16 —
+        # static plan showed SortMergeJoin LeftSemi with 2 exchanges
+        # per consumer; guide 3.1)
         return (
-            approx.join(truth, ["query_id", "vec_id"], "left_semi")
+            approx.join(F.broadcast(truth), ["query_id", "vec_id"], "left_semi")
             .agg(F.count(F.lit(1)).alias("n_hits"))
             .select(F.lit(method).alias("method"), "n_hits")
         )

@@ -36,15 +36,30 @@ def _term_counts(
     df: DataFrame, terms: list[str], text_col: str, id_col: str
 ) -> DataFrame:
     """(id, dl, tf_0..tf_{m-1}): doc length + per-query-term counts as
-    pure array expressions — no explode, no shuffle."""
-    toks = F.filter(F.split(norm_text(text_col), " "), lambda t: t != "")
+    pure array expressions — no explode, no shuffle.
+
+    The regex-normalize + split tokenization is materialized ONCE per
+    row in its own projection (r16): inlining it into every tf_i made
+    the scoring pass re-tokenize per term, and the pushed-down
+    n_hit_terms filter re-tokenized again below the projection — ~9
+    regex+split evaluations per row. A two-step select leaves the
+    expensive expression behind a column attribute; CollapseProject
+    keeps it single because a non-cheap expression referenced by every
+    consumer is not inlined. tf/dl values are unchanged."""
+    toks_df = df.select(
+        F.col(id_col),
+        F.filter(F.split(norm_text(text_col), " "), lambda t: t != "").alias(
+            "__toks"
+        ),
+    )
+    toks = F.col("__toks")
     cols = [F.col(id_col), F.size(toks).alias("dl")]
     for i, t in enumerate(terms):
         lit_t = F.lit(t)
         cols.append(
             F.size(F.filter(toks, lambda x: x == lit_t)).alias(f"tf_{i}")
         )
-    return df.select(*cols)
+    return toks_df.select(*cols)
 
 
 def bm25_topk(
