@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import hashlib
 from collections.abc import Iterator
+from typing import Literal
 
 import numpy as np
 import pandas as pd
@@ -310,7 +311,7 @@ def text_to_wav_payload(
     float_every: int | None = None,
     g711: bool = False,
     aiff: bool = False,
-    n_partitions: int | None = None,
+    n_partitions: int | Literal["auto"] | None = None,
 ) -> DataFrame:
     """Deterministic audio synthesis for fixtures and oracle replay —
     the WAV twin of :func:`_text_to_image_payload`: an 8-bit mono PCM
@@ -695,26 +696,44 @@ def sized_codec_partitions(df: DataFrame, bytes_per_task: int) -> int | None:
     Returns None — leave the input partitioning alone — when the
     estimate is unavailable or the sized width would not exceed the
     partitioning the input already has (at 100 TB row-group widths the
-    scan is already wider than any cap, so this is a no-op there)."""
+    scan is already wider than any cap, so this is a no-op there).
+
+    Everything internal-API-shaped (the ``_jdf`` stats probe AND the
+    RDD-conversion partition count, which forces physical planning and
+    can fail on its own) sits inside the guard: any failure degrades to
+    the None no-op, never an exception (ADVICE r16). The partition
+    count is only computed once the sized width beats 1, so the cheap
+    exits skip the RDD conversion entirely."""
     try:
         est = int(
             df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
         )
+        cores = df.sparkSession.sparkContext.defaultParallelism
+        width = min(cores, max(1, -(-est // bytes_per_task)))
+        if width <= 1 or width <= df.rdd.getNumPartitions():
+            return None
+        return width
     except Exception:
         return None
-    cores = df.sparkSession.sparkContext.defaultParallelism
-    width = min(cores, max(1, -(-est // bytes_per_task)))
-    if width <= 1 or width <= df.rdd.getNumPartitions():
-        return None
-    return width
 
 
 def _maybe_size(df: DataFrame, n_partitions, bytes_per_task: int) -> DataFrame:
     """Apply the ``n_partitions`` contract shared by the payload
     synths: an int repartitions to exactly that width, ``"auto"``
     derives the width from input size via
-    :func:`sized_codec_partitions`, None leaves the input alone."""
-    if n_partitions == "auto":
+    :func:`sized_codec_partitions`, None leaves the input alone.
+
+    The sentinel is validated explicitly (ADVICE r16): any string
+    other than ``"auto"`` raises here — passed through, PySpark would
+    interpret it as a column name and either fail at plan time with a
+    confusing AnalysisException or silently hash-partition by a real
+    column of that name."""
+    if isinstance(n_partitions, str):
+        if n_partitions != "auto":
+            raise ValueError(
+                "n_partitions must be an int, None, or the string "
+                f"'auto'; got {n_partitions!r}"
+            )
         n_partitions = sized_codec_partitions(df, bytes_per_task)
     if n_partitions:
         return df.repartition(n_partitions)
@@ -771,7 +790,7 @@ def text_to_png_payload(
     width: int = 8,
     height: int = 8,
     id_col: str = "doc_id",
-    n_partitions: int | None = None,
+    n_partitions: int | Literal["auto"] | None = None,
 ) -> DataFrame:
     """Codepoints-mod-256 grayscale PNG per document (see
     :func:`_text_to_image_payload`)."""
@@ -787,7 +806,7 @@ def text_to_bmp_payload(
     width: int = 8,
     height: int = 8,
     id_col: str = "doc_id",
-    n_partitions: int | None = None,
+    n_partitions: int | Literal["auto"] | None = None,
 ) -> DataFrame:
     """BMP twin of :func:`text_to_png_payload`: 8-bit BI_RGB with a
     grayscale identity palette — exercises bottom-up row order, palette
@@ -804,7 +823,7 @@ def text_to_tiff_payload(
     width: int = 8,
     height: int = 8,
     id_col: str = "doc_id",
-    n_partitions: int | None = None,
+    n_partitions: int | Literal["auto"] | None = None,
 ) -> DataFrame:
     """TIFF twin of :func:`text_to_png_payload`: baseline uncompressed
     gray — exercises the IFD walk and strip assembly end-to-end."""
@@ -821,7 +840,7 @@ def text_to_gif_payload(
     height: int = 8,
     id_col: str = "doc_id",
     interlace_every: int | None = 3,
-    n_partitions: int | None = None,
+    n_partitions: int | Literal["auto"] | None = None,
 ) -> DataFrame:
     """GIF twin of :func:`text_to_png_payload`: the same
     codepoints-mod-256 grayscale image, packaged as a single-frame GIF
@@ -872,7 +891,7 @@ def text_to_jpeg_payload(
     color_every: int | None = 3,
     progressive_every: int | None = None,
     cmyk_every: int | None = None,
-    n_partitions: int | None = None,
+    n_partitions: int | Literal["auto"] | None = None,
 ) -> DataFrame:
     """JPEG twin of :func:`text_to_png_payload`, built around the one
     thing a LOSSY codec can replay exactly: a DC-only image. Each
@@ -962,7 +981,7 @@ def text_to_gif_animation_payload(
     df: DataFrame,
     src_col: str = "text",
     id_col: str = "doc_id",
-    n_partitions: int | None = None,
+    n_partitions: int | Literal["auto"] | None = None,
 ) -> DataFrame:
     """Animated-GIF twin (VERDICT r12 #1): each document becomes a
     deterministic FOUR-frame 8x8 GIF89a animation whose frame pixels
