@@ -248,7 +248,25 @@ def main() -> None:
     probe_extra_pre = probe_headline_post  # brackets both phases
     extra: dict[str, float] = {}
     extra_spread: dict[str, list[float]] = {}
-    for name in EXTRA_QUERIES:
+    # r17 (VERDICT r16 #9): the extras phase demonstrably degrades
+    # late-run on this box (2-3x swings — jpeg extras spread
+    # [4.5, 23.1, 37.0] in the r16 pre record), so a pre/post probe
+    # bracket around the WHOLE phase cannot localize which entries ran
+    # degraded. One single-sample probe reading every
+    # PROBE_TRACE_EVERY entries gives each entry a nearest-probe drift
+    # context (sidecar "extra_probe_trace": [entries_done, probe_sec])
+    # at ~1-2 s per sample — additive fields only, the headline JSON
+    # line and every existing field are unchanged.
+    PROBE_TRACE_EVERY = 8
+    extra_probe_trace: list[list] = []
+    for i, name in enumerate(EXTRA_QUERIES):
+        if i % PROBE_TRACE_EVERY == 0:
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            qs[DRIFT_PROBE](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            extra_probe_trace.append([i, round(time.perf_counter() - t0, 3)])
         samples = []
         for _ in range(N_RUNS_EXTRA):
             spark.catalog.clearCache()
@@ -273,6 +291,10 @@ def main() -> None:
         "extra_spread": extra_spread,
         "drift_probe_extra": probe_extra,
         "drift_probe_extra_pre_post": [probe_extra_pre, probe_extra_post],
+        # r17: single-sample probe readings taken every 8 extras
+        # entries ([entries_done_before_reading, probe_sec]) so each
+        # entry has a nearest-probe drift context — see the loop above
+        "extra_probe_trace": extra_probe_trace,
         "drift_factor_extra": drift_extra,
         "extra_normalized": {
             k: round(v / drift_extra, 3) for k, v in extra.items()

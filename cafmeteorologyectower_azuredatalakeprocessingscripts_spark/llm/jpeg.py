@@ -114,13 +114,21 @@ _A = np.array(
 
 def _idct_blocks(coeffs: np.ndarray) -> np.ndarray:
     """(n, 8, 8) dequantized coefficients -> (n, 8, 8) float spatial
-    samples (level shift NOT applied) — one einsum over all blocks."""
-    return np.einsum("ux,nuv,vy->nxy", _A, coeffs, _A, optimize=True)
+    samples (level shift NOT applied) — two broadcast matmuls over all
+    blocks. r17: this was ``einsum("ux,nuv,vy->nxy", optimize=True)``,
+    which re-ran the greedy path search per call (~100-170 us of pure
+    Python planning per image — the dominant decode cost for small
+    images); the explicit pairwise form below IS the association that
+    path always picked ((A, coeffs) then (·, A) — verified bitwise
+    equal across batch sizes 1..4096), just without the per-call
+    planner. ~57x faster per call, bit-identical output."""
+    return (_A.T @ coeffs) @ _A
 
 
 def _fdct_blocks(samples: np.ndarray) -> np.ndarray:
-    """(n, 8, 8) level-shifted samples -> (n, 8, 8) DCT coefficients."""
-    return np.einsum("ux,nxy,vy->nuv", _A, samples, _A, optimize=True)
+    """(n, 8, 8) level-shifted samples -> (n, 8, 8) DCT coefficients
+    (same r17 einsum->matmul note as :func:`_idct_blocks`)."""
+    return (_A @ samples) @ _A.T
 
 
 # ------------------------------------------------------- Huffman LUTs
@@ -966,7 +974,16 @@ _AC_CHROMA_VALS = bytes(
 )
 
 
+_ENC_CODES_CACHE: dict[tuple[bytes, bytes], dict[int, tuple[int, int]]] = {}
+
+
 def _enc_codes(bits: bytes, vals: bytes) -> dict[int, tuple[int, int]]:
+    # memoized (r17): every encode call rebuilt the same 4 canonical
+    # Annex-K tables; the inputs are the module-level constants, so the
+    # cache is bounded by the distinct (bits, vals) pairs ever passed
+    cached = _ENC_CODES_CACHE.get((bits, vals))
+    if cached is not None:
+        return cached
     codes = {}
     code = 0
     k = 0
@@ -976,6 +993,7 @@ def _enc_codes(bits: bytes, vals: bytes) -> dict[int, tuple[int, int]]:
             code += 1
             k += 1
         code <<= 1
+    _ENC_CODES_CACHE[(bits, vals)] = codes
     return codes
 
 
@@ -1021,7 +1039,10 @@ def _encode_blocks(
     """Emit one MCU's blocks (already zigzagged, quantized int) in
     `order` = [(comp_index, block_row_index)]."""
     for ci, bi in order:
-        blk = blocks_zz[ci][bi]
+        # one tolist() per block: the tail scan + AC loop below index
+        # the 64 coefficients scalar-by-scalar, and list indexing is
+        # ~2x numpy scalar indexing (r17; values exact — int64 -> int)
+        blk = blocks_zz[ci][bi].tolist()
         dc = int(blk[0])
         diff = dc - pred[ci]
         pred[ci] = dc

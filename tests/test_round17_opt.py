@@ -156,6 +156,147 @@ def test_bpe_train_merges_unchanged_by_fused_count(spark):
     )
 
 
+# ------------- VERDICT r16 #3: incremental_dedup recompute-diet identity
+
+
+def test_jaccard_pairs_bipartite_candidate_sizes_identical(spark):
+    """The r17 diet knobs (sizes riding the candidate rows via
+    lsh_buckets(carry=), bipartite verify via shingles_b_df) must
+    produce EXACTLY the rows of the legacy union-everything shape —
+    same pairs, same Jaccard values."""
+    from pyspark.sql import Row as R
+    from pyspark.sql import functions as F
+
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.dedup import (
+        jaccard_pairs,
+        lsh_buckets,
+        minhash_signatures,
+        shingles,
+    )
+
+    new_docs = spark.createDataFrame(
+        [
+            R(doc_id=10, text="the quick brown fox jumps over the lazy dog today"),
+            R(doc_id=11, text="an entirely different document about spark shuffles"),
+            R(doc_id=12, text="the quick brown fox leaps over the lazy dog today"),
+        ]
+    )
+    base_docs = spark.createDataFrame(
+        [
+            R(doc_id=1, text="the quick brown fox jumps over the lazy dog today"),
+            R(doc_id=2, text="completely unrelated base corpus text goes here now"),
+        ]
+    )
+    sh_new = shingles(new_docs)
+    sh_base = shingles(base_docs)
+    sig_new = minhash_signatures(new_docs, shingles_df=sh_new, with_sizes=True)
+    sig_base = minhash_signatures(base_docs, shingles_df=sh_base, with_sizes=True)
+
+    # carry= rides the named column onto every membership row, values
+    # equal to the signature frame's own n_sh
+    bn = lsh_buckets(sig_new, carry=("n_sh",))
+    assert "n_sh" in bn.columns
+    carried = {r.id: r.n_sh for r in bn.select("id", "n_sh").distinct().collect()}
+    truth = {r.id: r.n_sh for r in sig_new.select("id", "n_sh").collect()}
+    assert carried == truth
+
+    # the incremental candidate shape: (id_a=new, id_b=base) bucket hits
+    bn = bn.select(
+        F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"), "band", "bucket"
+    )
+    bb = lsh_buckets(sig_base, carry=("n_sh",)).select(
+        F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"), "band", "bucket"
+    )
+    cand = bn.join(bb, ["band", "bucket"]).select(
+        "id_a", "id_b", "n_a", "n_b"
+    ).distinct()
+
+    legacy = jaccard_pairs(
+        None,
+        threshold=0.05,
+        candidates=cand.select("id_a", "id_b"),
+        shingles_df=sh_new.union(sh_base),
+        sizes_df=sig_new.select("id", "n_sh").union(
+            sig_base.select("id", "n_sh")
+        ),
+    )
+    diet = jaccard_pairs(
+        None,
+        threshold=0.05,
+        candidates=cand,
+        shingles_df=sh_new,
+        shingles_b_df=sh_base,
+        candidate_sizes=True,
+    )
+    rows_legacy = sorted(map(tuple, legacy.collect()))
+    rows_diet = sorted(map(tuple, diet.collect()))
+    assert rows_diet == rows_legacy
+    assert rows_diet  # non-vacuous: the near-dup pair must verify
+
+
+def test_jaccard_pairs_diet_knobs_require_candidates(spark):
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.dedup import (
+        jaccard_pairs,
+    )
+    from pyspark.sql import Row as R
+
+    docs = spark.createDataFrame([R(doc_id=1, text="a b c d e f")])
+    with pytest.raises(ValueError, match="candidate_sizes"):
+        jaccard_pairs(docs, candidate_sizes=True)
+    with pytest.raises(ValueError, match="shingles_b_df"):
+        jaccard_pairs(docs, shingles_b_df=docs)
+
+
+# --------------------- VERDICT r16 #6: JPEG DCT einsum->matmul identity
+
+
+def test_jpeg_dct_matmul_bitwise_matches_einsum_reference():
+    """The r17 matmul DCT forms must be BITWISE equal to the einsum
+    expressions they replaced (the optimized einsum always contracted
+    (A, blocks) first, then (·, A) — the explicit pairwise form is the
+    same association, minus the per-call greedy path planner)."""
+    import numpy as np
+
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.jpeg import (
+        _A,
+        _fdct_blocks,
+        _idct_blocks,
+    )
+
+    rng = np.random.default_rng(123)
+    for n in (1, 3, 17, 256):
+        c = rng.standard_normal((n, 8, 8))
+        ref_i = np.einsum("ux,nuv,vy->nxy", _A, c, _A, optimize=True)
+        ref_f = np.einsum("ux,nxy,vy->nuv", _A, c, _A, optimize=True)
+        assert np.array_equal(_idct_blocks(c), ref_i)
+        assert np.array_equal(_fdct_blocks(c), ref_f)
+
+
+def test_jpeg_roundtrip_unchanged_after_codec_micro_opts():
+    """Random-content encode/decode still round-trips through the
+    entropy coder after the tolist()/memoized-table changes (the
+    DC-exactness oracle only exercises constant blocks; this pins the
+    general path)."""
+    import numpy as np
+
+    from cafmeteorologyectower_azuredatalakeprocessingscripts_spark.llm.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, (16, 24), dtype=np.uint8)
+    for enc in (encode_jpeg, encode_jpeg_progressive):
+        w, h, c, data = decode_jpeg(enc(24, 16, 1, px.tobytes()))
+        assert (w, h, c) == (24, 16, 1)
+        # lossy codec: sequential and progressive transmit the SAME
+        # quantized coefficients, so their decodes must agree exactly
+    seq = decode_jpeg(encode_jpeg(24, 16, 1, px.tobytes()))
+    prog = decode_jpeg(encode_jpeg_progressive(24, 16, 1, px.tobytes()))
+    assert seq == prog
+
+
 # ------------------------------- ADVICE r16: codec width sizing guards
 
 
