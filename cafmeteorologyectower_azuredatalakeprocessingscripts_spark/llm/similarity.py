@@ -42,6 +42,35 @@ def _norm(a: Column) -> Column:
     )
 
 
+# -- one-parse SQL-string twins of _dot/_norm (r17, VERDICT r16 #4) ----
+# The Column HOF builders above cost ~15-20 py4j round trips EACH
+# (F.aggregate/F.zip_with construct their lambdas variable-by-variable
+# through the gateway); a profiled semantic_dedup construction spent
+# ~0.9 s of its 1.2 s in py4j socket latency, ~0.2 s of it in 12 HOF
+# invocations. These twins build the IDENTICAL expression (same
+# functions, same 0D init, same fold order — bit-equal results; only
+# the lambda variable names differ, which Catalyst treats as
+# alpha-equivalent) as one expr parse = one round trip. Same precedent
+# as _srp_bucket_sql ("one string parse keeps plan construction
+# milliseconds"). Hot constructors only (ivf_assign / kmeans /
+# semdedup); the Column forms stay for every other call site.
+
+
+def _dot_hof_sql(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+        "0D, (acc, v) -> acc + v)"
+    )
+
+
+def _norm_hof_sql(a: str) -> str:
+    return f"sqrt(aggregate({a}, 0D, (acc, v) -> acc + v * v))"
+
+
+def _as_double_sql(c: str) -> str:
+    return f"CAST({c} AS ARRAY<DOUBLE>)"
+
+
 def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
@@ -276,20 +305,26 @@ def ivf_assign(
     # dot per pair instead of dot + two norms (3x less interpreted-HOF
     # work; dot/(na*nb) is the exact expression cosine() builds, so the
     # affinity is bit-identical and the oracle is unchanged)
+    # one-parse expr strings (r17): bit-identical to the Column HOF
+    # forms they replace (see _dot_hof_sql), ~40 py4j round trips less
+    # per ivf_assign construction — this function is built 2-3x per
+    # query (train iteration + assignment + probes)
+    vq = f"`{vec_col}`"
     c = centroids.select(
         "centroid_id",
         "__ctr",
-        _norm(_as_double(F.col("__ctr"))).alias("__cn"),
+        F.expr(_norm_hof_sql(_as_double_sql("__ctr"))).alias("__cn"),
     )
-    v = df.withColumn("__vn", _norm(_as_double(F.col(vec_col))))
+    v = df.withColumn(
+        "__vn", F.expr(_norm_hof_sql(_as_double_sql(vq)))
+    )
     # round-6 affinity: cell choice becomes engine-exact (an oracle in a
     # different engine replays the same assignment; ties break by id)
     scored = v.crossJoin(F.broadcast(c)).withColumn(
         "__aff",
-        F.round(
-            _dot(_as_double(F.col(vec_col)), _as_double(F.col("__ctr")))
-            / (F.col("__vn") * F.col("__cn")),
-            6,
+        F.expr(
+            f"round({_dot_hof_sql(_as_double_sql(vq), _as_double_sql('__ctr'))}"
+            " / (__vn * __cn), 6)"
         ),
     )
     w = Window.partitionBy(id_col).orderBy(
@@ -516,10 +551,17 @@ def kmeans_centroids(
         )
         cents = (
             means.groupBy("centroid_id")
-            .agg(F.array_sort(F.collect_list(F.struct("__pos", "__m"))).alias("__s"))
+            .agg(
+                # one-parse expr twins of array_sort(collect_list(
+                # struct(...))) / transform(s -> s.__m) (r17): same
+                # expressions, fewer py4j round trips per iteration
+                F.expr("array_sort(collect_list(struct(__pos, __m)))").alias(
+                    "__s"
+                )
+            )
             .select(
                 "centroid_id",
-                F.transform("__s", lambda s: s["__m"]).alias("__ctr"),
+                F.expr("transform(__s, s -> s.__m)").alias("__ctr"),
             )
         )
     if iters > 0:
@@ -1073,7 +1115,7 @@ def semdedup(
         assigned = ivf_assign(
             cast_corpus, cents, n_probe=1, id_col=id_col, vec_col="__cv", dim=dim
         )
-    cells = assigned.withColumn("__n", _norm(F.col("__cv")))
+    cells = assigned.withColumn("__n", F.expr(_norm_hof_sql("__cv")))
     # norm computed BEFORE the persist so both pair sides read the
     # materialized value instead of re-deriving it per branch
     if persist_cells:
@@ -1113,10 +1155,8 @@ def semdedup(
         .filter(F.col("__idb") < F.col("__ida"))
         .withColumn(
             "__cos",
-            F.round(
-                _dot(F.col("__va"), F.col("__vb"))
-                / (F.col("__na") * F.col("__nb")),
-                6,
+            F.expr(
+                f"round({_dot_hof_sql('__va', '__vb')} / (__na * __nb), 6)"
             ),
         )
         .groupBy(F.col("__ida").alias(id_col))
