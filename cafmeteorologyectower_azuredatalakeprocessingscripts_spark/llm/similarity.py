@@ -141,10 +141,16 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact top-k neighbors per query by cosine (query side broadcast;
     ties broken by corpus id — fully deterministic)."""
+    # expr-twin constructors (r17): bit-identical expressions to the
+    # Column HOF forms, one parse each — construction was ~50% of this
+    # sub-second query's steady-state wall-clock (ADJUDICATE_r17: the
+    # embed_cosine_topk flag reproduced warm; py4j chatter, not the
+    # plan, was the recurring cost)
+    vq = f"`{vec_col}`"
     q = queries.select(
         F.col(query_id_col),
         F.col(vec_col).alias("__qv"),
-        _norm(_as_double(F.col(vec_col))).alias("__qn"),
+        F.expr(_norm_hof_sql(_as_double_sql(vq))).alias("__qn"),
     )
     # spread the corpus: the scan may be one file/partition locally, and
     # the per-row dot products are the dominant cost. Norms carried —
@@ -153,17 +159,19 @@ def cosine_topk(
     c = repartition_pinned(corpus, F.col(id_col)).select(
         F.col(id_col),
         F.col(vec_col).alias("__cv"),
-        _norm(_as_double(F.col(vec_col))).alias("__cn"),
+        F.expr(_norm_hof_sql(_as_double_sql(vq))).alias("__cn"),
     )
     sim = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col(id_col) != F.col(query_id_col))
         .withColumn(
             "cosine",
-            F.round(
-                _dot(_as_double(F.col("__qv")), _as_double(F.col("__cv")))
-                / (F.col("__qn") * F.col("__cn")),
-                6,
+            F.expr(
+                "round("
+                + _dot_hof_sql(
+                    _as_double_sql("__qv"), _as_double_sql("__cv")
+                )
+                + " / (__qn * __cn), 6)"
             ),
         )
     )
