@@ -653,8 +653,16 @@ def minhash_signatures(
     sh = shingles_df if shingles_df is not None else shingles(df, text_col, id_col, n)
     x = (F.col("sh_h") % MINHASH_P).alias("x")
     hashed = sh.select("id", x)
+    # one-parse expr twins of min((A*x + B) % P) (r17): identical
+    # integer expressions (operator precedence and literal typing match
+    # the Column form — every A/B constant fits int32, x is bigint), 1
+    # py4j round trip per agg instead of ~15 through the Column API;
+    # this listcomp alone was 0.42 s of dedup_minhash_lsh's profiled
+    # construction
     aggs = [
-        F.min((MINHASH_A[i] * F.col("x") + MINHASH_B[i]) % MINHASH_P).alias(f"mh_{i}")
+        F.expr(
+            f"min(({MINHASH_A[i]} * x + {MINHASH_B[i]}) % {MINHASH_P})"
+        ).alias(f"mh_{i}")
         for i in range(num_hashes)
     ]
     if with_sizes:
@@ -678,17 +686,18 @@ def lsh_buckets(
     re-evaluating the whole signature pipeline for a separate sizes
     frame — a few bytes per membership row against a corpus-sized
     recompute)."""
-    band_cols = []
-    for b in range(bands):
-        members = [F.col(f"mh_{b * rows + r}") for r in range(rows)]
-        band_cols.append(
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(F.concat_ws(",", *members)).alias("bucket"),
-            )
-        )
+    # one-parse expr twin of the array-of-structs (r17): named_struct /
+    # md5 / concat_ws are the exact expressions F.struct/F.md5/
+    # F.concat_ws built — one parse for the whole band array instead of
+    # ~10 py4j round trips per band
+    band_sql = ", ".join(
+        f"named_struct('band', {b}, 'bucket', md5(concat_ws(',', "
+        + ", ".join(f"mh_{b * rows + r}" for r in range(rows))
+        + ")))"
+        for b in range(bands)
+    )
     return sig.select(
-        "id", *carry, F.explode(F.array(*band_cols)).alias("bb")
+        "id", *carry, F.explode(F.expr(f"array({band_sql})")).alias("bb")
     ).select("id", *carry, "bb.band", "bb.bucket")
 
 
@@ -992,19 +1001,25 @@ def simhash(
         .select(F.col(id_col).alias("id"), F.explode(toks).alias("tok"))
         .select("id", (md5_int(F.col("tok")) % F.lit(2 ** bits)).alias("h"))
     )
+    # one-parse expr twins (r17): CASE WHEN is the exact CaseWhen node
+    # F.when/.otherwise built, shiftright/& the same Shift/BitwiseAnd —
+    # 1 round trip per vote instead of ~12, and the recombine chain is
+    # ONE parse (the Column loop built it via ~6 calls per bit; the
+    # profiled construction was ~2.1 s, ~75% py4j latency). Integer
+    # expressions — bit-equal by construction, pinned by test.
     votes = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1)
-            .otherwise(-1)
+        F.expr(
+            f"sum(CASE WHEN (shiftright(h, {i}) & 1) = 1 THEN 1 ELSE -1 END)"
         ).alias(f"v_{i}")
         for i in range(bits)
     ]
     sig = tok.groupBy("id").agg(*votes)
-    out = F.lit(0).cast("bigint")
-    for i in range(bits):
-        out = out + F.when(F.col(f"v_{i}") > 0, F.lit(2 ** i).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
-        )
+    recombine = " + ".join(
+        f"CASE WHEN v_{i} > 0 THEN CAST({2 ** i} AS BIGINT) "
+        "ELSE CAST(0 AS BIGINT) END"
+        for i in range(bits)
+    )
+    out = F.expr(f"CAST(0 AS BIGINT) + {recombine}")
     return sig.select("id", out.alias("simhash"))
 
 
@@ -1042,10 +1057,11 @@ def simhash64(
             .alias("h_hi"),
         )
     )
+    # one-parse expr twins — same identity argument as simhash() above
     votes = [
-        F.sum(
-            F.when(F.shiftright(F.col(h), i).bitwiseAND(F.lit(1)) == 1, 1)
-            .otherwise(-1)
+        F.expr(
+            f"sum(CASE WHEN (shiftright({h}, {i}) & 1) = 1 "
+            "THEN 1 ELSE -1 END)"
         ).alias(f"v_{side}_{i}")
         for side, h in (("lo", "h_lo"), ("hi", "h_hi"))
         for i in range(32)
@@ -1053,12 +1069,12 @@ def simhash64(
     sig = tok.groupBy("id").agg(*votes)
     outs = {}
     for side in ("lo", "hi"):
-        acc = F.lit(0).cast("bigint")
-        for i in range(32):
-            acc = acc + F.when(
-                F.col(f"v_{side}_{i}") > 0, F.lit(2 ** i).cast("bigint")
-            ).otherwise(F.lit(0).cast("bigint"))
-        outs[side] = acc
+        recombine = " + ".join(
+            f"CASE WHEN v_{side}_{i} > 0 THEN CAST({2 ** i} AS BIGINT) "
+            "ELSE CAST(0 AS BIGINT) END"
+            for i in range(32)
+        )
+        outs[side] = F.expr(f"CAST(0 AS BIGINT) + {recombine}")
     return sig.select(
         "id", outs["hi"].alias("simhash_hi"), outs["lo"].alias("simhash_lo")
     )
